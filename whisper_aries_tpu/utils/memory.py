@@ -1,0 +1,43 @@
+"""Process / device memory probes.
+
+Extends the reference's psutil RSS probe (utils.py:79-89) with TPU HBM stats
+via jax, used by the batch-size autotuner in the parallel layer.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+
+def get_memory_usage() -> Optional[float]:
+    """Current process RSS in MB, or None when psutil is unavailable."""
+    try:
+        import psutil
+
+        return psutil.Process().memory_info().rss / (1024 * 1024)
+    except ImportError:
+        return None
+
+
+def get_device_memory_stats() -> list:
+    """Per-device memory stats from jax (empty list if unavailable).
+
+    Replaces the reference's torch.cuda VRAM probes
+    (final_optimized_transcriber.py:223-232) for worker/batch sizing.
+    """
+    try:
+        import jax
+
+        stats = []
+        for d in jax.devices():
+            s = getattr(d, "memory_stats", lambda: None)()
+            stats.append(
+                {
+                    "device": str(d),
+                    "bytes_in_use": (s or {}).get("bytes_in_use"),
+                    "bytes_limit": (s or {}).get("bytes_limit"),
+                }
+            )
+        return stats
+    except Exception:
+        return []
