@@ -1,0 +1,146 @@
+"""ctypes bindings to the native ariesaudio C++ runtime.
+
+The shared library (native/ariesaudio.cpp) is the TPU-framework replacement
+for the reference's libsndfile/soxr dependency internals (reference
+requirements.txt:54-55; used at final_optimized_transcriber.py:85-103).
+It is built on demand with `make -C native` (g++ only, no third-party deps);
+when the toolchain or the .so is unavailable every call falls back to the
+pure-numpy implementations in ``whisper_aries_tpu.audio.decode``.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB_NAME = "libariesaudio.so"
+_PKG_DIR = Path(__file__).resolve().parent
+_NATIVE_SRC_DIR = _PKG_DIR.parent.parent / "native"
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_load_failed = False
+
+
+def _try_build() -> bool:
+    """Best-effort build of the shared library from source."""
+    makefile = _NATIVE_SRC_DIR / "Makefile"
+    if not makefile.exists():
+        return False
+    try:
+        subprocess.run(
+            ["make", "-C", str(_NATIVE_SRC_DIR)],
+            capture_output=True,
+            check=True,
+            timeout=300,
+        )
+        return (_PKG_DIR / _LIB_NAME).exists()
+    except Exception:
+        return False
+
+
+def load_library() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library, or None if unavailable."""
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    with _lock:
+        if _lib is not None or _load_failed:
+            return _lib
+        so_path = _PKG_DIR / _LIB_NAME
+        if not so_path.exists() and os.environ.get("ARIES_NO_NATIVE") != "1":
+            _try_build()
+        if not so_path.exists():
+            _load_failed = True
+            return None
+        try:
+            lib = ctypes.CDLL(str(so_path))
+        except OSError:
+            _load_failed = True
+            return None
+        lib.aries_decode_wav.restype = ctypes.c_int32
+        lib.aries_decode_wav.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.aries_resample.restype = ctypes.c_int32
+        lib.aries_resample.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.aries_free.restype = None
+        lib.aries_free.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+def native_available() -> bool:
+    return load_library() is not None
+
+
+_ERRORS = {
+    1: "not a RIFF/WAVE file",
+    2: "missing/invalid fmt chunk",
+    3: "missing/empty data chunk",
+    4: "unsupported sample format",
+    5: "allocation failure",
+    6: "bad arguments",
+}
+
+
+def decode_wav_native(data: bytes) -> Tuple[np.ndarray, int]:
+    """Decode WAV bytes to (mono float32 array, sample_rate) natively."""
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native ariesaudio library unavailable")
+    out = ctypes.POINTER(ctypes.c_float)()
+    out_len = ctypes.c_int64()
+    sr = ctypes.c_int32()
+    status = lib.aries_decode_wav(
+        data, len(data), ctypes.byref(out), ctypes.byref(out_len), ctypes.byref(sr)
+    )
+    if status != 0:
+        raise ValueError(f"WAV decode failed: {_ERRORS.get(status, status)}")
+    try:
+        arr = np.ctypeslib.as_array(out, shape=(out_len.value,)).copy()
+    finally:
+        lib.aries_free(out)
+    return arr, int(sr.value)
+
+
+def resample_native(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    """Polyphase Kaiser-sinc resample via the native library."""
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native ariesaudio library unavailable")
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    out = ctypes.POINTER(ctypes.c_float)()
+    n_out = ctypes.c_int64()
+    status = lib.aries_resample(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        x.shape[0],
+        sr_in,
+        sr_out,
+        ctypes.byref(out),
+        ctypes.byref(n_out),
+    )
+    if status != 0:
+        raise ValueError(f"resample failed: {_ERRORS.get(status, status)}")
+    try:
+        arr = np.ctypeslib.as_array(out, shape=(n_out.value,)).copy()
+    finally:
+        lib.aries_free(out)
+    return arr

@@ -1,0 +1,158 @@
+"""Log-mel spectrogram front-end (Whisper-compatible).
+
+TPU-native replacement for the mel feature pipeline hidden inside
+faster-whisper (reference requirements.txt:12; the 80/128-mel log-mel on 30 s
+windows noted in SURVEY §2.3 N2). Parameters match Whisper exactly:
+sr=16 kHz, n_fft=400, hop=160, periodic Hann window, reflect center padding,
+slaney-scale/slaney-norm mel filterbank (fmin=0, fmax=8 kHz), log10 with
+1e-10 clamp, dynamic-range floor at max-8, then (x+4)/4.
+
+Design: instead of an FFT (awkward sizes for TPU), the STFT is computed as a
+strided convolution with precomputed DFT cos/sin filter banks — a (402, 400)
+matmul per frame that XLA tiles straight onto the MXU — then fused with the
+(n_mels, 201) mel projection. Output is bit-comparable to
+``transformers.WhisperFeatureExtractor`` (float32 tolerance), which tests
+verify.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SAMPLE_RATE = 16_000
+N_FFT = 400
+HOP_LENGTH = 160
+CHUNK_LENGTH_S = 30
+N_SAMPLES = SAMPLE_RATE * CHUNK_LENGTH_S  # 480_000
+N_FRAMES = N_SAMPLES // HOP_LENGTH  # 3_000
+
+
+# ---------------------------------------------------------------------------
+# Filterbank construction (host-side numpy, cached)
+# ---------------------------------------------------------------------------
+
+def _hz_to_mel_slaney(f: np.ndarray) -> np.ndarray:
+    f = np.asarray(f, dtype=np.float64)
+    f_sp = 200.0 / 3
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = math.log(6.4) / 27.0
+    return np.where(f < min_log_hz, f / f_sp, min_log_mel + np.log(np.maximum(f, 1e-10) / min_log_hz) / logstep)
+
+
+def _mel_to_hz_slaney(m: np.ndarray) -> np.ndarray:
+    m = np.asarray(m, dtype=np.float64)
+    f_sp = 200.0 / 3
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = math.log(6.4) / 27.0
+    return np.where(m < min_log_mel, m * f_sp, min_log_hz * np.exp(logstep * (m - min_log_mel)))
+
+
+@functools.lru_cache(maxsize=4)
+def mel_filterbank(n_mels: int = 80, sr: int = SAMPLE_RATE, n_fft: int = N_FFT,
+                   fmin: float = 0.0, fmax: float = 8000.0) -> np.ndarray:
+    """Slaney-normalised triangular mel filterbank, shape (n_mels, n_fft//2+1)."""
+    n_freqs = n_fft // 2 + 1
+    fft_freqs = np.linspace(0.0, sr / 2.0, n_freqs)
+    mel_pts = np.linspace(_hz_to_mel_slaney(fmin), _hz_to_mel_slaney(fmax), n_mels + 2)
+    hz_pts = _mel_to_hz_slaney(mel_pts)
+    fdiff = np.diff(hz_pts)
+    ramps = hz_pts[:, None] - fft_freqs[None, :]
+    lower = -ramps[:-2] / fdiff[:-1][:, None]
+    upper = ramps[2:] / fdiff[1:][:, None]
+    weights = np.maximum(0.0, np.minimum(lower, upper))
+    enorm = 2.0 / (hz_pts[2 : n_mels + 2] - hz_pts[:n_mels])
+    weights *= enorm[:, None]
+    return weights.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=2)
+def _dft_mel_filters(n_mels: int) -> np.ndarray:
+    """Precomputed combined window*DFT filters, shape (2*(n_fft//2+1), n_fft).
+
+    Row k in [0, 201): cos filter for bin k; row 201+k: -sin filter. Each row
+    already includes the periodic Hann window, so
+    frames @ filters.T gives (Re, Im) of the windowed rfft.
+    """
+    n = np.arange(N_FFT, dtype=np.float64)
+    window = 0.5 * (1.0 - np.cos(2.0 * np.pi * n / N_FFT))  # periodic Hann
+    k = np.arange(N_FFT // 2 + 1, dtype=np.float64)
+    phase = 2.0 * np.pi * k[:, None] * n[None, :] / N_FFT
+    cos_f = np.cos(phase) * window[None, :]
+    sin_f = -np.sin(phase) * window[None, :]
+    return np.concatenate([cos_f, sin_f], axis=0).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Reference numpy implementation (used for golden tests + host fallback)
+# ---------------------------------------------------------------------------
+
+def log_mel_spectrogram_np(audio: np.ndarray, n_mels: int = 80) -> np.ndarray:
+    """Numpy reference log-mel, shape (n_mels, n_frames)."""
+    audio = np.asarray(audio, dtype=np.float32)
+    pad = N_FFT // 2
+    x = np.pad(audio, (pad, pad), mode="reflect")
+    n_frames = 1 + (len(x) - N_FFT) // HOP_LENGTH
+    idx = np.arange(N_FFT)[None, :] + HOP_LENGTH * np.arange(n_frames)[:, None]
+    frames = x[idx]
+    n = np.arange(N_FFT)
+    window = 0.5 * (1.0 - np.cos(2.0 * np.pi * n / N_FFT))
+    spec = np.fft.rfft(frames * window[None, :], axis=1)
+    power = np.abs(spec[:-1]) ** 2  # drop the final frame like Whisper
+    mels = mel_filterbank(n_mels) @ power.T.astype(np.float32)
+    log_spec = np.log10(np.maximum(mels, 1e-10))
+    log_spec = np.maximum(log_spec, log_spec.max() - 8.0)
+    return ((log_spec + 4.0) / 4.0).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# JAX implementation (jit/pjit-able, MXU-friendly)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("n_mels",))
+def log_mel_spectrogram(audio: jax.Array, n_mels: int = 80) -> jax.Array:
+    """Batched log-mel: audio (B, N_SAMPLES) -> features (B, n_mels, N_FRAMES).
+
+    The STFT is a strided conv with combined Hann*DFT filters; the power
+    spectrum is projected by the mel filterbank in the same fused program.
+    Runs in float32 end to end (the front-end is ~0.1% of encoder FLOPs).
+    """
+    if audio.ndim == 1:
+        audio = audio[None]
+    filters = jnp.asarray(_dft_mel_filters(n_mels))  # (402, 400)
+    melw = jnp.asarray(mel_filterbank(n_mels))  # (n_mels, 201)
+    pad = N_FFT // 2
+    x = jnp.pad(audio.astype(jnp.float32), ((0, 0), (pad, pad)), mode="reflect")
+    # conv: (B, 1, L) * (402, 1, 400) stride 160 -> (B, 402, n_frames+1)
+    y = jax.lax.conv_general_dilated(
+        x[:, None, :],
+        filters[:, None, :],
+        window_strides=(HOP_LENGTH,),
+        padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32,
+    )
+    y = y[:, :, :-1]  # drop final frame (Whisper convention)
+    n_freqs = N_FFT // 2 + 1
+    power = y[:, :n_freqs, :] ** 2 + y[:, n_freqs:, :] ** 2  # (B, 201, F)
+    mels = jnp.einsum("mf,bft->bmt", melw, power, preferred_element_type=jnp.float32)
+    log_spec = jnp.log10(jnp.maximum(mels, 1e-10))
+    # Whisper floors at (global max over the whole example) - 8.
+    gmax = jnp.max(log_spec, axis=(1, 2), keepdims=True)
+    log_spec = jnp.maximum(log_spec, gmax - 8.0)
+    return (log_spec + 4.0) / 4.0
+
+
+def pad_or_trim(audio: np.ndarray, length: int = N_SAMPLES) -> np.ndarray:
+    """Pad with zeros or trim to exactly ``length`` samples (host-side)."""
+    audio = np.asarray(audio, dtype=np.float32)
+    if len(audio) >= length:
+        return audio[:length]
+    return np.pad(audio, (0, length - len(audio)))
