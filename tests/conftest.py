@@ -6,12 +6,23 @@ top of conftest collection.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The container exports JAX_PLATFORMS=axon (remote TPU tunnel) — override it
+# unconditionally: unit tests run on a virtual 8-device CPU mesh. Setting
+# PALLAS_AXON_POOL_IPS="" stops the axon sitecustomize from registering the
+# TPU backend at interpreter start.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The axon sitecustomize imports jax at interpreter start, before this file
+# runs, so the env alone is not enough — force the platform via config too.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

