@@ -1,0 +1,173 @@
+"""Diarization tests: clustering correctness, net shapes, end-to-end
+two-speaker separation with synthetic voices."""
+
+import numpy as np
+import pytest
+
+from whisper_aries_tpu.diarize import (
+    DiarizationPipeline,
+    agglomerative_cluster,
+    relabel_by_first_appearance,
+)
+from whisper_aries_tpu.diarize.cluster import cosine_distance_matrix
+
+SR = 16000
+
+
+# ---------------------------------------------------------------------------
+# Clustering
+# ---------------------------------------------------------------------------
+
+
+def test_cluster_two_blobs(rng):
+    a = rng.normal([5, 0, 0], 0.05, (10, 3))
+    b = rng.normal([0, 5, 0], 0.05, (8, 3))
+    emb = np.concatenate([a, b])
+    labels = agglomerative_cluster(emb, threshold=0.5)
+    assert len(set(labels[:10])) == 1
+    assert len(set(labels[10:])) == 1
+    assert labels[0] != labels[10]
+
+
+def test_cluster_threshold_controls_merging(rng):
+    a = rng.normal([5, 1, 0], 0.05, (6, 3))
+    b = rng.normal([5, -1, 0], 0.05, (6, 3))  # ~0.077 cosine distance apart
+    emb = np.concatenate([a, b])
+    tight = agglomerative_cluster(emb, threshold=0.01)
+    loose = agglomerative_cluster(emb, threshold=0.5)
+    assert len(set(tight)) == 2
+    assert len(set(loose)) == 1
+
+
+def test_cluster_constraints(rng):
+    a = rng.normal([5, 0, 0], 0.05, (6, 3))
+    b = rng.normal([0, 5, 0], 0.05, (6, 3))
+    emb = np.concatenate([a, b])
+    one = agglomerative_cluster(emb, threshold=0.1, max_clusters=1)
+    assert len(set(one)) == 1
+    many = agglomerative_cluster(emb, threshold=1.9, min_clusters=2)
+    assert len(set(many)) >= 2
+
+
+def test_cluster_edge_cases():
+    assert agglomerative_cluster(np.zeros((0, 4))).shape == (0,)
+    assert agglomerative_cluster(np.ones((1, 4))).tolist() == [0]
+
+
+def test_relabel_by_first_appearance():
+    labels = np.array([2, 2, 0, 1, 0])
+    order = np.array([0, 1, 2, 3, 4])
+    out = relabel_by_first_appearance(labels, order)
+    assert out.tolist() == [0, 0, 1, 2, 1]
+
+
+# ---------------------------------------------------------------------------
+# Nets
+# ---------------------------------------------------------------------------
+
+
+def test_segmentation_net_shapes():
+    import jax.numpy as jnp
+
+    from whisper_aries_tpu.models.diarize_nets import (
+        SegDims,
+        init_segmentation,
+        powerset_to_multilabel,
+        segmentation_forward,
+    )
+
+    dims = SegDims()
+    params = init_segmentation(dims)
+    mel = jnp.zeros((2, 80, 200))
+    lp = segmentation_forward(params, mel, dims)
+    assert lp.shape == (2, 100, dims.n_classes)
+    probs = np.exp(np.asarray(lp))
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-4)
+    ml = powerset_to_multilabel(np.asarray(lp))
+    assert ml.shape == (2, 100, 3)
+    assert (ml >= 0).all() and (ml <= 1).all()
+
+
+def test_embedding_net_shapes_and_norm():
+    import jax.numpy as jnp
+
+    from whisper_aries_tpu.models.diarize_nets import (
+        embedding_forward,
+        init_embedding,
+    )
+
+    params = init_embedding()
+    mel = jnp.asarray(np.random.default_rng(0).standard_normal((3, 80, 200)),
+                      jnp.float32)
+    emb = np.asarray(embedding_forward(params, mel))
+    assert emb.shape == (3, 192)
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end (classical fallback mode)
+# ---------------------------------------------------------------------------
+
+
+def synth_speaker(f0, formant, spans, total_s, seed):
+    """Cheap 'voice': harmonic stack at f0 with a formant emphasis."""
+    rng = np.random.default_rng(seed)
+    n = int(total_s * SR)
+    t = np.arange(n) / SR
+    x = 0.002 * rng.standard_normal(n).astype(np.float32)
+    for s, e in spans:
+        m = (t >= s) & (t < e)
+        tm = t[m]
+        v = sum(
+            (1.0 / (1 + abs(k * f0 - formant) / 300.0))
+            * np.sin(2 * np.pi * k * f0 * tm + k)
+            for k in range(1, 12)
+        )
+        env = 0.55 + 0.45 * np.sin(2 * np.pi * 3.1 * tm + seed)
+        x[m] += (0.25 * v / 3.0 * env).astype(np.float32)
+    return x
+
+
+def test_diarization_two_speakers():
+    a = synth_speaker(110, 500, [(0.5, 4.0), (8.0, 11.5)], 16.0, seed=1)
+    b = synth_speaker(280, 2400, [(4.5, 7.5), (12.0, 15.5)], 16.0, seed=2)
+    wav = a + b
+    pipe = DiarizationPipeline(clustering_threshold=0.7)
+    turns = pipe(wav)
+    assert turns, "no turns detected"
+    speakers = {t["speaker"] for t in turns}
+    assert speakers == {"SPEAKER_00", "SPEAKER_01"}
+
+    def speaker_at(tm):
+        for t in turns:
+            if t["start"] <= tm <= t["end"]:
+                return t["speaker"]
+        return None
+
+    # first voice appears first -> SPEAKER_00
+    assert speaker_at(2.0) == "SPEAKER_00"
+    assert speaker_at(6.0) == "SPEAKER_01"
+    assert speaker_at(9.5) == "SPEAKER_00"
+    assert speaker_at(13.5) == "SPEAKER_01"
+
+
+def test_diarization_num_speakers_constraint():
+    a = synth_speaker(110, 500, [(0.5, 3.0)], 8.0, seed=1)
+    b = synth_speaker(280, 2400, [(4.0, 7.0)], 8.0, seed=2)
+    pipe = DiarizationPipeline()
+    turns = pipe(a + b, num_speakers=1)
+    assert {t["speaker"] for t in turns} == {"SPEAKER_00"}
+
+
+def test_diarization_silence():
+    x = 0.001 * np.random.default_rng(0).standard_normal(SR * 4).astype(np.float32)
+    assert DiarizationPipeline()(x) == []
+
+
+def test_dedupe():
+    turns = [
+        {"start": 1.0, "end": 2.0, "speaker": "SPEAKER_00"},
+        {"start": 1.0, "end": 2.0, "speaker": "SPEAKER_00"},
+        {"start": 2.0, "end": 3.0, "speaker": "SPEAKER_01"},
+    ]
+    assert len(DiarizationPipeline.dedupe(turns)) == 2

@@ -51,7 +51,9 @@ def parse_window_tokens(
 
     def flush(end_time: float):
         nonlocal cur_tokens, cur_start
-        if cur_tokens and cur_start is not None:
+        if cur_tokens and cur_start is not None and cur_start < window_duration:
+            # starts at/after the window's real end live in the zero-padded
+            # tail of the 30 s buffer — there is no audio there; drop them.
             text = tokenizer.decode(cur_tokens).strip()
             if text:
                 start_abs = window_start + cur_start

