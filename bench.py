@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""Headline benchmark: Whisper large-v3 transcription throughput per chip.
+
+Measures steady-state RTFx — audio-seconds transcribed per wall-second —
+for the full compute path (log-mel -> encoder -> KV-cached beam-search
+decode, beam=5) on a batch of 30 s windows, matching the BASELINE.json
+metric "audio-hours/hour/chip (RTFx) at large-v3 beam=5".
+
+Decode length is fixed at 100 tokens/window (typical dense speech: ~2.5
+words/s x 30 s x ~1.3 tokens/word) so the number is comparable across runs
+and does not depend on what random/real weights emit. Weights come from a
+local checkpoint when available, else random init — identical FLOPs either
+way.
+
+Prints exactly ONE JSON line on stdout:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+vs_baseline is measured against the reference's best claimed speed
+(~10x real-time on its RTX-3050-class GPU setup, reference README.md:122).
+
+Env knobs: ARIES_BENCH_BATCH (windows per step, default 8),
+ARIES_BENCH_TOKENS (decode length, default 100), ARIES_BENCH_BEAM
+(default 5), ARIES_BENCH_MODEL (default large-v3; "tiny-cpu" runs a scaled
+model for CPU smoke runs), ARIES_BENCH_REPS (timed reps, default 3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from whisper_aries_tpu.audio.mel import log_mel_spectrogram
+    from whisper_aries_tpu.decoding import generate as G
+    from whisper_aries_tpu.models import whisper as W
+    from whisper_aries_tpu.models.loader import resolve_model_dir, load_model
+
+    backend = jax.default_backend()
+    model_name = os.environ.get("ARIES_BENCH_MODEL", "large-v3")
+    batch = int(os.environ.get("ARIES_BENCH_BATCH", "20"))
+    n_tokens = int(os.environ.get("ARIES_BENCH_TOKENS", "100"))
+    beam = int(os.environ.get("ARIES_BENCH_BEAM", "5"))
+    reps = int(os.environ.get("ARIES_BENCH_REPS", "3"))
+
+    if model_name == "tiny-cpu" or (backend == "cpu" and
+                                    "ARIES_BENCH_MODEL" not in os.environ):
+        dims = W.WhisperDims(80, 1500, 384, 6, 4, 51865, 448, 384, 6, 4)
+        batch = min(batch, 2)
+        n_tokens = min(n_tokens, 16)
+        dtype = jnp.float32
+        params = W.init_params(dims, dtype=dtype)
+        label = "tiny-cpu-smoke"
+        log(f"CPU smoke mode: dims=tiny batch={batch} tokens={n_tokens}")
+    else:
+        dtype = jnp.bfloat16 if backend != "cpu" else jnp.float32
+        if resolve_model_dir(model_name) is not None:
+            params, dims, _ = load_model(model_name, dtype=dtype)
+            label = model_name
+        else:
+            dims = W.PRESETS[model_name]
+            params = W.init_params(dims, dtype=dtype)
+            label = f"{model_name}(random-weights)"
+        log(f"model={label} backend={backend} batch={batch} "
+            f"beam={beam} tokens={n_tokens} dtype={dtype.__name__}")
+
+    # Whisper large-v3-layout special ids (values only gate masks; the
+    # timestamp grammar costs the same either way).
+    sp_langs = max(1, dims.n_vocab - 51766)
+    base = dims.n_vocab - sp_langs - 1509
+    ids = G.DecodeSpecialIds(
+        eot=base, sot=base + 1, no_speech=base + sp_langs + 6,
+        no_timestamps=base + sp_langs + 7,
+        timestamp_begin=base + sp_langs + 8, blank=220, n_vocab=dims.n_vocab,
+    )
+    suppress = jnp.zeros((dims.n_vocab,), jnp.float32)
+    prompt = np.asarray(
+        [[ids.sot, ids.sot + 1, base + sp_langs + 3]], np.int32
+    ).repeat(batch, axis=0)  # sot, lang, transcribe
+
+    rng = np.random.default_rng(0)
+    audio = (0.1 * rng.standard_normal((batch, 480_000))).astype(np.float32)
+    audio_j = jnp.asarray(audio)
+    prompt_j = jnp.asarray(prompt)
+
+    def step():
+        mel = log_mel_spectrogram(audio_j, n_mels=dims.n_mels)
+        xa = W.encode(params, mel.astype(dtype), dims)
+        out = G.beam_search_decode(
+            params, xa, prompt_j, dims, ids, suppress, jnp.int32(0),
+            beam_size=beam, sample_len=n_tokens, with_timestamps=True,
+        )
+        return out["tokens"]
+
+    log("compiling + warmup...")
+    while True:
+        try:
+            t0 = time.time()
+            jax.block_until_ready(step())
+            log(f"warmup (incl. compile): {time.time() - t0:.1f}s")
+            break
+        except Exception as e:
+            if "hbm" not in str(e).lower() or batch <= 2:
+                raise
+            batch = max(2, batch // 2)
+            log(f"HBM OOM — retrying with batch={batch}")
+            audio_j = jnp.asarray(audio[:batch])
+            prompt_j = jnp.asarray(prompt[:batch])
+
+    times = []
+    for i in range(reps):
+        t0 = time.time()
+        jax.block_until_ready(step())
+        dt = time.time() - t0
+        times.append(dt)
+        log(f"rep {i}: {dt:.3f}s -> {batch * 30.0 / dt:.1f}x realtime")
+
+    best = min(times)
+    rtfx = batch * 30.0 / best
+    baseline_rtfx = 10.0  # reference's best claim (README.md:122, GPU mode)
+
+    result = {
+        "metric": (
+            f"whisper-{label} transcription throughput per chip "
+            f"(30s windows, beam={beam}, {n_tokens} tokens/window, "
+            f"batch={batch}, backend={backend})"
+        ),
+        "value": round(rtfx, 2),
+        "unit": "x realtime (audio-sec/wall-sec)",
+        "vs_baseline": round(rtfx / baseline_rtfx, 2),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

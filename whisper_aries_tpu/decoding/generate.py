@@ -322,9 +322,10 @@ def beam_search_decode(
     L = P + sample_len
     V = ids.n_vocab
 
-    # Expand audio state per beam: (B*K, Ta, D)
-    xa_k = jnp.repeat(xa, K, axis=0)
-    cross_kv = W.precompute_cross_kv(params, xa_k, dims)
+    # Cross K/V stay at batch B and are SHARED by the K beams of each window
+    # (decoder_step's grouped cross-attention) — replicating them per beam
+    # would cost K x the dominant HBM buffer for zero benefit.
+    cross_kv = W.precompute_cross_kv(params, xa, dims)
     cache = W.init_kv_cache(dims, B * K, dtype=xa.dtype, max_len=L)
 
     prompt_k = jnp.repeat(prompt, K, axis=0)
