@@ -73,6 +73,14 @@ def main() -> int:
         log(f"model={label} backend={backend} batch={batch} "
             f"beam={beam} tokens={n_tokens} dtype={dtype.__name__}")
 
+    compute = os.environ.get("ARIES_BENCH_COMPUTE", "bf16")
+    if compute == "int8":
+        from whisper_aries_tpu.ops.quant import quantize_model_params
+
+        params = quantize_model_params(params)
+        label += "-int8"
+        log("quantized dense layers to int8")
+
     # Whisper large-v3-layout special ids (values only gate masks; the
     # timestamp grammar costs the same either way).
     sp_langs = max(1, dims.n_vocab - 51766)

@@ -1,0 +1,127 @@
+"""int8 quantization tests: scale math, matmul accuracy, Pallas kernel
+equivalence (interpret mode on CPU), model-tree conversion, logits parity."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from whisper_aries_tpu.models import whisper as W
+from whisper_aries_tpu.models.layers import dense
+from whisper_aries_tpu.ops.quant import (
+    _quant_matmul_pallas,
+    _quant_matmul_xla,
+    dequantize_int8,
+    quant_matmul,
+    quantize_int8,
+    quantize_model_params,
+)
+
+
+def test_quantize_roundtrip_error():
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((256, 128)).astype(np.float32)
+    q, s = quantize_int8(w)
+    assert q.dtype == jnp.int8 and s.shape == (128,)
+    back = np.asarray(dequantize_int8(q, s))
+    # per-channel absmax scaling: error bounded by scale/2 per element
+    col_max = np.abs(w).max(axis=0)
+    assert (np.abs(back - w) <= col_max[None, :] / 127.0 * 0.51 + 1e-7).all()
+
+
+def test_quantize_stacked_layers():
+    rng = np.random.default_rng(1)
+    w = rng.standard_normal((3, 64, 32)).astype(np.float32) * \
+        np.array([1.0, 10.0, 0.1])[:, None, None]
+    q, s = quantize_int8(w)
+    assert q.shape == (3, 64, 32) and s.shape == (3, 32)
+    back = np.asarray(dequantize_int8(q, s))
+    rel = np.abs(back - w).max(axis=(1,)) / (np.abs(w).max(axis=(1,)) + 1e-9)
+    assert rel.max() < 0.01
+
+
+def test_quant_matmul_close_to_f32():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((4, 256)).astype(np.float32))
+    w = rng.standard_normal((256, 128)).astype(np.float32)
+    q, s = quantize_int8(w)
+    got = np.asarray(quant_matmul(x, q, s))
+    want = np.asarray(x) @ w
+    denom = np.abs(want).max() + 1e-9
+    assert np.abs(got - want).max() / denom < 0.02
+
+
+def test_pallas_kernel_matches_xla_fallback():
+    rng = np.random.default_rng(3)
+    # deliberately awkward sizes to exercise padding
+    x = jnp.asarray(rng.standard_normal((5, 300)).astype(np.float32))
+    w = rng.standard_normal((300, 130)).astype(np.float32)
+    q, s = quantize_int8(w)
+    want = np.asarray(_quant_matmul_xla(x, q, s))
+    got = np.asarray(_quant_matmul_pallas(x, q, s, block_n=128, block_k=128,
+                                          interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+def test_dense_dispatches_on_quantized_params():
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((2, 64)).astype(np.float32))
+    w = rng.standard_normal((64, 32)).astype(np.float32)
+    b = rng.standard_normal(32).astype(np.float32)
+    q, s = quantize_int8(w)
+    full = np.asarray(dense({"w": jnp.asarray(w), "b": jnp.asarray(b)}, x))
+    quant = np.asarray(dense({"q": q, "s": s, "b": jnp.asarray(b)}, x))
+    assert np.abs(full - quant).max() / (np.abs(full).max() + 1e-9) < 0.02
+
+
+def test_model_quantization_logits_parity():
+    """int8-quantized Whisper must produce near-identical logits/argmax."""
+    dims = W.WhisperDims(
+        n_mels=80, n_audio_ctx=60, n_audio_state=64, n_audio_head=2,
+        n_audio_layer=2, n_vocab=128, n_text_ctx=24, n_text_state=64,
+        n_text_head=2, n_text_layer=2,
+    )
+    params = W.init_params(dims, key=jax.random.PRNGKey(5))
+    qparams = quantize_model_params(params)
+    # quantized blocks have int8 leaves
+    assert qparams["decoder"]["blocks"]["attn"]["q"]["q"].dtype == jnp.int8
+    assert qparams["decoder"]["blocks"]["mlp"]["fc1"]["q"].shape[0] == 2
+    # embeddings stay float
+    assert qparams["decoder"]["tok_emb"].dtype == params["decoder"]["tok_emb"].dtype
+
+    rng = np.random.default_rng(6)
+    mel = jnp.asarray(rng.standard_normal((1, 80, 120)).astype(np.float32))
+    toks = jnp.asarray(rng.integers(0, 128, (1, 6)).astype(np.int32))
+    full = np.asarray(W.decoder_forward(params, toks, W.encode(params, mel, dims), dims))
+    quant = np.asarray(W.decoder_forward(qparams, toks, W.encode(qparams, mel, dims), dims))
+    assert full.shape == quant.shape
+    scale = np.abs(full).max()
+    assert np.abs(full - quant).max() / scale < 0.05
+    agree = (full.argmax(-1) == quant.argmax(-1)).mean()
+    assert agree >= 0.8
+
+
+def test_quantized_decode_runs():
+    """KV-cached decode must work with quantized params end to end."""
+    from whisper_aries_tpu.decoding import generate as G
+
+    dims = W.WhisperDims(
+        n_mels=80, n_audio_ctx=60, n_audio_state=64, n_audio_head=2,
+        n_audio_layer=2, n_vocab=128, n_text_ctx=24, n_text_state=64,
+        n_text_head=2, n_text_layer=2,
+    )
+    qparams = quantize_model_params(W.init_params(dims))
+    rng = np.random.default_rng(7)
+    mel = jnp.asarray(rng.standard_normal((2, 80, 120)).astype(np.float32))
+    xa = W.encode(qparams, mel, dims)
+    ids = G.DecodeSpecialIds(
+        eot=1, sot=2, no_speech=3, no_timestamps=4, timestamp_begin=120,
+        blank=5, n_vocab=128, max_initial_timestamp_index=5,
+    )
+    out = G.greedy_decode(
+        qparams, xa, jnp.full((2, 1), 2, jnp.int32), dims, ids,
+        jnp.zeros((128,)), jnp.int32(0), jnp.float32(0.0),
+        jax.random.PRNGKey(0), sample_len=6,
+    )
+    assert np.asarray(out["tokens"]).shape == (2, 7)

@@ -130,6 +130,10 @@ class AriesTranscriber:
                 model_size, cache_dir=cache_dir, dtype=dtype,
                 allow_random=allow_random,
             )
+        if compute_type == "int8":
+            from whisper_aries_tpu.ops.quant import quantize_model_params
+
+            self.params = quantize_model_params(self.params)
         self.tokenizer = _tokenizer if _tokenizer is not None else self._load_tokenizer()
         self.ids = G.DecodeSpecialIds.from_tokenizer(self.tokenizer)
 
@@ -254,6 +258,7 @@ class AriesTranscriber:
         """Transcribe one file end to end; returns the result dict and writes
         any requested output formats."""
         t0 = time.time()
+        self.last_monitor = None
         pre = AudioPreloader(audio_path)
         duration = pre.duration
         windows = self._plan(pre.audio, duration, vad_filter, vad_parameters)
@@ -321,6 +326,10 @@ class AriesTranscriber:
             "processing_time": wall,
             "real_time_factor": rtf,
             "num_windows": len(windows),
+            "performance": (
+                self.last_monitor.final_report()
+                if getattr(self, "last_monitor", None) else None
+            ),
             "metadata": {
                 "audio_file": audio_path,
                 "model": self.model_size,
@@ -341,12 +350,19 @@ class AriesTranscriber:
         length_penalty, sample_len, cr_thresh, lp_thresh, ns_thresh,
         progress_callback=None,
     ) -> List[Dict[str, Any]]:
+        from whisper_aries_tpu.utils.perf import PerformanceMonitor
+
         B = self.batch_size
         N = len(windows)
         all_segments: List[Dict[str, Any]] = []
         n_batches = (N + B - 1) // B
+        monitor = PerformanceMonitor(
+            total_audio_s=sum(w.duration for w in windows)
+        )
+        self.last_monitor = monitor
 
         for bi in range(n_batches):
+            t_batch = time.time()
             sl = slice(bi * B, min(N, (bi + 1) * B))
             wb = windows[sl]
             chunk, n_real = pad_to_multiple(batch_np[sl], B)
@@ -380,6 +396,11 @@ class AriesTranscriber:
                         1, int(np.prod(self.mesh.devices.shape))
                     )
                 all_segments.extend(segs)
+            monitor.record(
+                bi, sum(w.duration for w in wb), time.time() - t_batch,
+                device=bi % max(1, int(np.prod(self.mesh.devices.shape))),
+                kind="batch",
+            )
             if progress_callback:
                 progress_callback(min(N, (bi + 1) * B), N)
 
