@@ -127,3 +127,26 @@ def test_silence_yields_no_segments(tiny_engine, tmp_path):
     )
     assert res["num_windows"] == 0
     assert res["segments"] == []
+
+
+def test_fixed_chunking_mode(tiny_engine, speech_wav):
+    res = tiny_engine.transcribe_file(
+        speech_wav, language="en", output_formats=(), beam_size=1,
+        temperature=(0.0,), max_new_tokens=8, chunking_mode="fixed",
+        overlap_strategy="drop",
+    )
+    assert res["success"]
+    assert res["num_windows"] == 1  # 20s file, 3-minute chunks -> 1 window
+    # with a 30s window per chunk all segments carry chunk_id 0
+    assert all(s["chunk_id"] == 0 for s in res["segments"])
+
+
+def test_condition_on_previous_text_mode(tiny_engine, speech_wav):
+    res = tiny_engine.transcribe_file(
+        speech_wav, language="en", output_formats=(), beam_size=1,
+        temperature=(0.0,), max_new_tokens=8,
+        condition_on_previous_text=True,
+    )
+    assert res["success"]
+    for s in res["segments"]:
+        assert s["start"] <= s["end"]

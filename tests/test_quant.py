@@ -58,10 +58,18 @@ def test_pallas_kernel_matches_xla_fallback():
     x = jnp.asarray(rng.standard_normal((5, 300)).astype(np.float32))
     w = rng.standard_normal((300, 130)).astype(np.float32)
     q, s = quantize_int8(w)
-    want = np.asarray(_quant_matmul_xla(x, q, s))
+    # the kernel computes in bf16 (full-rate MXU path) — compare against the
+    # same-precision reference
+    wq = (q.astype(jnp.float32) * s[None, :]).astype(jnp.bfloat16)
+    want = np.asarray(jnp.dot(x.astype(jnp.bfloat16), wq,
+                              preferred_element_type=jnp.float32))
     got = np.asarray(_quant_matmul_pallas(x, q, s, block_n=128, block_k=128,
                                           interpret=True))
-    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+    scale = np.abs(want).max() + 1e-9
+    assert np.abs(got - want).max() / scale < 0.02
+    # and both stay close to the f32 ideal
+    ideal = np.asarray(_quant_matmul_xla(x, q, s))
+    assert np.abs(got - ideal).max() / scale < 0.03
 
 
 def test_dense_dispatches_on_quantized_params():

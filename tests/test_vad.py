@@ -137,3 +137,67 @@ def test_windows_to_batch_shapes():
     assert batch[1, 0] == audio[SR * 30]
     # zero padding after the short window
     assert batch[1, SR * 10 :].max() == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Learned VAD net
+# ---------------------------------------------------------------------------
+
+
+def test_vad_net_shapes_and_range():
+    import jax.numpy as jnp
+
+    from whisper_aries_tpu.models.vad_net import (
+        VadDims,
+        init_vad,
+        make_nn_speech_scorer,
+        vad_forward,
+    )
+
+    dims = VadDims()
+    params = init_vad(dims)
+    audio = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 512 * 20)), jnp.float32
+    )
+    probs = np.asarray(vad_forward(params, audio, dims))
+    assert probs.shape == (2, 20)
+    assert (probs >= 0).all() and (probs <= 1).all()
+
+    scorer = make_nn_speech_scorer(params, dims)
+    p = scorer(np.zeros(512 * 7 + 100, np.float32))
+    assert p.shape == (7,)
+    assert scorer(np.zeros(10, np.float32)).shape == (0,)
+
+
+def test_vad_net_save_load_roundtrip(tmp_path):
+    import jax.numpy as jnp
+    from safetensors.numpy import save_file
+
+    from whisper_aries_tpu.models.vad_net import (
+        init_vad,
+        load_vad_params,
+        vad_forward,
+    )
+
+    params = init_vad()
+    flat = {}
+    for i, leaf in enumerate(params["stem"]):
+        flat[f"stem.{i}.w"] = np.asarray(leaf["w"])
+        flat[f"stem.{i}.b"] = np.asarray(leaf["b"])
+    for i, leaf in enumerate(params["ctx"]):
+        flat[f"ctx.{i}.w"] = np.asarray(leaf["w"])
+        flat[f"ctx.{i}.b"] = np.asarray(leaf["b"])
+    flat["head.w"] = np.asarray(params["head"]["w"])
+    flat["head.b"] = np.asarray(params["head"]["b"])
+    save_file(flat, str(tmp_path / "vad.safetensors"))
+
+    loaded = load_vad_params(str(tmp_path))
+    assert loaded is not None
+    audio = jnp.asarray(np.random.default_rng(1).standard_normal((1, 512 * 5)),
+                        jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(vad_forward(params, audio)),
+        np.asarray(vad_forward(loaded, audio)),
+        atol=1e-6,
+    )
+    assert load_vad_params(str(tmp_path / "nope")) is None

@@ -261,6 +261,18 @@ def load_config(
     return cfg
 
 
+def write_default_config(path: str = "aries_config.json",
+                         cfg: Optional[AriesConfig] = None) -> str:
+    """Write (and return the path of) a JSON config file with current/default
+    values — the reference auto-writes whisper_config.json defaults
+    (complete_fixed_whisper.py:611-636)."""
+    cfg = cfg or AriesConfig()
+    p = Path(path)
+    if not p.exists():
+        p.write_text(json.dumps(cfg.to_dict(), indent=2), encoding="utf-8")
+    return str(p)
+
+
 def print_config(cfg: AriesConfig) -> str:
     """Human-readable dump (reference: config.py:41 print_config)."""
     lines = ["AriesConfig:"]

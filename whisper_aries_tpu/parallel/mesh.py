@@ -76,3 +76,48 @@ def batch_sharding(mesh: Mesh, ndim: int, axis: str = "data") -> NamedSharding:
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def auto_windows_per_device(
+    model_name: str = "large-v3",
+    beam_size: int = 5,
+    hbm_bytes: Optional[int] = None,
+    reserve_fraction: float = 0.12,
+) -> int:
+    """Derive the per-device window batch from available HBM.
+
+    TPU-native replacement for the reference's VRAM-based worker heuristics
+    (final_optimized_transcriber.py:219-240, complete_fixed_whisper.py:
+    638-678). Budget model per window (large-v3 bf16):
+      cross-K/V  ~ 2 * layers * heads * 1500 * d_head * 2B  (~491 MB)
+      self-cache ~ 2 * layers * beam * heads * 328 * d_head * 2B (~tens MB)
+    plus ~2x params resident. Clamped to [1, 32].
+    """
+    from whisper_aries_tpu.models.whisper import PRESETS
+
+    dims = PRESETS.get(model_name, PRESETS["large-v3"])
+    if hbm_bytes is None:
+        try:
+            import jax
+
+            stats = jax.devices()[0].memory_stats() or {}
+            hbm_bytes = stats.get("bytes_limit")
+        except Exception:
+            hbm_bytes = None
+    if not hbm_bytes:
+        hbm_bytes = 16 * 1024**3  # v5e default
+
+    dh = dims.n_text_state // dims.n_text_head
+    n_params = (
+        dims.n_audio_layer * 12 * dims.n_audio_state**2
+        + dims.n_text_layer * 16 * dims.n_text_state**2
+        + dims.n_vocab * dims.n_text_state
+    )
+    params_bytes = 2 * n_params
+    per_window = (
+        2 * dims.n_text_layer * dims.n_text_head * dims.n_audio_ctx * dh * 2
+        + 2 * dims.n_text_layer * beam_size * dims.n_text_head * 328 * dh * 2
+        + dims.n_audio_ctx * dims.n_audio_state * 4 * 4  # encoder activations
+    )
+    budget = hbm_bytes * (1 - reserve_fraction) - 2 * params_bytes
+    return int(np.clip(budget // max(per_window, 1), 1, 32))

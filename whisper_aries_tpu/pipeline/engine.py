@@ -172,7 +172,24 @@ class AriesTranscriber:
     # ------------------------------------------------------------------
 
     def _plan(self, audio: np.ndarray, duration: float, vad_filter: bool,
-              vad_parameters: Optional[dict]) -> List[Window]:
+              vad_parameters: Optional[dict],
+              chunking_mode: str = "vad") -> List[Window]:
+        if chunking_mode == "fixed":
+            # reference-compatible coarse chunks with overlap
+            # (final_optimized_transcriber.py:422-426), each tiled into 30 s
+            # windows carrying the chunk_id for downstream reconciliation.
+            chunks = plan_chunks(
+                duration, self.chunk_length_minutes, self.overlap_seconds
+            )
+            windows: List[Window] = []
+            for c in chunks:
+                t = c.start
+                while t < c.end - 1e-6:
+                    windows.append(
+                        Window(t, min(c.end, t + 30.0), chunk_id=c.chunk_id)
+                    )
+                    t += 30.0
+            return windows
         if vad_filter:
             opts = VadOptions(**(vad_parameters or {}))
             probs = get_speech_probs(audio)
@@ -254,14 +271,28 @@ class AriesTranscriber:
         no_speech_threshold: float = 0.6,
         max_new_tokens: int = 224,
         progress_callback=None,
+        chunking_mode: str = "vad",
+        overlap_strategy: Optional[str] = None,
+        condition_on_previous_text: bool = False,
     ) -> Dict[str, Any]:
         """Transcribe one file end to end; returns the result dict and writes
-        any requested output formats."""
+        any requested output formats.
+
+        ``chunking_mode="fixed"`` reproduces the reference's coarse-chunk plan
+        with overlap; ``overlap_strategy`` ("drop" | "merge") then reconciles
+        duplicate text in overlap regions (final_optimized_transcriber.py:
+        537-556 / complete_fixed_whisper.py:880-902).
+        ``condition_on_previous_text=True`` decodes windows sequentially, each
+        prompted with the previous window's text via <|startofprev|>
+        (faster-whisper semantics; the reference disables it for parallelism,
+        final_optimized_transcriber.py:437).
+        """
         t0 = time.time()
         self.last_monitor = None
         pre = AudioPreloader(audio_path)
         duration = pre.duration
-        windows = self._plan(pre.audio, duration, vad_filter, vad_parameters)
+        windows = self._plan(pre.audio, duration, vad_filter, vad_parameters,
+                             chunking_mode=chunking_mode)
         log.info("planned %d windows for %.1fs audio", len(windows), duration)
 
         beam = beam_size if beam_size is not None else self.config.decode.beam_size
@@ -296,13 +327,31 @@ class AriesTranscriber:
                 prompt_ids = prev + prompt_ids
                 sot_idx = len(prev)
 
-            results = self._transcribe_windows(
-                batch_np, windows, prompt_ids, sot_idx, beam, temps,
-                length_penalty, max_new_tokens,
-                compression_ratio_threshold, log_prob_threshold,
-                no_speech_threshold, progress_callback,
-            )
-            segments = results
+            if condition_on_previous_text:
+                segments = self._transcribe_windows_sequential(
+                    batch_np, windows, prompt_ids, sot_idx, beam, temps,
+                    length_penalty, max_new_tokens,
+                    compression_ratio_threshold, log_prob_threshold,
+                    no_speech_threshold, progress_callback,
+                )
+            else:
+                segments = self._transcribe_windows(
+                    batch_np, windows, prompt_ids, sot_idx, beam, temps,
+                    length_penalty, max_new_tokens,
+                    compression_ratio_threshold, log_prob_threshold,
+                    no_speech_threshold, progress_callback,
+                )
+            if chunking_mode == "fixed":
+                from whisper_aries_tpu.utils.segments import (
+                    merge_overlapping_segments,
+                    remove_overlaps_drop,
+                )
+
+                strategy = overlap_strategy or self.config.chunking.overlap_strategy
+                if strategy == "merge":
+                    segments = merge_overlapping_segments(segments)
+                else:
+                    segments = remove_overlaps_drop(segments)
 
         if word_timestamps and segments:
             try:
@@ -404,6 +453,63 @@ class AriesTranscriber:
             if progress_callback:
                 progress_callback(min(N, (bi + 1) * B), N)
 
+        all_segments.sort(key=lambda s: (s["start"], s["end"]))
+        return all_segments
+
+    def _transcribe_windows_sequential(
+        self, batch_np, windows, prompt_ids, sot_idx, beam, temps,
+        length_penalty, sample_len, cr_thresh, lp_thresh, ns_thresh,
+        progress_callback=None,
+    ) -> List[Dict[str, Any]]:
+        """Window-by-window decode with cross-window text conditioning.
+
+        Each window's prompt becomes <|startofprev|> + previous text tokens
+        + the sot sequence (faster-whisper's condition_on_previous_text).
+        Slower than the batched path — this is the fidelity mode.
+        """
+        sp = self.tokenizer.specials
+        all_segments: List[Dict[str, Any]] = []
+        prev_tokens: List[int] = []
+        for wi, window in enumerate(windows):
+            if prev_tokens:
+                prev = [sp.sot_prev] + prev_tokens[-(223 - len(prompt_ids)):]
+                prompt = prev + list(prompt_ids)
+            else:
+                prompt = list(prompt_ids)
+            mel = log_mel_spectrogram(
+                jnp.asarray(batch_np[wi : wi + 1]), n_mels=self.dims.n_mels
+            )
+            xa = self._encode_batch(mel)
+            out = self._decode_batch(
+                xa, np.asarray(prompt, np.int32)[None], beam, temps[0],
+                sample_len, length_penalty,
+            )
+            segs, quality = self._parse_one(
+                out["tokens"][0], window, len(prompt),
+                float(out["avg_logprob"][0]), float(out["no_speech_prob"][0]),
+                cr_thresh, lp_thresh, ns_thresh,
+            )
+            if quality["is_silence"]:
+                prev_tokens = []
+                continue
+            if quality["needs_fallback"] and len(temps) > 1:
+                segs = self._fallback_window(
+                    batch_np[wi], window, prompt, temps[1:], sample_len,
+                    cr_thresh, lp_thresh, ns_thresh, segs,
+                )
+                # conditioning resets after a fallback (reference behaviour)
+                prev_tokens = []
+            else:
+                prev_tokens = [
+                    t for s in segs for t in s.get("tokens", [])
+                    if t < sp.eot
+                ]
+            for s in segs:
+                s["chunk_id"] = window.chunk_id or wi
+                s["worker_id"] = 0
+            all_segments.extend(segs)
+            if progress_callback:
+                progress_callback(wi + 1, len(windows))
         all_segments.sort(key=lambda s: (s["start"], s["end"]))
         return all_segments
 
