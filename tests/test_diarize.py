@@ -171,3 +171,61 @@ def test_dedupe():
         {"start": 2.0, "end": 3.0, "speaker": "SPEAKER_01"},
     ]
     assert len(DiarizationPipeline.dedupe(turns)) == 2
+
+
+# ---------------------------------------------------------------------------
+# Neural segmentation mode
+# ---------------------------------------------------------------------------
+
+
+def test_neural_active_regions_from_synthetic_probs():
+    """Region extraction + window stitching logic with injected seg probs."""
+    pipe = DiarizationPipeline()
+    pipe.seg_params = object()  # enable neural path
+
+    def fake_seg(wav):
+        # two 10s windows (hop 5): speaker 0 active 1-3s, speaker 1 active 6-9s
+        probs = np.zeros((2, 500, 3), np.float32)
+        probs[0, 50:150, 0] = 0.9     # window0: 1.0-3.0s spk0
+        probs[0, 300:450, 1] = 0.9    # window0: 6.0-9.0s spk1
+        probs[1, 50:200, 1] = 0.9     # window1 (starts 5s): 6.0-9.0s spk1
+        return probs, [0.0, 5.0]
+
+    pipe._segmentation_multilabel = fake_seg
+    regions = pipe._neural_active_regions(np.zeros(16000 * 15, np.float32))
+    assert (1.0, 3.0) in regions
+    # the 6-9s activity appears once per window but clipped to unique spans
+    mids = [r for r in regions if 5.5 < r[0] < 9.5]
+    covered = sum(e - s for s, e in mids)
+    assert 2.4 <= covered <= 3.6  # ~3s total, no double counting
+
+
+def test_neural_mode_end_to_end_with_fake_segmentation():
+    """Full neural-mode flow: fake segmentation + real embeddings/cluster."""
+    a = synth_speaker(110, 500, [(1.0, 4.0)], 12.0, seed=1)
+    b = synth_speaker(280, 2400, [(6.0, 9.0)], 12.0, seed=2)
+    wav = a + b
+    pipe = DiarizationPipeline(clustering_threshold=0.7)
+    pipe.seg_params = object()
+
+    def fake_seg(w):
+        probs = np.zeros((2, 500, 3), np.float32)
+        probs[0, 50:200, 0] = 0.9   # 1-4s
+        probs[0, 300:450, 1] = 0.9  # 6-9s
+        probs[1, 50:200, 0] = 0.9   # 6-9s in window1 coords
+        return probs, [0.0, 5.0]
+
+    pipe._segmentation_multilabel = fake_seg
+    turns = pipe(wav)
+    assert turns
+    speakers = {t["speaker"] for t in turns}
+    assert speakers == {"SPEAKER_00", "SPEAKER_01"}
+
+    def speaker_at(tm):
+        for t in turns:
+            if t["start"] <= tm <= t["end"]:
+                return t["speaker"]
+        return None
+
+    assert speaker_at(2.0) == "SPEAKER_00"
+    assert speaker_at(7.5) == "SPEAKER_01"

@@ -92,13 +92,15 @@ class DiarizationPipeline:
         if num_speakers is not None:
             min_speakers = max_speakers = num_speakers
 
-        speech = collect_speech_segments(
-            get_speech_probs(wav), self.vad_options, total_samples=len(wav)
-        )
-        if not speech:
-            return []
-
-        subsegs = self._subsegment(speech)
+        if self.seg_params is not None:
+            subsegs = self._neural_active_regions(wav)
+        else:
+            speech = collect_speech_segments(
+                get_speech_probs(wav), self.vad_options, total_samples=len(wav)
+            )
+            if not speech:
+                return []
+            subsegs = self._subsegment(speech)
         if not subsegs:
             return []
         embeddings = self._embed(wav, subsegs)
@@ -114,6 +116,82 @@ class DiarizationPipeline:
         return self.dedupe(turns)
 
     # ------------------------------------------------------------------
+    # Neural segmentation mode (pyannote-3.1-equivalent flow)
+    # ------------------------------------------------------------------
+
+    SEG_WINDOW_S = 10.0
+    SEG_HOP_S = 5.0
+    SEG_FRAME_S = 0.02  # mel hop 10ms x conv stride 2
+
+    def _segmentation_multilabel(self, wav: np.ndarray) -> Tuple[np.ndarray, List[float]]:
+        """Run the segmentation net over sliding windows.
+
+        Returns (probs (n_windows, frames, K_LOCAL), window_starts)."""
+        import jax.numpy as jnp
+
+        from whisper_aries_tpu.models.diarize_nets import (
+            powerset_to_multilabel,
+            segmentation_forward,
+        )
+
+        sr = SAMPLE_RATE
+        win = int(self.SEG_WINDOW_S * sr)
+        hop = int(self.SEG_HOP_S * sr)
+        starts: List[float] = []
+        mels: List[np.ndarray] = []
+        t = 0
+        while t == 0 or t + 1 < len(wav):
+            seg = wav[t : t + win]
+            if len(seg) < sr // 2 and starts:
+                break
+            seg = np.pad(seg, (0, win - len(seg)))
+            mels.append(log_mel_spectrogram_np(seg))
+            starts.append(t / sr)
+            if t + win >= len(wav):
+                break
+            t += hop
+        batch = np.stack(mels)  # (B, 80, 1000)
+        logp = segmentation_forward(self.seg_params, jnp.asarray(batch))
+        return powerset_to_multilabel(np.asarray(logp)), starts
+
+    def _neural_active_regions(self, wav: np.ndarray,
+                               threshold: float = 0.5,
+                               min_dur_s: float = 0.25
+                               ) -> List[Tuple[float, float]]:
+        """Local speaker-activity intervals from the segmentation net.
+
+        Each (window, local-speaker) activity run becomes one region to be
+        embedded + clustered — the pyannote 3.1 stitching scheme. Regions
+        are clipped to the window's unique half-overlap span so sliding
+        windows don't double-count."""
+        probs, starts = self._segmentation_multilabel(wav)
+        total_s = len(wav) / SAMPLE_RATE
+        regions: List[Tuple[float, float]] = []
+        for b, w_start in enumerate(starts):
+            # unique span: avoid double counting the window overlap
+            lo = w_start if b == 0 else w_start + self.SEG_HOP_S / 2
+            hi = (w_start + self.SEG_WINDOW_S
+                  if b == len(starts) - 1
+                  else w_start + self.SEG_WINDOW_S - self.SEG_HOP_S / 2)
+            for k in range(probs.shape[2]):
+                active = probs[b, :, k] > threshold
+                i = 0
+                F = len(active)
+                while i < F:
+                    if not active[i]:
+                        i += 1
+                        continue
+                    j = i
+                    while j < F and active[j]:
+                        j += 1
+                    s = w_start + i * self.SEG_FRAME_S
+                    e = w_start + j * self.SEG_FRAME_S
+                    s, e = max(s, lo), min(e, hi, total_s)
+                    if e - s >= min_dur_s:
+                        regions.append((round(s, 3), round(e, 3)))
+                    i = j
+        regions.sort()
+        return regions
 
     @staticmethod
     def _subsegment(speech: Sequence[Tuple[float, float]]

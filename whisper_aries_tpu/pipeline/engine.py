@@ -139,7 +139,16 @@ class AriesTranscriber:
 
         self.mesh = mesh if mesh is not None else make_mesh()
         n_dev = int(np.prod(self.mesh.devices.shape))
-        wpd = windows_per_device or num_workers or 8
+        wpd = windows_per_device or num_workers
+        if wpd is None:
+            if jax.default_backend() == "tpu":
+                from whisper_aries_tpu.parallel.mesh import auto_windows_per_device
+
+                wpd = auto_windows_per_device(
+                    model_size, beam_size=self.config.decode.beam_size or 5
+                )
+            else:
+                wpd = 8
         self.batch_size = max(1, n_dev * wpd)
         self.params = replicate_params(self.params, self.mesh)
 
@@ -415,7 +424,12 @@ class AriesTranscriber:
             sl = slice(bi * B, min(N, (bi + 1) * B))
             wb = windows[sl]
             chunk, n_real = pad_to_multiple(batch_np[sl], B)
-            mel = log_mel_spectrogram(jnp.asarray(chunk), n_mels=self.dims.n_mels)
+            # shard the window batch over the mesh's data axis so the whole
+            # mel+encode+decode program runs data-parallel across chips
+            chunk_j = jax.device_put(
+                chunk, batch_sharding(self.mesh, 2)
+            )
+            mel = log_mel_spectrogram(chunk_j, n_mels=self.dims.n_mels)
             xa = self._encode_batch(mel)
             prompt = np.tile(np.asarray(prompt_ids, np.int32), (chunk.shape[0], 1))
 
