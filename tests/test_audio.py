@@ -193,3 +193,16 @@ def test_pad_or_trim():
     assert amel.pad_or_trim(x)[100:].max() == 0
     y = np.ones(amel.N_SAMPLES + 5, np.float32)
     assert len(amel.pad_or_trim(y)) == amel.N_SAMPLES
+
+
+def test_pallas_mel_kernel_interpret(speechy):
+    """Fused Pallas log-mel kernel vs the numpy reference (interpret mode)."""
+    from whisper_aries_tpu.ops.pallas_mel import log_mel_pallas
+
+    got = np.asarray(log_mel_pallas(speechy[None], n_mels=80, interpret=True))[0]
+    want = amel.log_mel_spectrogram_np(speechy, n_mels=80)
+    assert got.shape == want.shape == (80, 3000)
+    diff = np.abs(got - want)
+    strong = want > 0.2
+    assert diff[strong].max() < 5e-2
+    assert diff.mean() < 3e-3

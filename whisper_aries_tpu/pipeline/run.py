@@ -153,7 +153,14 @@ def run_pipeline(
 
         if "html" in formats:
             p = os.path.join(output_dir, f"{base}.html")
-            render_html(aligned, p, metadata)
+            # the HTML renderer's RTL support keys off seg['lang'] == 'ar'
+            # (conversation_renderer.py:29-30) but the reference pipeline
+            # never sets it; inject the detected language here (the JSON
+            # contract keeps its exact 5-key segments).
+            html_segments = aligned
+            if detected_language == "ar":
+                html_segments = [{**s, "lang": "ar"} for s in aligned]
+            render_html(html_segments, p, metadata)
             output_paths["html"] = p
         if "json" in formats:
             p = os.path.join(output_dir, f"{base}.json")
