@@ -130,3 +130,17 @@ def test_languages_table():
     assert LANGUAGES[0] == "en"
     assert LANGUAGES[13] == "ar"
     assert LANGUAGES[-1] == "yue"
+
+
+def test_special_layout_english_only():
+    """.en models reuse GPT-2's <|endoftext|> (50256): everything shifts."""
+    sp = build_special_tokens(50257, 99, english=True)
+    assert sp.eot == 50256
+    assert sp.sot == 50257
+    assert sp.language_tokens["en"] == 50258
+    assert sp.translate == 50357
+    assert sp.transcribe == 50358
+    assert sp.no_speech == 50361
+    assert sp.no_timestamps == 50362
+    assert sp.timestamp_begin == 50363
+    assert sp.n_vocab == 51864

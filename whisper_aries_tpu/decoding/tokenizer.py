@@ -119,9 +119,17 @@ class SpecialTokens:
         return sorted(ids)
 
 
-def build_special_tokens(n_base_vocab: int, num_languages: int) -> SpecialTokens:
-    """Layout specials after the base BPE table (multilingual convention)."""
-    eot = n_base_vocab
+def build_special_tokens(n_base_vocab: int, num_languages: int,
+                         english: bool = False) -> SpecialTokens:
+    """Layout specials after the base BPE table.
+
+    Multilingual models append <|endoftext|> after the base table; the
+    English-only ``.en`` models reuse GPT-2's own <|endoftext|> (the last
+    base id), shifting every special down by one — e.g. tiny.en:
+    eot=50256, sot=50257, transcribe=50358, timestamps from 50363,
+    n_vocab=51864.
+    """
+    eot = n_base_vocab - 1 if english else n_base_vocab
     sot = eot + 1
     lang0 = sot + 1
     langs = {LANGUAGES[i]: lang0 + i for i in range(num_languages)}
