@@ -217,9 +217,16 @@ def greedy_decode(
         )
         logprobs = jax.nn.log_softmax(f, axis=-1)
         key, sub = jax.random.split(state.key)
-        sampled = jax.random.categorical(sub, f / jnp.maximum(temperature, 1e-6))
-        greedy = jnp.argmax(f, axis=-1)
-        next_tok = jnp.where(temperature > 0, sampled, greedy).astype(jnp.int32)
+        # lax.cond so the PRNG bits (a full (B, vocab) threefry draw) are
+        # only generated when actually sampling — at temperature 0 the
+        # categorical would cost more than the decoder step itself.
+        next_tok = jax.lax.cond(
+            temperature > 0,
+            lambda: jax.random.categorical(
+                sub, f / jnp.maximum(temperature, 1e-6)
+            ),
+            lambda: jnp.argmax(f, axis=-1),
+        ).astype(jnp.int32)
         next_tok = jnp.where(state.finished, ids.eot, next_tok)
 
         tok_lp = jnp.take_along_axis(logprobs, next_tok[:, None], axis=1)[:, 0]
