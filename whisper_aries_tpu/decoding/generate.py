@@ -429,7 +429,6 @@ def beam_search_decode(
         return (~jnp.all(state.finished)) & (state.pos < L)
 
     def body(state: BeamState):
-        last_flat = state.tokens[:, :, 0]  # placeholder to satisfy tracing
         tok_in = jax.lax.dynamic_slice(
             state.tokens, (0, 0, state.pos - 1), (B, K, 1)
         ).reshape(B * K, 1)

@@ -128,11 +128,22 @@ def _quant_matmul_xla(x: jax.Array, q: jax.Array, s: jax.Array) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnames=())
 def quant_matmul(x: jax.Array, q: jax.Array, s: jax.Array) -> jax.Array:
-    """(..., K) @ int8 (K, N) with per-N scales -> (..., K->N) in x.dtype."""
+    """(..., K) @ int8 (K, N) with per-N scales -> (..., K->N) in x.dtype.
+
+    ARIES_QUANT_IMPL=xla forces the XLA dequant path even on TPU (useful to
+    compare against the Pallas kernel; XLA may win for tiny decode-M shapes
+    where Pallas fixed overhead dominates).
+    """
+    import os
+
     lead = x.shape[:-1]
     K = x.shape[-1]
     x2 = x.reshape(-1, K)
-    if jax.default_backend() == "tpu":
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        and os.environ.get("ARIES_QUANT_IMPL", "pallas") != "xla"
+    )
+    if use_pallas:
         out = _quant_matmul_pallas(x2, q, s)
     else:
         out = _quant_matmul_xla(x2, q, s)

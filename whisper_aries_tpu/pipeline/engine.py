@@ -269,6 +269,7 @@ class AriesTranscriber:
         output_dir: Optional[str] = None,
         task: str = "transcribe",
         beam_size: Optional[int] = None,
+        best_of: int = 5,
         temperature: Optional[Sequence[float]] = None,
         vad_filter: bool = True,
         vad_parameters: Optional[dict] = None,
@@ -349,6 +350,7 @@ class AriesTranscriber:
                     length_penalty, max_new_tokens,
                     compression_ratio_threshold, log_prob_threshold,
                     no_speech_threshold, progress_callback,
+                    best_of=best_of,
                 )
             if chunking_mode == "fixed":
                 from whisper_aries_tpu.utils.segments import (
@@ -406,7 +408,7 @@ class AriesTranscriber:
     def _transcribe_windows(
         self, batch_np, windows, prompt_ids, sot_idx, beam, temps,
         length_penalty, sample_len, cr_thresh, lp_thresh, ns_thresh,
-        progress_callback=None,
+        progress_callback=None, best_of: int = 5,
     ) -> List[Dict[str, Any]]:
         from whisper_aries_tpu.utils.perf import PerformanceMonitor
 
@@ -452,6 +454,7 @@ class AriesTranscriber:
                     segs = self._fallback_window(
                         chunk[w_i], window, prompt_ids, temps[1:],
                         sample_len, cr_thresh, lp_thresh, ns_thresh, segs,
+                        best_of=best_of,
                     )
                 for s in segs:
                     s["chunk_id"] = sl.start + w_i
@@ -547,22 +550,32 @@ class AriesTranscriber:
 
     def _fallback_window(self, audio_window, window, prompt_ids, temps,
                          sample_len, cr_thresh, lp_thresh, ns_thresh,
-                         best_segs):
+                         best_segs, best_of: int = 5):
         """Re-decode one failing window at increasing temperatures
-        (faster-whisper's fallback ladder; README.md:179 TEMPERATURE)."""
+        (faster-whisper's fallback ladder; README.md:179 TEMPERATURE).
+
+        At each temperature, ``best_of`` independent samples run as one
+        batch (the reference whitelists best_of at
+        final_optimized_transcriber.py:310-319; CTranslate2 samples
+        num_hypotheses and keeps the best by sum logprob).
+        """
+        K = max(1, best_of)
         mel = log_mel_spectrogram(
-            jnp.asarray(audio_window[None]), n_mels=self.dims.n_mels
+            jnp.asarray(np.tile(audio_window[None], (K, 1))),
+            n_mels=self.dims.n_mels,
         )
         xa = self._encode_batch(mel)
-        prompt = np.asarray(prompt_ids, np.int32)[None]
+        prompt = np.tile(np.asarray(prompt_ids, np.int32)[None], (K, 1))
         for t_i, t in enumerate(temps):
             out = self._decode_batch(
                 xa, prompt, beam_size=1, temperature=float(t),
                 sample_len=sample_len, length_penalty=1.0, seed=1234 + t_i,
             )
+            best = int(np.argmax(out["sum_logprob"]))
             segs, q = self._parse_one(
-                out["tokens"][0], window, len(prompt_ids),
-                float(out["avg_logprob"][0]), float(out["no_speech_prob"][0]),
+                out["tokens"][best], window, len(prompt_ids),
+                float(out["avg_logprob"][best]),
+                float(out["no_speech_prob"][best]),
                 cr_thresh, lp_thresh, ns_thresh,
             )
             if q["is_silence"]:
