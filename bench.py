@@ -100,13 +100,27 @@ def main() -> int:
     audio_j = jnp.asarray(audio)
     prompt_j = jnp.asarray(prompt)
 
+    kv_int8 = os.environ.get("ARIES_BENCH_KV", "bf16") == "int8"
+    if kv_int8:
+        log("cross-attention K/V quantized to int8 (Pallas fused attn)")
+
     def step():
         mel = log_mel_spectrogram(audio_j, n_mels=dims.n_mels)
         xa = W.encode(params, mel.astype(dtype), dims)
-        out = G.beam_search_decode(
-            params, xa, prompt_j, dims, ids, suppress, jnp.int32(0),
-            beam_size=beam, sample_len=n_tokens, with_timestamps=True,
-        )
+        if beam > 1:
+            out = G.beam_search_decode(
+                params, xa, prompt_j, dims, ids, suppress, jnp.int32(0),
+                beam_size=beam, sample_len=n_tokens, with_timestamps=True,
+                kv_int8=kv_int8,
+            )
+        else:
+            import jax as _jax
+
+            out = G.greedy_decode(
+                params, xa, prompt_j, dims, ids, suppress, jnp.int32(0),
+                jnp.float32(0.0), _jax.random.PRNGKey(0),
+                sample_len=n_tokens, with_timestamps=True, kv_int8=kv_int8,
+            )
         return out["tokens"]
 
     log("compiling + warmup...")

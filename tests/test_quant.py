@@ -133,3 +133,104 @@ def test_quantized_decode_runs():
         jax.random.PRNGKey(0), sample_len=6,
     )
     assert np.asarray(out["tokens"]).shape == (2, 7)
+
+
+# ---------------------------------------------------------------------------
+# int8 cross-attention K/V
+# ---------------------------------------------------------------------------
+
+
+def test_kv_quantization_roundtrip():
+    from whisper_aries_tpu.ops.pallas_cross_attn import quantize_kv_per_position
+
+    rng = np.random.default_rng(8)
+    k = jnp.asarray(rng.standard_normal((2, 3, 50, 16)).astype(np.float32))
+    k8, ks = quantize_kv_per_position(k)
+    assert k8.shape == (2, 3, 50, 16) and k8.dtype == jnp.int8
+    assert ks.shape == (2, 3, 1, 50)
+    back = np.asarray(k8, np.float32) * np.swapaxes(np.asarray(ks), -1, -2)
+    rel = np.abs(back - np.asarray(k)).max() / np.abs(np.asarray(k)).max()
+    assert rel < 0.01
+
+
+def test_cross_attention_q8_reference_close_to_exact():
+    from whisper_aries_tpu.ops.pallas_cross_attn import (
+        cross_attention_q8_reference,
+        quantize_kv_per_position,
+    )
+
+    rng = np.random.default_rng(9)
+    B, H, G, T, dh = 2, 4, 5, 64, 16
+    q = jnp.asarray(rng.standard_normal((B, H, G, dh)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, H, T, dh)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, H, T, dh)).astype(np.float32))
+    # exact attention
+    logits = np.einsum("bhgd,bhtd->bhgt", np.asarray(q), np.asarray(k)) / np.sqrt(dh)
+    p = np.exp(logits - logits.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    want = np.einsum("bhgt,bhtd->bhgd", p, np.asarray(v))
+
+    k8, ks = quantize_kv_per_position(k)
+    v8, vs = quantize_kv_per_position(v)
+    got = np.asarray(cross_attention_q8_reference(
+        q, k8, ks / np.sqrt(dh), v8, vs
+    ))
+    assert np.abs(got - want).max() / np.abs(want).max() < 0.03
+
+
+def test_cross_attention_q8_kernel_matches_reference():
+    from whisper_aries_tpu.ops.pallas_cross_attn import (
+        cross_attention_q8,
+        cross_attention_q8_reference,
+        quantize_kv_per_position,
+    )
+
+    rng = np.random.default_rng(10)
+    B, H, G, T, dh = 2, 3, 5, 96, 64
+    q = jnp.asarray(rng.standard_normal((B, H, G, dh)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, H, T, dh)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, H, T, dh)).astype(np.float32))
+    k8, ks = quantize_kv_per_position(k)
+    v8, vs = quantize_kv_per_position(v)
+    ks = ks / np.sqrt(dh)
+    want = np.asarray(cross_attention_q8_reference(q, k8, ks, v8, vs))
+    got = np.asarray(cross_attention_q8(q, k8, ks, v8, vs, interpret=True))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+def test_decode_with_kv_int8_close_to_bf16():
+    """Full greedy decode with int8 cross-KV: same tokens on a tiny model."""
+    from whisper_aries_tpu.decoding import generate as G
+
+    dims = W.WhisperDims(
+        n_mels=80, n_audio_ctx=60, n_audio_state=64, n_audio_head=2,
+        n_audio_layer=2, n_vocab=128, n_text_ctx=24, n_text_state=64,
+        n_text_head=2, n_text_layer=2,
+    )
+    params = W.init_params(dims, key=jax.random.PRNGKey(11))
+    rng = np.random.default_rng(11)
+    mel = jnp.asarray(rng.standard_normal((2, 80, 120)).astype(np.float32))
+    xa = W.encode(params, mel, dims)
+    ids = G.DecodeSpecialIds(
+        eot=1, sot=2, no_speech=3, no_timestamps=4, timestamp_begin=120,
+        blank=5, n_vocab=128, max_initial_timestamp_index=5,
+    )
+    kwargs = dict(sample_len=8, with_timestamps=False, suppress_blank=False)
+    full = G.greedy_decode(
+        params, xa, jnp.full((2, 1), 2, jnp.int32), dims, ids,
+        jnp.zeros((128,)), jnp.int32(0), jnp.float32(0.0),
+        jax.random.PRNGKey(0), **kwargs,
+    )
+    q8 = G.greedy_decode(
+        params, xa, jnp.full((2, 1), 2, jnp.int32), dims, ids,
+        jnp.zeros((128,)), jnp.int32(0), jnp.float32(0.0),
+        jax.random.PRNGKey(0), kv_int8=True, **kwargs,
+    )
+    assert np.asarray(full["tokens"]).tolist() == np.asarray(q8["tokens"]).tolist()
+
+    beam = G.beam_search_decode(
+        params, xa, jnp.full((2, 1), 2, jnp.int32), dims, ids,
+        jnp.zeros((128,)), jnp.int32(0), beam_size=3, kv_int8=True,
+        sample_len=8, with_timestamps=False, suppress_blank=False,
+    )
+    assert np.asarray(beam["tokens"]).shape == (2, 9)

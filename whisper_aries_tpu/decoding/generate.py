@@ -151,7 +151,7 @@ def _apply_filters(
 @functools.partial(
     jax.jit,
     static_argnames=("dims", "ids", "sample_len", "with_timestamps",
-                     "prompt_len", "suppress_blank"),
+                     "prompt_len", "suppress_blank", "kv_int8"),
 )
 def greedy_decode(
     params: Dict[str, Any],
@@ -167,15 +167,22 @@ def greedy_decode(
     with_timestamps: bool = True,
     prompt_len: Optional[int] = None,
     suppress_blank: bool = True,
+    kv_int8: bool = False,
 ) -> Dict[str, jax.Array]:
     """Batched greedy/sampled decode with KV cache under lax.while_loop.
+
+    ``kv_int8=True`` stores the cross-attention K/V as int8 with
+    per-position scales and attends through the fused Pallas kernel —
+    halving the dominant decode-step HBM stream (see
+    ops/pallas_cross_attn.py).
 
     Returns dict with tokens (B, P+sample_len), n_sampled (B,), sum_logprob
     (B,), avg_logprob (B,), no_speech_prob (B,).
     """
     B, P = prompt.shape
     L = P + sample_len
-    cross_kv = W.precompute_cross_kv(params, xa, dims)
+    cross_kv = (W.precompute_cross_kv_int8(params, xa, dims) if kv_int8
+                else W.precompute_cross_kv(params, xa, dims))
     cache = W.init_kv_cache(dims, B, dtype=xa.dtype, max_len=L)
 
     # Prefill the prompt.
@@ -299,7 +306,8 @@ class BeamState(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("dims", "ids", "beam_size", "sample_len",
-                     "with_timestamps", "length_penalty", "suppress_blank"),
+                     "with_timestamps", "length_penalty", "suppress_blank",
+                     "kv_int8"),
 )
 def beam_search_decode(
     params: Dict[str, Any],
@@ -314,6 +322,7 @@ def beam_search_decode(
     with_timestamps: bool = True,
     length_penalty: float = 1.0,
     suppress_blank: bool = True,
+    kv_int8: bool = False,
 ) -> Dict[str, jax.Array]:
     """Batched beam search, beams flattened into the batch axis.
 
@@ -331,8 +340,10 @@ def beam_search_decode(
 
     # Cross K/V stay at batch B and are SHARED by the K beams of each window
     # (decoder_step's grouped cross-attention) — replicating them per beam
-    # would cost K x the dominant HBM buffer for zero benefit.
-    cross_kv = W.precompute_cross_kv(params, xa, dims)
+    # would cost K x the dominant HBM buffer for zero benefit. kv_int8
+    # additionally halves the per-step stream (Pallas fused dequant attn).
+    cross_kv = (W.precompute_cross_kv_int8(params, xa, dims) if kv_int8
+                else W.precompute_cross_kv(params, xa, dims))
     cache = W.init_kv_cache(dims, B * K, dtype=xa.dtype, max_len=L)
 
     prompt_k = jnp.repeat(prompt, K, axis=0)

@@ -1,0 +1,107 @@
+"""Pallas cross-attention over int8-quantized K/V.
+
+Autoregressive decode on TPU is bound by HBM streaming, and the single
+largest stream is the cross-attention K/V: at large-v3,
+2 x 32 layers x 20 heads x 1500 positions x 64 dims x 2 B(bf16) ≈ 491 MB
+per window per step — ~10 GB/step at batch 20, over half the decode-step
+roofline. Quantizing K/V to int8 (symmetric per-position scales) halves
+that stream; this kernel dequantises tile-by-tile in VMEM, fused with the
+q·K matmul, softmax, and the probs·V matmul, so the bf16 K/V never exist
+in HBM.
+
+Accuracy: per-position absmax scales bound the relative error of each
+attention logit by ~0.4% (1/255); tests verify the end-to-end attention
+output against the bf16 path.
+
+Layout contract (one decoder layer, one decode position):
+    q:  (B, H, G, dh)   bf16/f32 — G = beams per window (1 for greedy)
+    k8: (B, H, T, dh)   int8
+    ks: (B, H, 1, T)    f32 per-position scales (already includes 1/sqrt(dh))
+    v8: (B, H, T, dh)   int8
+    vs: (B, H, 1, T)    f32
+    -> out (B, H, G, dh) f32
+Grid (B, H): each step streams one head's K/V slabs (2 x T x dh int8 =
+192 KB) through VMEM with Pallas' pipelined block DMA.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def quantize_kv_per_position(k: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """(..., T, dh) -> int8 values + (..., 1, T) f32 scales (absmax/127)."""
+    absmax = jnp.max(jnp.abs(k.astype(jnp.float32)), axis=-1)
+    scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+    q = jnp.clip(
+        jnp.round(k.astype(jnp.float32) / scale[..., None]), -127, 127
+    ).astype(jnp.int8)
+    return q, scale[..., None, :]  # (..., 1, T)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def cross_attention_q8(q: jax.Array, k8: jax.Array, ks: jax.Array,
+                       v8: jax.Array, vs: jax.Array,
+                       interpret: bool = False) -> jax.Array:
+    """Fused attention over int8 K/V. Shapes per the module docstring."""
+    from jax.experimental import pallas as pl
+
+    B, H, G, dh = q.shape
+    T = k8.shape[2]
+
+    def kernel(q_ref, k_ref, ks_ref, v_ref, vs_ref, out_ref):
+        qb = q_ref[0, 0].astype(jnp.float32)  # (G, dh)
+        kf = k_ref[0, 0].astype(jnp.float32)  # (T, dh)
+        raw = jax.lax.dot_general(
+            qb, kf, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (G, T)
+        logits = raw * ks_ref[0, 0]  # scales include 1/sqrt(dh)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        pv = p * vs_ref[0, 0]  # fold V scales into the probs
+        vf = v_ref[0, 0].astype(jnp.float32)  # (T, dh)
+        out_ref[0, 0] = jnp.dot(pv, vf, preferred_element_type=jnp.float32)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, H, G, dh), jnp.float32),
+        grid=(B, H),
+        in_specs=[
+            pl.BlockSpec((1, 1, G, dh), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, T, dh), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, 1, T), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, T, dh), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, 1, T), lambda b, h: (b, h, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, G, dh), lambda b, h: (b, h, 0, 0)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H * G * T * dh * 2,
+            bytes_accessed=B * H * (2 * T * dh + 2 * 4 * T + G * dh * 6),
+            transcendentals=B * H * G * T,
+        ),
+        interpret=interpret,
+    )(q, k8, ks, v8, vs)
+
+
+def cross_attention_q8_auto(q, k8, ks, v8, vs):
+    """Kernel on TPU, XLA reference elsewhere (tests/CPU)."""
+    if jax.default_backend() == "tpu":
+        return cross_attention_q8(q, k8, ks, v8, vs)
+    return cross_attention_q8_reference(q, k8, ks, v8, vs)
+
+
+def cross_attention_q8_reference(q, k8, ks, v8, vs):
+    """XLA reference implementation (used off-TPU and in tests)."""
+    kf = k8.astype(jnp.float32)  # (B, H, T, dh)
+    logits = jnp.einsum("bhgd,bhtd->bhgt", q.astype(jnp.float32), kf)
+    logits = logits * ks  # (B, H, 1, T) broadcasts over G
+    p = jax.nn.softmax(logits, axis=-1)
+    pv = p * vs
+    return jnp.einsum("bhgt,bhtd->bhgd", pv, v8.astype(jnp.float32))
