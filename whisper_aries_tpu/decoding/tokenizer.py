@@ -185,7 +185,7 @@ class WhisperTokenizer:
     """
 
     def __init__(self, vocab: Dict[str, int], merges: List[Tuple[str, str]],
-                 num_languages: Optional[int] = None):
+                 num_languages: Optional[int] = None, english: bool = False):
         self.encoder_map = dict(vocab)
         self.decoder_map = {v: k for k, v in self.encoder_map.items()}
         self.bpe_ranks = {m: i for i, m in enumerate(merges)}
@@ -193,11 +193,9 @@ class WhisperTokenizer:
         self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
         n_base = len(self.encoder_map)
         if num_languages is None:
-            # large-v3-family vocabularies are one language token bigger.
-            num_languages = 100 if n_base + 1609 == 51866 + 0 else 99
-            # fallback heuristics: v3 base is same 50257; distinguish via
-            # explicit arg in from_pretrained (checked against added tokens).
-        self.specials = build_special_tokens(n_base, num_languages)
+            num_languages = 99  # v2-era default; from_pretrained passes exact
+        self.specials = build_special_tokens(n_base, num_languages,
+                                             english=english)
         self._cache: Dict[str, List[str]] = {}
         import regex
 
@@ -208,7 +206,7 @@ class WhisperTokenizer:
     @classmethod
     def from_pretrained(cls, path: str) -> "WhisperTokenizer":
         """Load from a checkpoint directory containing vocab.json+merges.txt
-        (and optionally added_tokens.json/tokenizer_config.json)."""
+        (and optionally config.json/added_tokens.json)."""
         p = Path(path)
         vocab = json.loads((p / "vocab.json").read_text(encoding="utf-8"))
         merges: List[Tuple[str, str]] = []
@@ -221,16 +219,33 @@ class WhisperTokenizer:
         base_vocab = {k: v for k, v in vocab.items()
                       if not (k.startswith("<|") and k.endswith("|>"))}
         num_languages = None
-        added = p / "added_tokens.json"
-        if added.exists():
-            extra = json.loads(added.read_text(encoding="utf-8"))
-            langs = [k for k in extra if k.startswith("<|") and len(k) <= 8
-                     and k[2:-2] in LANGUAGES]
-            if langs:
-                num_languages = len(langs)
+        english = False
+        # Most reliable: the model config's vocab_size determines the layout
+        # exactly (51865=v2/99 langs, 51866=v3/100, 51864=.en English-only).
+        cfg_file = p / "config.json"
+        if cfg_file.exists():
+            try:
+                n_vocab = json.loads(cfg_file.read_text(encoding="utf-8")).get(
+                    "vocab_size"
+                )
+                if n_vocab == 51864:
+                    num_languages, english = 99, True
+                elif n_vocab:
+                    num_languages = n_vocab - 51766
+            except Exception:
+                pass
         if num_languages is None:
-            num_languages = 100 if "<|yue|>" in vocab or (p / "normalizer.json").exists() else 99
-        return cls(base_vocab, merges, num_languages=num_languages)
+            added = p / "added_tokens.json"
+            if added.exists():
+                extra = json.loads(added.read_text(encoding="utf-8"))
+                langs = [k for k in extra if k.startswith("<|") and len(k) <= 8
+                         and k[2:-2] in LANGUAGES]
+                if langs:
+                    num_languages = len(langs)
+        if num_languages is None or not (1 <= num_languages <= len(LANGUAGES)):
+            num_languages = 100 if "<|yue|>" in vocab else 99
+        return cls(base_vocab, merges, num_languages=num_languages,
+                   english=english)
 
     # -- BPE core ------------------------------------------------------------
 

@@ -79,8 +79,13 @@ class DummyTokenizer:
     """Tokenizer stand-in for random-weight runs (perf benchmarks)."""
 
     def __init__(self, n_vocab: int):
-        num_lang = max(1, n_vocab - 51766)
-        self.specials = build_special_tokens(n_vocab - num_lang - 1509, num_lang)
+        if n_vocab == 51864:  # English-only .en layout
+            self.specials = build_special_tokens(50257, 99, english=True)
+        else:
+            num_lang = max(1, n_vocab - 51766)
+            self.specials = build_special_tokens(
+                n_vocab - num_lang - 1509, num_lang
+            )
 
     def decode(self, ids, skip_special=True):
         return " ".join(f"<{int(i)}>" for i in ids)
@@ -167,12 +172,17 @@ class AriesTranscriber:
     def _load_tokenizer(self):
         if self.model_dir is not None and (Path(self.model_dir) / "vocab.json").exists():
             tok = WhisperTokenizer.from_pretrained(str(self.model_dir))
-            # language count must be consistent with the model's vocab
-            expect_langs = self.dims.n_vocab - 51766
-            if tok.specials.num_languages != expect_langs and expect_langs > 0:
-                tok.specials = build_special_tokens(
-                    self.dims.n_vocab - expect_langs - 1509, expect_langs
-                )
+            # the special-token layout must match the model's vocab exactly
+            if tok.specials.n_vocab != self.dims.n_vocab:
+                if self.dims.n_vocab == 51864:  # English-only .en layout
+                    tok.specials = build_special_tokens(50257, 99, english=True)
+                else:
+                    expect_langs = self.dims.n_vocab - 51766
+                    if expect_langs > 0:
+                        tok.specials = build_special_tokens(
+                            self.dims.n_vocab - expect_langs - 1509,
+                            expect_langs,
+                        )
             return tok
         return DummyTokenizer(self.dims.n_vocab)
 
