@@ -81,17 +81,20 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 def auto_windows_per_device(
     model_name: str = "large-v3",
     beam_size: int = 5,
+    sample_len: int = 224,
     hbm_bytes: Optional[int] = None,
-    reserve_fraction: float = 0.12,
 ) -> int:
     """Derive the per-device window batch from available HBM.
 
     TPU-native replacement for the reference's VRAM-based worker heuristics
     (final_optimized_transcriber.py:219-240, complete_fixed_whisper.py:
-    638-678). Budget model per window (large-v3 bf16):
-      cross-K/V  ~ 2 * layers * heads * 1500 * d_head * 2B  (~491 MB)
-      self-cache ~ 2 * layers * beam * heads * 328 * d_head * 2B (~tens MB)
-    plus ~2x params resident. Clamped to [1, 32].
+    638-678). Anchored empirically: large-v3 at beam 5 / 103 cache
+    positions fits 20 windows in a 16 GB v5e chip (measured; the dominant
+    per-window buffers are the bf16 cross-K/V ~491 MB plus the beam
+    self-cache and its reorder transient, which scale with
+    beam * cache_len). The engine additionally retries with a halved batch
+    on an HBM OOM, so this only needs to be a good first guess.
+    Clamped to [1, 32].
     """
     from whisper_aries_tpu.models.whisper import PRESETS
 
@@ -108,16 +111,16 @@ def auto_windows_per_device(
         hbm_bytes = 16 * 1024**3  # v5e default
 
     dh = dims.n_text_state // dims.n_text_head
-    n_params = (
-        dims.n_audio_layer * 12 * dims.n_audio_state**2
-        + dims.n_text_layer * 16 * dims.n_text_state**2
-        + dims.n_vocab * dims.n_text_state
+    cache_len = sample_len + 8
+    # relative cost vs the measured anchor configuration
+    anchor_cost = (
+        2 * 32 * 20 * 1500 * 64 * 2  # large-v3 cross-KV
+        + 2 * 2 * 32 * 5 * 20 * 103 * 64 * 2  # beam self-cache (x2 reorder)
     )
-    params_bytes = 2 * n_params
-    per_window = (
+    cost = (
         2 * dims.n_text_layer * dims.n_text_head * dims.n_audio_ctx * dh * 2
-        + 2 * dims.n_text_layer * beam_size * dims.n_text_head * 328 * dh * 2
-        + dims.n_audio_ctx * dims.n_audio_state * 4 * 4  # encoder activations
+        + 2 * 2 * dims.n_text_layer * beam_size * dims.n_text_head
+        * cache_len * dh * 2
     )
-    budget = hbm_bytes * (1 - reserve_fraction) - 2 * params_bytes
-    return int(np.clip(budget // max(per_window, 1), 1, 32))
+    anchor_windows = 20.0 * (hbm_bytes / (16 * 1024**3))
+    return int(np.clip(anchor_windows * anchor_cost / max(cost, 1), 1, 32))

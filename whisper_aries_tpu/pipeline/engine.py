@@ -150,7 +150,9 @@ class AriesTranscriber:
                 from whisper_aries_tpu.parallel.mesh import auto_windows_per_device
 
                 wpd = auto_windows_per_device(
-                    model_size, beam_size=self.config.decode.beam_size or 5
+                    model_size,
+                    beam_size=self.config.decode.beam_size or 5,
+                    sample_len=self.config.decode.max_new_tokens,
                 )
             else:
                 wpd = 8
@@ -431,7 +433,8 @@ class AriesTranscriber:
         )
         self.last_monitor = monitor
 
-        for bi in range(n_batches):
+        bi = 0
+        while bi * B < N:
             t_batch = time.time()
             sl = slice(bi * B, min(N, (bi + 1) * B))
             wb = windows[sl]
@@ -445,9 +448,22 @@ class AriesTranscriber:
             xa = self._encode_batch(mel)
             prompt = np.tile(np.asarray(prompt_ids, np.int32), (chunk.shape[0], 1))
 
-            out = self._decode_batch(
-                xa, prompt, beam, temps[0], sample_len, length_penalty
-            )
+            try:
+                out = self._decode_batch(
+                    xa, prompt, beam, temps[0], sample_len, length_penalty
+                )
+            except Exception as e:
+                # HBM OOM: halve the window batch and replan (the auto
+                # heuristic is a first guess; the exact budget depends on
+                # beam/sample_len/model — see parallel/mesh.py)
+                if "memory" in str(e).lower() and B > 1:
+                    B = max(1, B // 2)
+                    self.batch_size = B
+                    log.warning("HBM OOM — retrying with batch_size=%d", B)
+                    n_batches = (N + B - 1) // B
+                    bi = (sl.start) // B
+                    continue
+                raise
             # temperature fallback ladder per window
             for w_i in range(n_real):
                 window = wb[w_i]
@@ -479,6 +495,7 @@ class AriesTranscriber:
             )
             if progress_callback:
                 progress_callback(min(N, (bi + 1) * B), N)
+            bi += 1
 
         all_segments.sort(key=lambda s: (s["start"], s["end"]))
         return all_segments
