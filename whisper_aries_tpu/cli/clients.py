@@ -96,7 +96,8 @@ def quick_test(audio_path: str, base_url: str = DEFAULT_BASE,
     if job["status"] != "completed":
         print(f"FAILED: {job.get('error')}")
         return False
-    dest = Path(audio_path).stem + "_api_result.html"
+    dest = str(Path(audio_path).with_name(Path(audio_path).stem
+                                          + "_api_result.html"))
     download_result(up["job_id"], "html", dest, base_url)
     print(f"downloaded: {dest}")
     return True
