@@ -50,3 +50,15 @@ def test_worker_diagnostics():
                            "ERROR": 1}
     lines = d.dump()
     assert len(lines) == 4 and "boom" in lines[-1]
+
+
+def test_profile_trace_smoke(tmp_path):
+    import jax.numpy as jnp
+
+    from whisper_aries_tpu.utils.perf import profile_trace
+
+    with profile_trace(str(tmp_path / "trace")) as d:
+        (jnp.ones((8, 8)) @ jnp.ones((8, 8))).block_until_ready()
+    import os
+
+    assert any(os.scandir(d))

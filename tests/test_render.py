@@ -105,3 +105,21 @@ def test_srt_matches_reference_golden(golden_dir):
                 assert gl == ol
         checked += 1
     assert checked >= 3
+
+
+def test_html_matches_reference_goldens_byte_identical(golden_dir):
+    """Re-render every golden job's JSON through render_html and require
+    byte-identical output to the reference's checked-in HTML."""
+    checked = 0
+    for job in golden_dir.iterdir():
+        if not job.is_dir():
+            continue
+        jsons = list(job.glob("*.json"))
+        htmls = list(job.glob("*.html"))
+        if not jsons or not htmls:
+            continue
+        data = json.loads(jsons[0].read_text(encoding="utf-8"))
+        got = render_html(data["segments"], metadata=data["metadata"])
+        assert got == htmls[0].read_text(encoding="utf-8"), job.name
+        checked += 1
+    assert checked >= 3
