@@ -206,3 +206,60 @@ def test_pallas_mel_kernel_interpret(speechy):
     strong = want > 0.2
     assert diff[strong].max() < 5e-2
     assert diff.mean() < 3e-3
+
+
+# ---------------------------------------------------------------------------
+# Native FLAC decoder
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.skipif(not native_available(), reason="native lib not built")
+@pytest.mark.parametrize("mode,order", [("verbatim", 0), ("fixed", 1),
+                                        ("fixed", 2), ("constant", 0)])
+def test_flac_roundtrip(mode, order):
+    from tests.flac_encoder import encode_flac
+    from whisper_aries_tpu.audio._native import decode_flac_native
+
+    t = np.arange(12000) / 16000
+    if mode == "constant":
+        sig = np.full(7000, 1234, np.int64)
+    else:
+        sig = (np.sin(2 * np.pi * 440 * t) * 20000).astype(np.int64)
+    data = encode_flac([sig], sample_rate=16000, mode=mode, order=order,
+                       block_size=4096)
+    out, sr = decode_flac_native(data)
+    assert sr == 16000 and len(out) == len(sig)
+    np.testing.assert_allclose(out, sig / 32768.0, atol=1e-7)
+
+
+@pytest.mark.skipif(not native_available(), reason="native lib not built")
+def test_flac_stereo_downmix_and_multiframe():
+    from tests.flac_encoder import encode_flac
+    from whisper_aries_tpu.audio._native import decode_flac_native
+
+    t = np.arange(10000) / 16000
+    l = (np.sin(2 * np.pi * 440 * t) * 20000).astype(np.int64)
+    r = (np.cos(2 * np.pi * 300 * t) * 15000).astype(np.int64)
+    data = encode_flac([l, r], mode="fixed", order=2, block_size=2048)
+    out, sr = decode_flac_native(data)
+    np.testing.assert_allclose(out, (l + r) / 2.0 / 32768.0, atol=1e-7)
+
+
+@pytest.mark.skipif(not native_available(), reason="native lib not built")
+def test_flac_load_audio_path(tmp_path):
+    from tests.flac_encoder import encode_flac
+
+    t = np.arange(8000) / 16000
+    sig = (np.sin(2 * np.pi * 440 * t) * 20000).astype(np.int64)
+    p = tmp_path / "tone.flac"
+    p.write_bytes(encode_flac([sig], sample_rate=16000, mode="fixed"))
+    x = adec.load_audio(str(p))
+    np.testing.assert_allclose(x, sig / 32768.0, atol=1e-6)
+
+
+@pytest.mark.skipif(not native_available(), reason="native lib not built")
+def test_flac_rejects_garbage():
+    from whisper_aries_tpu.audio._native import decode_flac_native
+
+    with pytest.raises(ValueError):
+        decode_flac_native(b"definitely not a flac stream")

@@ -144,3 +144,38 @@ def resample_native(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
     finally:
         lib.aries_free(out)
     return arr
+
+
+def decode_flac_native(data: bytes):
+    """Decode FLAC bytes to (mono float32 array, sample_rate) via the native
+    decoder (native/ariesflac.cpp)."""
+    import ctypes as _ct
+
+    import numpy as _np
+
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native ariesaudio library unavailable")
+    if not hasattr(lib, "_flac_configured"):
+        lib.aries_decode_flac.restype = _ct.c_int32
+        lib.aries_decode_flac.argtypes = [
+            _ct.c_char_p,
+            _ct.c_int64,
+            _ct.POINTER(_ct.POINTER(_ct.c_float)),
+            _ct.POINTER(_ct.c_int64),
+            _ct.POINTER(_ct.c_int32),
+        ]
+        lib._flac_configured = True
+    out = _ct.POINTER(_ct.c_float)()
+    out_len = _ct.c_int64()
+    sr = _ct.c_int32()
+    status = lib.aries_decode_flac(
+        data, len(data), _ct.byref(out), _ct.byref(out_len), _ct.byref(sr)
+    )
+    if status != 0:
+        raise ValueError(f"FLAC decode failed: status {status}")
+    try:
+        arr = _np.ctypeslib.as_array(out, shape=(out_len.value,)).copy()
+    finally:
+        lib.aries_free(out)
+    return arr, int(sr.value)

@@ -167,6 +167,19 @@ def load_audio(path: str, sample_rate: int = SAMPLE_RATE) -> np.ndarray:
     ext = p.suffix.lower()
     tmp_path: Optional[str] = None
     try:
+        if ext == ".flac":
+            # native FLAC decoder (native/ariesflac.cpp) — no ffmpeg needed
+            from whisper_aries_tpu.audio import _native
+
+            if _native.native_available():
+                try:
+                    audio, sr = _native.decode_flac_native(p.read_bytes())
+                    if sr != sample_rate:
+                        audio = resample(audio, sr, sample_rate)
+                    return audio
+                except ValueError as e:
+                    raise AudioError(f"FLAC decode failed for {path}: {e}") from e
+            # fall through to ffmpeg extraction below
         if ext != ".wav":
             from whisper_aries_tpu.utils.media import extract_audio_if_needed
             import shutil as _shutil
