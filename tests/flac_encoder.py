@@ -97,6 +97,27 @@ def _encode_subframe(bw: BitWriter, samples: np.ndarray, bps: int,
         bw.write(0, 1)
         for s in samples:
             bw.write_signed(int(s), bps)
+    elif mode == "lpc":
+        # order-2 LPC with fixed coefficients/shift (tests the decoder's
+        # quantized-coefficient prediction path)
+        order2 = 2
+        shift = 12
+        coeffs = [int(1.9 * (1 << shift)), int(-0.92 * (1 << shift))]
+        precision = 15
+        bw.write(0b100000 | (order2 - 1), 6)
+        bw.write(0, 1)
+        for s0 in samples[:order2]:
+            bw.write_signed(int(s0), bps)
+        bw.write(precision - 1, 4)
+        bw.write_signed(shift, 5)
+        for c in coeffs:
+            bw.write_signed(c, precision)
+        sv = samples.astype(np.int64)
+        resid = []
+        for i in range(order2, len(sv)):
+            acc = sum(int(c) * int(sv[i - 1 - j]) for j, c in enumerate(coeffs))
+            resid.append(int(sv[i] - (acc >> shift)))
+        _rice_encode(bw, resid, order2)
     elif mode == "fixed":
         bw.write(0b001000 | order, 6)
         bw.write(0, 1)

@@ -263,3 +263,15 @@ def test_flac_rejects_garbage():
 
     with pytest.raises(ValueError):
         decode_flac_native(b"definitely not a flac stream")
+
+
+@pytest.mark.skipif(not native_available(), reason="native lib not built")
+def test_flac_lpc_subframe_roundtrip():
+    from tests.flac_encoder import encode_flac
+    from whisper_aries_tpu.audio._native import decode_flac_native
+
+    t = np.arange(9000) / 16000
+    sig = (np.sin(2 * np.pi * 440 * t) * 18000).astype(np.int64)
+    data = encode_flac([sig], sample_rate=16000, mode="lpc", block_size=3000)
+    out, sr = decode_flac_native(data)
+    np.testing.assert_allclose(out, sig / 32768.0, atol=1e-7)
