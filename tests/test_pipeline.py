@@ -156,3 +156,40 @@ def test_analyze_meeting_no_key_raises(tmp_path, monkeypatch):
     p.write_text(json.dumps({"segments": SEGS}), encoding="utf-8")
     with pytest.raises(Exception):
         analyze_meeting(str(p))
+
+
+def test_golden_meeting_recording_full_path(golden_dir):
+    """The reference's checked-in 342-segment 4-speaker meeting: speaker
+    stats, transcript building, and re-alignment at realistic scale."""
+    import glob
+
+    from whisper_aries_tpu.utils.segments import align_segments
+
+    candidates = [
+        p for p in golden_dir.rglob("*.json")
+        if "meeting_summary" not in p.name
+    ]
+    big = max(
+        candidates,
+        key=lambda p: len(json.loads(p.read_text(encoding="utf-8")).get("segments", [])),
+    )
+    data = json.loads(big.read_text(encoding="utf-8"))
+    segments = data["segments"]
+    assert len(segments) >= 300  # the meeting-recording job
+
+    st = speaker_stats(segments)
+    assert sum(v["seconds"] for v in st.values()) > 0
+    assert abs(sum(v["percent"] for v in st.values()) - 100) < 1e-6
+    text = build_transcript_text(segments)
+    assert len(text.splitlines()) == len(segments)
+
+    # re-align the transcript against its own speaker turns: every segment
+    # that had a speaker must keep it at threshold 0 (self-consistency)
+    diar = [
+        {"start": s["start"], "end": s["end"], "speaker": s["speaker"]}
+        for s in segments if s.get("speaker")
+    ]
+    aligned = align_segments(segments, diar, confidence_threshold=0.0)
+    for orig, new in zip(segments, aligned):
+        if orig.get("speaker") and orig["end"] > orig["start"]:
+            assert new["speaker"] is not None
