@@ -158,3 +158,30 @@ def test_translate_task_prompt(tiny_engine, speech_wav):
         beam_size=1, temperature=(0.0,), max_new_tokens=8,
     )
     assert res["success"]
+
+
+def test_legacy_engine_facade(tiny_engine, speech_wav, tmp_path, monkeypatch):
+    from whisper_aries_tpu.pipeline.legacy import FixedUltraFastTranscriber
+
+    monkeypatch.chdir(tmp_path)
+    # first construction auto-writes the default config file
+    legacy = FixedUltraFastTranscriber(
+        str(tmp_path / "whisper_config.json"), _engine=tiny_engine
+    )
+    assert (tmp_path / "whisper_config.json").exists()
+    assert legacy.config["chunk_duration"] == 240
+
+    progress = []
+    res = legacy.transcribe_ultra_fast(
+        speech_wav, language="en", output_formats=(),
+        progress_callback=progress.append,
+    )
+    assert res["success"]
+    assert set(res["parallel_info"]) == {
+        "workers_used", "chunks_processed", "parallel_efficiency",
+        "chunks_per_minute",
+    }
+    assert res["performance"]["assessment"] in (
+        "excellent", "great", "good", "below-realtime-target"
+    )
+    assert progress  # callback fired
