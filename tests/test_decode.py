@@ -301,3 +301,41 @@ def test_compression_ratio_flags_loops():
     assert not q2["needs_fallback"] and not q2["is_silence"]
     q3 = window_quality("", avg_logprob=-1.5, no_speech_prob=0.9)
     assert q3["is_silence"]
+
+
+def test_repetition_penalty_filter_math():
+    logits = np.array([[2.0, -1.0, 0.5, 3.0]], np.float32)
+    present = np.array([[True, True, False, False]])
+    out = np.asarray(G.apply_repetition_penalty(
+        jnp.asarray(logits), jnp.asarray(present), jnp.float32(2.0)
+    ))
+    # positive logits divided, negative multiplied, absent untouched
+    np.testing.assert_allclose(out[0], [1.0, -2.0, 0.5, 3.0])
+
+
+def test_repetition_penalty_discourages_repeats(tiny_pair):
+    """With a huge penalty the greedy decode must not emit the same text
+    token twice (until forced to eot/other)."""
+    _, dims, params, mel = tiny_pair
+    xa = W.encode(params, jnp.asarray(mel), dims)
+    ids = _tiny_ids(dims)
+    base = G.greedy_decode(
+        params, xa, jnp.full((2, 1), 3, jnp.int32), dims, ids,
+        jnp.zeros((dims.n_vocab,)), jnp.int32(0), jnp.float32(0.0),
+        jax.random.PRNGKey(0), sample_len=10, with_timestamps=False,
+        suppress_blank=False,
+    )
+    pen = G.greedy_decode(
+        params, xa, jnp.full((2, 1), 3, jnp.int32), dims, ids,
+        jnp.zeros((dims.n_vocab,)), jnp.int32(0), jnp.float32(0.0),
+        jax.random.PRNGKey(0), sample_len=10, with_timestamps=False,
+        suppress_blank=False, repetition_penalty=jnp.float32(1e6),
+    )
+    for b in range(2):
+        toks = [t for t in np.asarray(pen["tokens"])[b, 1:].tolist()
+                if t != ids.eot]
+        assert len(toks) == len(set(toks)), toks
+    # the unpenalized random model does repeat (sanity that the test bites)
+    toks0 = [t for t in np.asarray(base["tokens"])[0, 1:].tolist()
+             if t != ids.eot]
+    assert len(toks0) != len(set(toks0))

@@ -77,6 +77,17 @@ class LoopState(NamedTuple):
     penult_tok: jax.Array    # (B,) int32
     max_ts_tok: jax.Array    # (B,) int32 — highest timestamp sampled so far
     key: jax.Array           # PRNG key (for temperature sampling)
+    present: jax.Array       # (B, V) bool — tokens sampled so far (for
+    # repetition penalty; CTranslate2 parity, SURVEY §2.3 N1)
+
+
+def apply_repetition_penalty(logits: jax.Array, present: jax.Array,
+                             penalty: jax.Array) -> jax.Array:
+    """CTranslate2/HF-style repetition penalty: previously produced tokens
+    get their logit divided by the penalty when positive, multiplied when
+    negative (penalty > 1 discourages repeats)."""
+    penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
+    return jnp.where(present, penalized, logits)
 
 
 def _apply_filters(
@@ -168,6 +179,7 @@ def greedy_decode(
     prompt_len: Optional[int] = None,
     suppress_blank: bool = True,
     kv_int8: bool = False,
+    repetition_penalty: Optional[jax.Array] = None,
 ) -> Dict[str, jax.Array]:
     """Batched greedy/sampled decode with KV cache under lax.while_loop.
 
@@ -211,12 +223,17 @@ def greedy_decode(
         penult_tok=jnp.full((B,), -1, jnp.int32),
         max_ts_tok=jnp.full((B,), -1, jnp.int32),
         key=key,
+        present=jnp.zeros((B, ids.n_vocab), bool),
     )
 
     first_logits = logits_p[:, -1]  # predicts the first sampled token
 
     def step(state: LoopState, logits: jax.Array) -> LoopState:
         is_first = state.pos == P
+        if repetition_penalty is not None:
+            logits = apply_repetition_penalty(
+                logits, state.present, repetition_penalty
+            )
         f = _apply_filters(
             logits, ids, suppress_mask, is_first,
             state.last_tok, state.penult_tok, state.max_ts_tok,
@@ -246,11 +263,20 @@ def greedy_decode(
         is_ts = next_tok >= ids.timestamp_begin
         max_ts = jnp.where(is_ts, jnp.maximum(state.max_ts_tok, next_tok),
                            state.max_ts_tok)
+        # track sampled tokens for the repetition penalty (CTranslate2
+        # semantics penalize every previously produced token; the timestamp
+        # grammar masks still dominate where they apply)
+        present = state.present
+        if repetition_penalty is not None:
+            rows = jnp.arange(next_tok.shape[0])
+            present = state.present.at[rows, next_tok].set(
+                state.present[rows, next_tok] | ~state.finished
+            )
         return state._replace(
             tokens=tokens, pos=state.pos + 1,
             sum_logprob=sum_logprob, finished=finished,
             last_tok=next_tok, penult_tok=state.last_tok, max_ts_tok=max_ts,
-            key=key,
+            key=key, present=present,
         )
 
     # First sampled token comes from the prefill logits.

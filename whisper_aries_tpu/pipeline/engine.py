@@ -237,10 +237,13 @@ class AriesTranscriber:
         sample_len: int,
         length_penalty: float,
         seed: int = 0,
+        repetition_penalty: float = 1.0,
     ) -> Dict[str, np.ndarray]:
         prompt_j = jnp.asarray(prompt, jnp.int32)
         sot_index = jnp.int32(0)
-        if beam_size > 1 and temperature == 0.0:
+        rep = (jnp.float32(repetition_penalty)
+               if repetition_penalty and repetition_penalty != 1.0 else None)
+        if beam_size > 1 and temperature == 0.0 and rep is None:
             out = G.beam_search_decode(
                 self.params, xa, prompt_j, self.dims, self.ids,
                 self.suppress_mask, sot_index, beam_size=beam_size,
@@ -251,7 +254,7 @@ class AriesTranscriber:
                 self.params, xa, prompt_j, self.dims, self.ids,
                 self.suppress_mask, sot_index,
                 jnp.float32(temperature), jax.random.PRNGKey(seed),
-                sample_len=sample_len,
+                sample_len=sample_len, repetition_penalty=rep,
             )
         return {k: np.asarray(v) for k, v in out.items()
                 if k in ("tokens", "n_sampled", "sum_logprob", "avg_logprob",
@@ -282,6 +285,7 @@ class AriesTranscriber:
         task: str = "transcribe",
         beam_size: Optional[int] = None,
         best_of: int = 5,
+        repetition_penalty: float = 1.0,
         temperature: Optional[Sequence[float]] = None,
         vad_filter: bool = True,
         vad_parameters: Optional[dict] = None,
@@ -362,7 +366,7 @@ class AriesTranscriber:
                     length_penalty, max_new_tokens,
                     compression_ratio_threshold, log_prob_threshold,
                     no_speech_threshold, progress_callback,
-                    best_of=best_of,
+                    best_of=best_of, rep_penalty=repetition_penalty,
                 )
             if chunking_mode == "fixed":
                 from whisper_aries_tpu.utils.segments import (
@@ -420,7 +424,7 @@ class AriesTranscriber:
     def _transcribe_windows(
         self, batch_np, windows, prompt_ids, sot_idx, beam, temps,
         length_penalty, sample_len, cr_thresh, lp_thresh, ns_thresh,
-        progress_callback=None, best_of: int = 5,
+        progress_callback=None, best_of: int = 5, rep_penalty: float = 1.0,
     ) -> List[Dict[str, Any]]:
         from whisper_aries_tpu.utils.perf import PerformanceMonitor
 
@@ -450,7 +454,8 @@ class AriesTranscriber:
 
             try:
                 out = self._decode_batch(
-                    xa, prompt, beam, temps[0], sample_len, length_penalty
+                    xa, prompt, beam, temps[0], sample_len, length_penalty,
+                    repetition_penalty=rep_penalty,
                 )
             except Exception as e:
                 # HBM OOM: halve the window batch and replan (the auto
