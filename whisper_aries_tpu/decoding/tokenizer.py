@@ -19,9 +19,9 @@ from __future__ import annotations
 
 import functools
 import json
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
-from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+from typing import Dict, Iterable, List, Optional, Tuple
 
 # Whisper's language registry in canonical token order. v2-era multilingual
 # models use the first 99; large-v3 adds "yue".

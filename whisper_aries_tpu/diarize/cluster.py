@@ -9,7 +9,7 @@ with a stopping threshold, plus optional min/max speaker-count constraints
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 

@@ -31,7 +31,6 @@ from whisper_aries_tpu.diarize.cluster import (
     agglomerative_cluster,
     relabel_by_first_appearance,
 )
-from whisper_aries_tpu.errors import DiarizationError
 from whisper_aries_tpu.models.diarize_nets import melstats_embedding
 from whisper_aries_tpu.vad import VadOptions, collect_speech_segments, get_speech_probs
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import re
 import unicodedata
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 _ARABIC_DIACRITICS = re.compile(r"[ً-ٰٟ]")
 _PUNCT = re.compile(r"[^\w\s']", re.UNICODE)

@@ -29,7 +29,6 @@ Feature parity with the reference engine surface:
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import logging
 import time
@@ -40,8 +39,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from whisper_aries_tpu.audio.decode import AudioPreloader, SAMPLE_RATE
-from whisper_aries_tpu.audio.mel import N_SAMPLES, log_mel_spectrogram, pad_or_trim
+from whisper_aries_tpu.audio.decode import AudioPreloader
+from whisper_aries_tpu.audio.mel import log_mel_spectrogram
 from whisper_aries_tpu.config import AriesConfig, load_config
 from whisper_aries_tpu.decoding import generate as G
 from whisper_aries_tpu.decoding.segments_parse import (
@@ -53,7 +52,6 @@ from whisper_aries_tpu.decoding.tokenizer import (
     build_special_tokens,
     LANGUAGES,
 )
-from whisper_aries_tpu.errors import TranscriptionError
 from whisper_aries_tpu.models import whisper as W
 from whisper_aries_tpu.models.loader import load_model
 from whisper_aries_tpu.parallel.mesh import (

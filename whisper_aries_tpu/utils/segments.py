@@ -19,7 +19,7 @@ matrix, so hour-long 4-speaker meetings align in milliseconds.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 
