@@ -59,9 +59,12 @@ class DecodeConfig:
     task: str = "transcribe"  # or "translate"
     beam_size: int = 1
     best_of: int = 1
+    #: accepted for API parity; beam patience != 1.0 is not implemented yet
+    #: (tracked in ROADMAP.md)
     patience: float = 1.0
     length_penalty: float = 1.0
     repetition_penalty: float = 1.0
+    #: accepted for API parity; n-gram blocking is not implemented yet
     no_repeat_ngram_size: int = 0
     temperature: tuple = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0)
     compression_ratio_threshold: float = 2.4
