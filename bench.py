@@ -20,7 +20,10 @@ vs_baseline is measured against the reference's best claimed speed
 Env knobs: ARIES_BENCH_BATCH (windows per step, default 8),
 ARIES_BENCH_TOKENS (decode length, default 100), ARIES_BENCH_BEAM
 (default 5), ARIES_BENCH_MODEL (default large-v3; "tiny-cpu" runs a scaled
-model for CPU smoke runs), ARIES_BENCH_REPS (timed reps, default 3).
+model for CPU smoke runs), ARIES_BENCH_REPS (timed reps, default 3),
+ARIES_BENCH_MODE=engine (full AriesTranscriber.transcribe_file product path
+on a synthetic 10-minute WAV — includes VAD planning, host parse, outputs),
+ARIES_BENCH_KV=int8, ARIES_BENCH_COMPUTE=int8.
 """
 
 from __future__ import annotations
@@ -33,6 +36,76 @@ import time
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
+
+
+def engine_mode() -> int:
+    """Product-path benchmark: AriesTranscriber.transcribe_file end to end
+    (VAD -> window plan -> mel/encode/decode -> host parse/merge), random
+    large-v3 weights, synthetic 10-minute WAV."""
+    import numpy as np
+
+    from whisper_aries_tpu.pipeline.engine import AriesTranscriber
+
+    model_name = os.environ.get("ARIES_BENCH_MODEL", "large-v3")
+    n_tokens = int(os.environ.get("ARIES_BENCH_TOKENS", "100"))
+    beam = int(os.environ.get("ARIES_BENCH_BEAM", "5"))
+    reps = int(os.environ.get("ARIES_BENCH_REPS", "2"))
+    minutes = float(os.environ.get("ARIES_BENCH_MINUTES", "10"))
+    import jax
+
+    backend = jax.default_backend()
+    if backend == "cpu" and "ARIES_BENCH_MODEL" not in os.environ:
+        model_name, n_tokens, beam, minutes = "tiny", 8, 1, 1.0
+
+    import tempfile
+
+    from whisper_aries_tpu.audio.decode import write_wav
+
+    sr = 16000
+    rng = np.random.default_rng(0)
+    t = np.arange(int(minutes * 60 * sr)) / sr
+    # dense amplitude-modulated "speech": keeps energy VAD fully on
+    x = (0.25 * np.sin(2 * np.pi * 220 * t)
+         * (0.55 + 0.45 * np.sin(2 * np.pi * 3.1 * t))).astype(np.float32)
+    x += 0.01 * rng.standard_normal(len(t)).astype(np.float32)
+    wav = tempfile.NamedTemporaryFile(suffix=".wav", delete=False)
+    write_wav(wav.name, x, sr)
+
+    eng = AriesTranscriber(model_size=model_name, allow_random=True)
+    duration = minutes * 60.0
+    log(f"[engine] model={model_name} backend={backend} beam={beam} "
+        f"tokens={n_tokens} audio={duration:.0f}s batch={eng.batch_size}")
+
+    def run():
+        return eng.transcribe_file(
+            wav.name, language="en", beam_size=beam,
+            max_new_tokens=n_tokens, output_formats=(), vad_filter=False,
+            temperature=(0.0,),
+        )
+
+    t0 = time.time()
+    res = run()
+    log(f"[engine] warmup (incl. compile): {time.time() - t0:.1f}s "
+        f"({res['num_windows']} windows)")
+    times = []
+    for i in range(reps):
+        t0 = time.time()
+        res = run()
+        dt = time.time() - t0
+        times.append(dt)
+        log(f"[engine] rep {i}: {dt:.3f}s -> {duration / dt:.1f}x realtime")
+    rtfx = duration / min(times)
+    print(json.dumps({
+        "metric": (
+            f"whisper-{model_name}(random-weights) ENGINE-path transcription "
+            f"throughput per chip (transcribe_file, beam={beam}, "
+            f"{n_tokens} tokens/window, backend={backend})"
+        ),
+        "value": round(rtfx, 2),
+        "unit": "x realtime (audio-sec/wall-sec)",
+        "vs_baseline": round(rtfx / 10.0, 2),
+    }))
+    return 0
 
 
 def main() -> int:
@@ -131,7 +204,9 @@ def main() -> int:
             log(f"warmup (incl. compile): {time.time() - t0:.1f}s")
             break
         except Exception as e:
-            if "hbm" not in str(e).lower() or batch <= 2:
+            from whisper_aries_tpu.utils.memory import is_oom_error
+
+            if not is_oom_error(e) or batch <= 2:
                 raise
             batch = max(2, batch // 2)
             log(f"HBM OOM — retrying with batch={batch}")
@@ -165,4 +240,6 @@ def main() -> int:
 
 
 if __name__ == "__main__":
+    if os.environ.get("ARIES_BENCH_MODE") == "engine":
+        raise SystemExit(engine_mode())
     raise SystemExit(main())

@@ -339,3 +339,179 @@ def test_repetition_penalty_discourages_repeats(tiny_pair):
     toks0 = [t for t in np.asarray(base["tokens"])[0, 1:].tolist()
              if t != ids.eot]
     assert len(toks0) != len(set(toks0))
+
+
+# ---------------------------------------------------------------------------
+# n-gram blocking, beam repetition penalty, patience (round-2 parity knobs)
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_banned_mask_unit():
+    # buffer: [7, 1, 2, 9, 1, 2, <pos>, eot-fill...]; last 2 tokens are (1, 2)
+    toks = jnp.asarray([[7, 1, 2, 9, 1, 2, 0, 0]], jnp.int32)
+    banned = np.asarray(G.ngram_banned_mask(toks, jnp.int32(6), 3, 12))[0]
+    # trigrams seen: (7,1,2),(1,2,9),(2,9,1),(9,1,2); ctx (1,2) -> ban 9
+    assert banned[9]
+    assert banned.sum() == 1
+    # n=2: ctx (2,) -> bigrams (1,2),(2,9),(9,1) -> ban 9; also (2,... ) wait
+    banned2 = np.asarray(G.ngram_banned_mask(toks, jnp.int32(6), 2, 12))[0]
+    assert banned2[9] and not banned2[3]
+
+
+def test_ngram_banned_mask_ignores_future_fill():
+    toks = jnp.asarray([[1, 2, 3, 2, 2, 2, 2, 2]], jnp.int32)
+    # pos=3: only tokens [1,2,3] exist; ctx for n=2 is (3,); no (3,x) seen
+    banned = np.asarray(G.ngram_banned_mask(toks, jnp.int32(3), 2, 12))[0]
+    assert not banned.any()
+
+
+def test_greedy_no_repeat_ngram(tiny_pair):
+    _, dims, params, mel = tiny_pair
+    xa = W.encode(params, jnp.asarray(mel), dims)
+    ids = _tiny_ids(dims)
+    out = G.greedy_decode(
+        params, xa, jnp.full((2, 1), 3, jnp.int32), dims, ids,
+        jnp.zeros((dims.n_vocab,)), jnp.int32(0), jnp.float32(0.0),
+        jax.random.PRNGKey(0), sample_len=14, with_timestamps=False,
+        suppress_blank=False, no_repeat_ngram_size=2,
+    )
+    for b in range(2):
+        toks = [t for t in np.asarray(out["tokens"])[b].tolist()
+                if t != ids.eot]
+        bigrams = list(zip(toks, toks[1:]))
+        assert len(bigrams) == len(set(bigrams)), toks
+
+
+def test_beam_repetition_penalty_discourages_repeats(tiny_pair):
+    _, dims, params, mel = tiny_pair
+    xa = W.encode(params, jnp.asarray(mel), dims)
+    ids = _tiny_ids(dims)
+    out = G.beam_search_decode(
+        params, xa, jnp.full((2, 1), 3, jnp.int32), dims, ids,
+        jnp.zeros((dims.n_vocab,)), jnp.int32(0), beam_size=3,
+        sample_len=10, with_timestamps=False, suppress_blank=False,
+        repetition_penalty=jnp.float32(1e6),
+    )
+    for b in range(2):
+        toks = [t for t in np.asarray(out["tokens"])[b, 1:].tolist()
+                if t != ids.eot]
+        assert len(toks) == len(set(toks)), toks
+
+
+def test_beam_no_repeat_ngram(tiny_pair):
+    _, dims, params, mel = tiny_pair
+    xa = W.encode(params, jnp.asarray(mel), dims)
+    ids = _tiny_ids(dims)
+    out = G.beam_search_decode(
+        params, xa, jnp.full((2, 1), 3, jnp.int32), dims, ids,
+        jnp.zeros((dims.n_vocab,)), jnp.int32(0), beam_size=3,
+        sample_len=14, with_timestamps=False, suppress_blank=False,
+        no_repeat_ngram_size=2,
+    )
+    for b in range(2):
+        toks = [t for t in np.asarray(out["tokens"])[b].tolist()
+                if t != ids.eot]
+        bigrams = list(zip(toks, toks[1:]))
+        assert len(bigrams) == len(set(bigrams)), toks
+
+
+def test_beam_patience_explores_superset(tiny_pair):
+    """With length_penalty=0 the best finished score under patience p2 > p1
+    must be >= (candidate superset; Kasai et al. semantics)."""
+    _, dims, params, mel = tiny_pair
+    xa = W.encode(params, jnp.asarray(mel), dims)
+    ids = _tiny_ids(dims)
+    common = dict(
+        beam_size=3, sample_len=10, with_timestamps=False,
+        suppress_blank=False, length_penalty=0.0,
+    )
+    p1 = G.beam_search_decode(
+        params, xa, jnp.full((2, 1), 3, jnp.int32), dims, ids,
+        jnp.zeros((dims.n_vocab,)), jnp.int32(0), patience=1.0, **common,
+    )
+    p2 = G.beam_search_decode(
+        params, xa, jnp.full((2, 1), 3, jnp.int32), dims, ids,
+        jnp.zeros((dims.n_vocab,)), jnp.int32(0), patience=2.0, **common,
+    )
+    assert np.all(np.asarray(p2["sum_logprob"])
+                  >= np.asarray(p1["sum_logprob"]) - 1e-3)
+    # patience=2 keeps a larger candidate buffer
+    assert p2["all_tokens"].shape[1] > p1["all_tokens"].shape[1]
+
+
+def test_no_speech_prob_measured_at_sot_index(tiny_pair):
+    """With a <|startofprev|>-style prefix before sot, no_speech_prob must be
+    the softmax at the sot position, not position 0 (ADVICE round-1 fix)."""
+    _, dims, params, mel = tiny_pair
+    xa = W.encode(params, jnp.asarray(mel), dims)
+    ids = _tiny_ids(dims)
+    prompt = jnp.asarray([[5, 4, 3], [6, 7, 3]], jnp.int32)  # sot at idx 2
+    out = G.greedy_decode(
+        params, xa, prompt, dims, ids,
+        jnp.zeros((dims.n_vocab,)), jnp.int32(2), jnp.float32(0.0),
+        jax.random.PRNGKey(0), sample_len=4, with_timestamps=False,
+        suppress_blank=False,
+    )
+    logits = W.decoder_forward(params, prompt, xa, dims)  # (B, 3, V)
+    want = np.asarray(jax.nn.softmax(logits[:, 2], axis=-1))[:, ids.no_speech]
+    np.testing.assert_allclose(
+        np.asarray(out["no_speech_prob"]), want, rtol=1e-4, atol=1e-5
+    )
+
+
+def test_left_padded_prompt_exact_parity(tiny_pair):
+    """A left-padded prompt with prompt_start must decode bit-identically to
+    the unpadded prompt (mask + shifted positional embeddings)."""
+    _, dims, params, mel = tiny_pair
+    xa = W.encode(params, jnp.asarray(mel), dims)
+    ids = _tiny_ids(dims)
+    base = G.greedy_decode(
+        params, xa, jnp.asarray([[5, 3], [7, 3]], jnp.int32), dims, ids,
+        jnp.zeros((dims.n_vocab,)), jnp.int32(1), jnp.float32(0.0),
+        jax.random.PRNGKey(0), sample_len=8, with_timestamps=False,
+        suppress_blank=False,
+    )
+    padded = G.greedy_decode(
+        params, xa,
+        jnp.asarray([[-1, -1, -1, 5, 3], [-1, -1, -1, 7, 3]], jnp.int32),
+        dims, ids,
+        jnp.zeros((dims.n_vocab,)), jnp.int32(4), jnp.float32(0.0),
+        jax.random.PRNGKey(0), sample_len=8, with_timestamps=False,
+        suppress_blank=False, prompt_start=jnp.int32(3),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(base["tokens"])[:, 2:], np.asarray(padded["tokens"])[:, 5:]
+    )
+    np.testing.assert_allclose(
+        np.asarray(base["sum_logprob"]), np.asarray(padded["sum_logprob"]),
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(base["no_speech_prob"]),
+        np.asarray(padded["no_speech_prob"]), rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_left_padded_prompt_beam_parity(tiny_pair):
+    _, dims, params, mel = tiny_pair
+    xa = W.encode(params, jnp.asarray(mel), dims)
+    ids = _tiny_ids(dims)
+    common = dict(beam_size=3, sample_len=8, with_timestamps=False,
+                  suppress_blank=False)
+    base = G.beam_search_decode(
+        params, xa, jnp.asarray([[5, 3], [7, 3]], jnp.int32), dims, ids,
+        jnp.zeros((dims.n_vocab,)), jnp.int32(1), **common,
+    )
+    padded = G.beam_search_decode(
+        params, xa,
+        jnp.asarray([[-1, -1, 5, 3], [-1, -1, 7, 3]], jnp.int32), dims, ids,
+        jnp.zeros((dims.n_vocab,)), jnp.int32(3),
+        prompt_start=jnp.int32(2), **common,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(base["tokens"])[:, 2:], np.asarray(padded["tokens"])[:, 4:]
+    )
+    np.testing.assert_allclose(
+        np.asarray(base["sum_logprob"]), np.asarray(padded["sum_logprob"]),
+        rtol=1e-4, atol=1e-5,
+    )

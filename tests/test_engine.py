@@ -185,3 +185,103 @@ def test_legacy_engine_facade(tiny_engine, speech_wav, tmp_path, monkeypatch):
         "excellent", "great", "good", "below-realtime-target"
     )
     assert progress  # callback fired
+
+
+def test_scalar_temperature_accepted(tiny_engine, speech_wav, tmp_path):
+    """temperature=0.0 (scalar, e.g. from JSON config) must not crash."""
+    res = tiny_engine.transcribe_file(
+        speech_wav, language="en", temperature=0.0, output_formats=(),
+        beam_size=1, max_new_tokens=8,
+    )
+    assert res["success"]
+
+
+def test_beam_with_repetition_penalty_stays_beam(tiny_engine, speech_wav):
+    """beam_size>1 + repetition_penalty now runs real beam search (round-1
+    silently degraded to greedy)."""
+    res = tiny_engine.transcribe_file(
+        speech_wav, language="en", beam_size=2, repetition_penalty=1.3,
+        output_formats=(), max_new_tokens=8,
+    )
+    assert res["success"]
+
+
+def test_no_repeat_ngram_and_patience_plumbed(tiny_engine, speech_wav):
+    res = tiny_engine.transcribe_file(
+        speech_wav, language="en", beam_size=2, no_repeat_ngram_size=2,
+        patience=1.5, output_formats=(), max_new_tokens=8,
+    )
+    assert res["success"]
+
+
+def test_fixed_mode_preserves_coarse_chunk_id(tiny_engine, speech_wav):
+    """Batched fixed-chunk mode must keep the planned coarse chunk_id (for
+    drop/merge reconciliation) and expose the window index as window_id."""
+    res = tiny_engine.transcribe_file(
+        speech_wav, language="en", chunking_mode="fixed", vad_filter=False,
+        output_formats=(), beam_size=1, max_new_tokens=8,
+    )
+    assert res["success"]
+    # 20 s file, 3-minute chunks -> exactly one coarse chunk (id 0), but the
+    # window ids may differ per 30 s window.
+    for s in res["segments"]:
+        assert s["chunk_id"] == 0
+        assert "window_id" in s
+
+
+def test_per_window_soft_failure(tiny_engine, speech_wav, monkeypatch):
+    """One window's parse exception must not kill the file (reference emits
+    per-chunk success=False, final_optimized_transcriber.py:355-365)."""
+    real = AriesTranscriber._parse_one
+    calls = {"n": 0}
+
+    def boom(self, *a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise ValueError("synthetic parse failure")
+        return real(self, *a, **k)
+
+    monkeypatch.setattr(AriesTranscriber, "_parse_one", boom)
+    res = tiny_engine.transcribe_file(
+        speech_wav, language="en", output_formats=(), beam_size=1,
+        max_new_tokens=8,
+    )
+    assert res["success"]
+    failed = [s for s in res["segments"] if s.get("success") is False]
+    assert len(failed) == 1
+    assert "synthetic parse failure" in failed[0]["error"]
+
+
+def test_sequential_mode_single_prompt_shape(tiny_engine, tmp_path):
+    """condition_on_previous_text must not produce a new prompt shape (= a
+    fresh 40-90s jit on the TPU tunnel) per window: all decode calls see one
+    static left-padded width."""
+    rng = np.random.default_rng(1)
+    sr = 16000
+    t = np.arange(int(65.0 * sr)) / sr
+    x = (0.3 * np.sin(2 * np.pi * 250 * t)
+         * (0.6 + 0.4 * np.sin(2 * np.pi * 3 * t))).astype(np.float32)
+    x += 0.01 * rng.standard_normal(len(t)).astype(np.float32)
+    wav = str(tmp_path / "long.wav")
+    write_wav(wav, x, sr)
+
+    shapes = []
+    real = AriesTranscriber._decode_batch
+
+    def spy(self, xa, prompt, *a, **k):
+        shapes.append(tuple(prompt.shape))
+        return real(self, xa, prompt, *a, **k)
+
+    try:
+        AriesTranscriber._decode_batch = spy
+        res = tiny_engine.transcribe_file(
+            wav, language="en", condition_on_previous_text=True,
+            output_formats=(), beam_size=1, max_new_tokens=8,
+            vad_filter=False,
+        )
+    finally:
+        AriesTranscriber._decode_batch = real
+    assert res["success"]
+    assert len(shapes) >= 3  # 65 s -> 3 windows
+    widths = {s[-1] for s in shapes}
+    assert len(widths) == 1, shapes

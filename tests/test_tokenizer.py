@@ -144,3 +144,22 @@ def test_special_layout_english_only():
     assert sp.no_timestamps == 50362
     assert sp.timestamp_begin == 50363
     assert sp.n_vocab == 51864
+
+
+def test_from_pretrained_english_only_layout(tmp_path):
+    """A .en checkpoint's vocab.json includes GPT-2's <|endoftext|>; stripping
+    it must not shift the special table down by one (round-2 ADVICE fix)."""
+    vocab = {f"tok{i}": i for i in range(50256)}
+    vocab["<|endoftext|>"] = 50256
+    (tmp_path / "vocab.json").write_text(json.dumps(vocab), encoding="utf-8")
+    (tmp_path / "merges.txt").write_text("#version: 0.2\n", encoding="utf-8")
+    (tmp_path / "config.json").write_text(
+        json.dumps({"vocab_size": 51864}), encoding="utf-8"
+    )
+    tok = WhisperTokenizer.from_pretrained(str(tmp_path))
+    sp = tok.specials
+    assert sp.eot == 50256
+    assert sp.sot == 50257
+    assert sp.transcribe == 50358
+    assert sp.timestamp_begin == 50363
+    assert sp.n_vocab == 51864

@@ -220,7 +220,9 @@ def add_word_timestamps(
 
     by_window: Dict[int, List[Dict[str, Any]]] = {}
     for seg in segments:
-        by_window.setdefault(seg.get("chunk_id", 0), []).append(seg)
+        by_window.setdefault(
+            seg.get("window_id", seg.get("chunk_id", 0)), []
+        ).append(seg)
 
     for win_id, segs in by_window.items():
         window = windows[win_id]

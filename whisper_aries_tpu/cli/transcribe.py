@@ -32,6 +32,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--task", default="transcribe",
                    choices=["transcribe", "translate"])
     p.add_argument("--beam-size", type=int, default=1)
+    p.add_argument("--patience", type=float, default=None,
+                   help="beam patience (finished-hypothesis budget factor)")
+    p.add_argument("--repetition-penalty", type=float, default=1.0)
+    p.add_argument("--no-repeat-ngram-size", type=int, default=None)
+    p.add_argument("--temperature", default=None,
+                   help="comma-separated fallback ladder, e.g. 0.0,0.2,0.4")
+    p.add_argument("--max-new-tokens", type=int, default=224)
+    p.add_argument("--condition-on-previous-text", action="store_true",
+                   help="sequential windows conditioned on previous text")
     p.add_argument("--workers", type=int, default=None,
                    help="windows decoded per device per step (default 8)")
     p.add_argument("--chunk-minutes", type=float, default=3.0)
@@ -50,7 +59,16 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: Optional[Sequence[str]] = None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.temperature is not None:
+        try:
+            tuple(float(t) for t in str(args.temperature).split(",") if t.strip())
+        except ValueError:
+            parser.error(
+                f"--temperature must be a comma-separated list of floats, "
+                f"got {args.temperature!r}"
+            )
     logging.basicConfig(
         level=logging.DEBUG if args.verbose else logging.INFO,
         format="%(levelname)s %(name)s: %(message)s",
@@ -66,11 +84,22 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         cache_dir=args.model_cache,
         allow_random=args.allow_random,
     )
+    temperature = None
+    if args.temperature is not None:
+        temperature = tuple(
+            float(t) for t in str(args.temperature).split(",") if t.strip()
+        )
     result = engine.transcribe_file(
         args.audio,
         language=args.language,
         task=args.task,
         beam_size=args.beam_size,
+        patience=args.patience,
+        repetition_penalty=args.repetition_penalty,
+        no_repeat_ngram_size=args.no_repeat_ngram_size,
+        temperature=temperature,
+        max_new_tokens=args.max_new_tokens,
+        condition_on_previous_text=args.condition_on_previous_text,
         output_formats=[f.strip() for f in args.formats.split(",") if f.strip()],
         output_dir=args.output_dir,
         vad_filter=not args.no_vad,

@@ -41,7 +41,9 @@ class ModelConfig:
     cache_dir: str = "./models"
     #: weight storage dtype: "bf16" | "int8" (int8 = per-channel quantized
     #: matmuls, the CTranslate2-equivalent path; reference README.md:178).
-    compute_type: str = "int8"
+    #: bf16 is the current TPU speed champion (see ROADMAP.md int8 lever);
+    #: this knob reaches the engine via run_pipeline/get_transcriber.
+    compute_type: str = "bf16"
     #: activation dtype used on device.
     activation_dtype: str = "bfloat16"
 
@@ -59,12 +61,12 @@ class DecodeConfig:
     task: str = "transcribe"  # or "translate"
     beam_size: int = 1
     best_of: int = 1
-    #: accepted for API parity; beam patience != 1.0 is not implemented yet
-    #: (tracked in ROADMAP.md)
+    #: beam-search patience (Kasai et al.): collect round(beam_size*patience)
+    #: finished hypotheses before stopping (CTranslate2/faster-whisper knob).
     patience: float = 1.0
     length_penalty: float = 1.0
     repetition_penalty: float = 1.0
-    #: accepted for API parity; n-gram blocking is not implemented yet
+    #: ban repeating n-grams of this size inside a window (CTranslate2 knob).
     no_repeat_ngram_size: int = 0
     temperature: tuple = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0)
     compression_ratio_threshold: float = 2.4
@@ -76,6 +78,12 @@ class DecodeConfig:
     max_new_tokens: int = 224
     suppress_blank: bool = True
     suppress_tokens: tuple = (-1,)  # -1 => model's default non-speech set
+    #: cross-attention KV cache storage: "auto" (int8 on TPU via the fused
+    #: Pallas dequant-attention kernel, bf16 elsewhere), "int8", or "bf16".
+    kv_cache_dtype: str = "auto"
+    #: log-mel frontend: "auto" (fused Pallas kernel on TPU, XLA FFT
+    #: elsewhere), "pallas", or "xla".
+    mel_backend: str = "auto"
 
 
 @dataclass

@@ -90,6 +90,34 @@ def apply_repetition_penalty(logits: jax.Array, present: jax.Array,
     return jnp.where(present, penalized, logits)
 
 
+def ngram_banned_mask(tokens: jax.Array, pos: jax.Array, n: int,
+                      n_vocab: int) -> jax.Array:
+    """(R, V) bool mask of tokens that would complete an already-seen n-gram.
+
+    CTranslate2's ``no_repeat_ngram_size`` semantics (reference whitelists it
+    at final_optimized_transcriber.py:310-319): if the last n-1 tokens
+    followed by candidate t form an n-gram already present in ``tokens`` up to
+    ``pos``, t is banned. Vectorised over all history positions — no
+    data-dependent shapes, so it stays inside the jitted decode loop.
+    """
+    R, L = tokens.shape
+    n_ctx = n - 1
+    n_pos = L - n + 1
+    start = jnp.maximum(pos - n_ctx, 0)
+    ctx = jax.lax.dynamic_slice(tokens, (jnp.int32(0), start), (R, n_ctx))
+    idx = jnp.arange(n_pos)[:, None] + jnp.arange(n_ctx)[None, :]
+    hist = tokens[:, idx]                                   # (R, n_pos, n-1)
+    ends = jnp.arange(n_pos) + n_ctx                        # index of the
+    match = jnp.all(hist == ctx[:, None, :], axis=-1)       # n-gram's last tok
+    match = match & (ends[None, :] < pos) & (pos >= n_ctx)
+    follow = tokens[:, n_ctx:]                              # (R, n_pos)
+    rows = jnp.arange(R)[:, None]
+    counts = jnp.zeros((R, n_vocab), jnp.int32).at[rows, follow].add(
+        match.astype(jnp.int32)
+    )
+    return counts > 0
+
+
 def _apply_filters(
     logits: jax.Array,          # (B, V) float32
     ids: DecodeSpecialIds,
@@ -162,7 +190,8 @@ def _apply_filters(
 @functools.partial(
     jax.jit,
     static_argnames=("dims", "ids", "sample_len", "with_timestamps",
-                     "prompt_len", "suppress_blank", "kv_int8"),
+                     "prompt_len", "suppress_blank", "kv_int8",
+                     "no_repeat_ngram_size"),
 )
 def greedy_decode(
     params: Dict[str, Any],
@@ -180,6 +209,8 @@ def greedy_decode(
     suppress_blank: bool = True,
     kv_int8: bool = False,
     repetition_penalty: Optional[jax.Array] = None,
+    no_repeat_ngram_size: int = 0,
+    prompt_start: Optional[jax.Array] = None,
 ) -> Dict[str, jax.Array]:
     """Batched greedy/sampled decode with KV cache under lax.while_loop.
 
@@ -187,6 +218,11 @@ def greedy_decode(
     per-position scales and attends through the fused Pallas kernel —
     halving the dominant decode-step HBM stream (see
     ops/pallas_cross_attn.py).
+
+    ``prompt_start``: scalar index of the first real token when ``prompt``
+    is left-padded (pad value -1) to a static width — variable-length
+    prompts (condition_on_previous_text) then share ONE compiled program,
+    with results identical to the unpadded decode (see decoder_step).
 
     Returns dict with tokens (B, P+sample_len), n_sampled (B,), sum_logprob
     (B,), avg_logprob (B,), no_speech_prob (B,).
@@ -199,7 +235,8 @@ def greedy_decode(
 
     # Prefill the prompt.
     logits_p, cache = W.decoder_step(
-        params, prompt, jnp.int32(0), cache, cross_kv, dims
+        params, prompt, jnp.int32(0), cache, cross_kv, dims,
+        valid_start=prompt_start,
     )
     # no-speech prob measured at the sot position's output.
     sot_logits = jnp.take_along_axis(
@@ -234,6 +271,11 @@ def greedy_decode(
             logits = apply_repetition_penalty(
                 logits, state.present, repetition_penalty
             )
+        if no_repeat_ngram_size >= 2:
+            banned = ngram_banned_mask(
+                state.tokens, state.pos, no_repeat_ngram_size, ids.n_vocab
+            )
+            logits = jnp.where(banned, NEG_INF, logits)
         f = _apply_filters(
             logits, ids, suppress_mask, is_first,
             state.last_tok, state.penult_tok, state.max_ts_tok,
@@ -293,6 +335,7 @@ def greedy_decode(
             {"k": state.cache_k, "v": state.cache_v},
             cross_kv,
             dims,
+            valid_start=prompt_start,
         )
         state = state._replace(cache_k=cache["k"], cache_v=cache["v"])
         return step(state, logits[:, 0])
@@ -318,22 +361,25 @@ def greedy_decode(
 
 
 class BeamState(NamedTuple):
-    tokens: jax.Array        # (B, K, L)
+    tokens: jax.Array        # (B, K, L) — live beams only
     pos: jax.Array
     cache_k: jax.Array       # (Lyr, B*K, H, T, dh)
     cache_v: jax.Array
     sum_logprob: jax.Array   # (B, K)
-    finished: jax.Array      # (B, K)
     last_tok: jax.Array      # (B, K)
     penult_tok: jax.Array
     max_ts_tok: jax.Array
+    fin_tokens: jax.Array    # (B, C, L) — collected finished hypotheses
+    fin_scores: jax.Array    # (B, C) sum logprob (NEG_INF = empty slot)
+    fin_count: jax.Array     # (B,) int32
+    present: Any             # (B, K, V) bool or None (repetition penalty)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("dims", "ids", "beam_size", "sample_len",
                      "with_timestamps", "length_penalty", "suppress_blank",
-                     "kv_int8"),
+                     "kv_int8", "patience", "no_repeat_ngram_size"),
 )
 def beam_search_decode(
     params: Dict[str, Any],
@@ -349,20 +395,30 @@ def beam_search_decode(
     length_penalty: float = 1.0,
     suppress_blank: bool = True,
     kv_int8: bool = False,
+    patience: float = 1.0,
+    repetition_penalty: Optional[jax.Array] = None,
+    no_repeat_ngram_size: int = 0,
+    prompt_start: Optional[jax.Array] = None,
 ) -> Dict[str, jax.Array]:
     """Batched beam search, beams flattened into the batch axis.
 
-    Finished beams are frozen (they may only re-propose eot at zero cost);
-    each step takes the top-K of the K*V expansion per batch element and
-    reorders the KV cache with a gather. Final selection maximises
-    sum_logprob / length**length_penalty over finished beams (GNMT-style
-    ((5+len)/6)**p when length_penalty != 1 is applied by the caller's
-    ranking — here the classic Whisper convention score/len**p).
+    openai-whisper/CTranslate2 semantics: each step expands the K live beams,
+    routes eot candidates into a finished-hypotheses buffer of capacity
+    C = round(K * patience) (Kasai et al. beam patience; faster-whisper's
+    ``patience`` option), and keeps the top K non-eot candidates live — so
+    finished hypotheses never occupy beam slots. The KV cache reorders with
+    a gather over the live candidates' source beams. Final selection
+    maximises sum_logprob / length**length_penalty over the finished buffer
+    (plus still-live beams when the buffer didn't fill before sample_len).
+
+    ``repetition_penalty`` tracks per-beam produced-token presence;
+    ``no_repeat_ngram_size`` bans n-gram repeats inside each beam.
     """
     B, P = prompt.shape
     K = beam_size
     L = P + sample_len
     V = ids.n_vocab
+    C = max(1, int(round(K * patience)))
 
     # Cross K/V stay at batch B and are SHARED by the K beams of each window
     # (decoder_step's grouped cross-attention) — replicating them per beam
@@ -374,7 +430,8 @@ def beam_search_decode(
 
     prompt_k = jnp.repeat(prompt, K, axis=0)
     logits_p, cache = W.decoder_step(
-        params, prompt_k, jnp.int32(0), cache, cross_kv, dims
+        params, prompt_k, jnp.int32(0), cache, cross_kv, dims,
+        valid_start=prompt_start,
     )
     sot_logits = jnp.take_along_axis(
         logits_p, sot_index[None, None, None].astype(jnp.int32), axis=1
@@ -398,16 +455,32 @@ def beam_search_decode(
         cache_k=cache["k"],
         cache_v=cache["v"],
         sum_logprob=init_scores,
-        finished=jnp.zeros((B, K), bool),
         last_tok=jnp.tile(prompt[:, -1:].astype(jnp.int32), (1, K)),
         penult_tok=jnp.full((B, K), -1, jnp.int32),
         max_ts_tok=jnp.full((B, K), -1, jnp.int32),
+        fin_tokens=jnp.full((B, C, L), ids.eot, jnp.int32),
+        fin_scores=jnp.full((B, C), NEG_INF, jnp.float32),
+        fin_count=jnp.zeros((B,), jnp.int32),
+        present=(jnp.zeros((B, K, V), bool)
+                 if repetition_penalty is not None else None),
     )
 
     first_logits = logits_p[:, -1]  # (B*K, V)
+    b_rows = jnp.arange(B)[:, None]
 
     def expand(state: BeamState, logits_flat: jax.Array) -> BeamState:
         is_first = state.pos == P
+        if repetition_penalty is not None:
+            logits_flat = apply_repetition_penalty(
+                logits_flat, state.present.reshape(B * K, V),
+                repetition_penalty,
+            )
+        if no_repeat_ngram_size >= 2:
+            banned = ngram_banned_mask(
+                state.tokens.reshape(B * K, L), state.pos,
+                no_repeat_ngram_size, V,
+            )
+            logits_flat = jnp.where(banned, NEG_INF, logits_flat)
         f = _apply_filters(
             logits_flat, ids, suppress_mask, is_first,
             state.last_tok.reshape(-1), state.penult_tok.reshape(-1),
@@ -415,55 +488,75 @@ def beam_search_decode(
         )
         logprobs = jax.nn.log_softmax(f, axis=-1).reshape(B, K, V)
 
-        # Frozen finished beams: only eot at zero incremental cost.
-        eot_only = jnp.full((V,), NEG_INF).at[ids.eot].set(0.0)
-        logprobs = jnp.where(state.finished[:, :, None], eot_only[None, None],
-                             logprobs)
-
         total = state.sum_logprob[:, :, None] + logprobs  # (B, K, V)
-        flat = total.reshape(B, K * V)
-        top_scores, top_idx = jax.lax.top_k(flat, K)  # (B, K)
-        src_beam = top_idx // V  # (B, K)
+        # eot candidates are exactly the eot column — one per live beam —
+        # so they never need a top-k over V; mask them out of the flat
+        # expansion and keep the round-1-cost top_k(K) for the live refill.
+        eot_scores = total[:, :, ids.eot]  # (B, K)
+        flat = total.at[:, :, ids.eot].set(NEG_INF).reshape(B, K * V)
+        live_score, top_idx = jax.lax.top_k(flat, K)  # (B, K)
+        live_src = top_idx // V
         next_tok = (top_idx % V).astype(jnp.int32)
 
-        # Gather beam state along the beam axis.
-        def g(x):  # (B, K, ...) gather
+        # --- route eot candidates into the finished buffer ---------------
+        # openai-whisper semantics: an eot hypothesis is collected iff it
+        # outranks the K-th surviving live candidate (descending order).
+        eot_sorted, eot_order = jax.lax.top_k(eot_scores, K)  # (B, K)
+        is_fin = (eot_sorted > live_score[:, -1:]) & (eot_sorted > NEG_INF / 2)
+        slot = (state.fin_count[:, None]
+                + jnp.cumsum(is_fin, axis=1) - is_fin.astype(jnp.int32))
+        write = is_fin & (slot < C)
+        slot_w = jnp.where(write, slot, C)  # C == out-of-bounds -> dropped
+        cand_tokens = jnp.take_along_axis(
+            state.tokens, eot_order[:, :, None], axis=1
+        )  # (B, K, L) — tail beyond pos is already eot filler
+        fin_tokens = state.fin_tokens.at[b_rows, slot_w].set(
+            cand_tokens, mode="drop"
+        )
+        fin_scores = state.fin_scores.at[b_rows, slot_w].set(
+            eot_sorted, mode="drop"
+        )
+        fin_count = state.fin_count + jnp.sum(write, axis=1)
+
+        def g(x):  # (B, K, ...) gather along the beam axis
             return jnp.take_along_axis(
-                x, src_beam.reshape(B, K, *([1] * (x.ndim - 2))), axis=1
+                x, live_src.reshape(B, K, *([1] * (x.ndim - 2))), axis=1
             )
 
-        tokens = g(state.tokens)
-        finished = jnp.take_along_axis(state.finished, src_beam, axis=1)
-        last = jnp.take_along_axis(state.last_tok, src_beam, axis=1)
-        max_ts = jnp.take_along_axis(state.max_ts_tok, src_beam, axis=1)
-
         tokens = jax.lax.dynamic_update_slice(
-            tokens, next_tok[:, :, None], (0, 0, state.pos)
+            g(state.tokens), next_tok[:, :, None], (0, 0, state.pos)
         )
-        new_finished = finished | (next_tok == ids.eot)
+        last = jnp.take_along_axis(state.last_tok, live_src, axis=1)
+        max_ts = jnp.take_along_axis(state.max_ts_tok, live_src, axis=1)
         is_ts = next_tok >= ids.timestamp_begin
-        new_max_ts = jnp.where(is_ts & ~finished,
-                               jnp.maximum(max_ts, next_tok), max_ts)
+        new_max_ts = jnp.where(is_ts, jnp.maximum(max_ts, next_tok), max_ts)
 
-        # Reorder the KV cache: flat index b*K + src_beam.
-        flat_src = (jnp.arange(B)[:, None] * K + src_beam).reshape(-1)
+        present = state.present
+        if repetition_penalty is not None:
+            present = g(state.present)
+            k_rows = jnp.arange(K)[None, :]
+            present = present.at[b_rows, k_rows, next_tok].set(True)
+
+        # Reorder the KV cache: flat index b*K + live_src.
+        flat_src = (jnp.arange(B)[:, None] * K + live_src).reshape(-1)
         cache_k = jnp.take(state.cache_k, flat_src, axis=1)
         cache_v = jnp.take(state.cache_v, flat_src, axis=1)
 
         return BeamState(
             tokens=tokens, pos=state.pos + 1,
             cache_k=cache_k, cache_v=cache_v,
-            sum_logprob=top_scores,
-            finished=new_finished,
-            last_tok=jnp.where(new_finished, last, next_tok),
-            penult_tok=jnp.where(new_finished, jnp.full_like(last, -1), last),
+            sum_logprob=live_score,
+            last_tok=next_tok,
+            penult_tok=last,
             max_ts_tok=new_max_ts,
+            fin_tokens=fin_tokens, fin_scores=fin_scores, fin_count=fin_count,
+            present=present,
         )
 
     state = expand(state, first_logits)
 
     def cond(state: BeamState):
-        return (~jnp.all(state.finished)) & (state.pos < L)
+        return (~jnp.all(state.fin_count >= C)) & (state.pos < L)
 
     def body(state: BeamState):
         tok_in = jax.lax.dynamic_slice(
@@ -472,26 +565,33 @@ def beam_search_decode(
         logits, cache = W.decoder_step(
             params, tok_in, state.pos - 1,
             {"k": state.cache_k, "v": state.cache_v}, cross_kv, dims,
+            valid_start=prompt_start,
         )
         state = state._replace(cache_k=cache["k"], cache_v=cache["v"])
         return expand(state, logits[:, 0])
 
     state = jax.lax.while_loop(cond, body, state)
 
+    # Candidate set: the finished buffer, plus still-live beams only for rows
+    # whose buffer never filled (ran out of sample_len) — openai-whisper's
+    # finalize() appends eot to unfinished sequences in exactly that case.
+    live_ok = (state.fin_count < C)[:, None]
+    all_tokens = jnp.concatenate([state.fin_tokens, state.tokens], axis=1)
+    all_sum = jnp.concatenate(
+        [state.fin_scores, jnp.where(live_ok, state.sum_logprob, NEG_INF)],
+        axis=1,
+    )  # (B, C+K)
     n_sampled = jnp.sum(
-        (state.tokens[:, :, P:] != ids.eot).astype(jnp.int32), axis=2
+        (all_tokens[:, :, P:] != ids.eot).astype(jnp.int32), axis=2
     )
     lengths = n_sampled.astype(jnp.float32) + 1.0
-    final_score = state.sum_logprob / (lengths ** length_penalty)
+    final_score = all_sum / (lengths ** length_penalty)
     best = jnp.argmax(final_score, axis=1)  # (B,)
 
-    def pick(x):
-        return jnp.take_along_axis(
-            x, best.reshape(B, *([1] * (x.ndim - 1))), axis=1
-        )[:, 0]
-
-    best_tokens = pick(state.tokens)
-    best_sum = jnp.take_along_axis(state.sum_logprob, best[:, None], axis=1)[:, 0]
+    best_tokens = jnp.take_along_axis(
+        all_tokens, best[:, None, None], axis=1
+    )[:, 0]
+    best_sum = jnp.take_along_axis(all_sum, best[:, None], axis=1)[:, 0]
     best_n = jnp.take_along_axis(n_sampled, best[:, None], axis=1)[:, 0]
     return {
         "tokens": best_tokens,
@@ -499,7 +599,7 @@ def beam_search_decode(
         "sum_logprob": best_sum,
         "avg_logprob": best_sum / (best_n.astype(jnp.float32) + 1.0),
         "no_speech_prob": no_speech_prob,
-        "all_tokens": state.tokens,
+        "all_tokens": all_tokens,
         "all_scores": final_score,
     }
 

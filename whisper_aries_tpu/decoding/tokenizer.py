@@ -192,6 +192,11 @@ class WhisperTokenizer:
         self.byte_encoder = _bytes_to_unicode()
         self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
         n_base = len(self.encoder_map)
+        if english and "<|endoftext|>" not in self.encoder_map:
+            # .en models reuse GPT-2's own <|endoftext|> as the last base id;
+            # if the caller stripped it from the vocab (from_pretrained does),
+            # count it back so eot lands at 50256, not 50255.
+            n_base += 1
         if num_languages is None:
             num_languages = 99  # v2-era default; from_pretrained passes exact
         self.specials = build_special_tokens(n_base, num_languages,

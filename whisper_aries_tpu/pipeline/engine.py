@@ -70,6 +70,8 @@ from whisper_aries_tpu.vad import (
 )
 from whisper_aries_tpu.vad.planner import Window, windows_to_batch
 
+from whisper_aries_tpu.utils.memory import is_oom_error as _is_oom
+
 log = logging.getLogger(__name__)
 
 
@@ -111,6 +113,8 @@ class AriesTranscriber:
         allow_random: bool = False,
         mesh=None,
         windows_per_device: Optional[int] = None,
+        kv_cache_dtype: Optional[str] = None,  # "auto" | "int8" | "bf16"
+        mel_backend: Optional[str] = None,     # "auto" | "pallas" | "xla"
         _params=None,
         _dims=None,
         _tokenizer=None,
@@ -166,6 +170,22 @@ class AriesTranscriber:
             G.build_suppress_mask(self.dims.n_vocab, suppress)
         )
         self._mel_sharding = None
+
+        on_tpu = jax.default_backend() == "tpu"
+        # int8 cross-attention K/V (fused Pallas dequant attention) halves
+        # the dominant decode-step HBM stream; "auto" enables it on TPU.
+        kvd = kv_cache_dtype or self.config.decode.kv_cache_dtype
+        self.kv_int8 = kvd == "int8" or (kvd == "auto" and on_tpu)
+        melb = mel_backend or self.config.decode.mel_backend
+        self.use_pallas_mel = melb == "pallas" or (melb == "auto" and on_tpu)
+
+    def _mel(self, audio_j: jax.Array) -> jax.Array:
+        """Log-mel via the fused Pallas kernel on TPU, XLA FFT elsewhere."""
+        if self.use_pallas_mel:
+            from whisper_aries_tpu.ops.pallas_mel import log_mel_pallas
+
+            return log_mel_pallas(audio_j, n_mels=self.dims.n_mels)
+        return log_mel_spectrogram(audio_j, n_mels=self.dims.n_mels)
 
     # ------------------------------------------------------------------
 
@@ -236,16 +256,30 @@ class AriesTranscriber:
         length_penalty: float,
         seed: int = 0,
         repetition_penalty: float = 1.0,
+        sot_index: int = 0,
+        patience: float = 1.0,
+        no_repeat_ngram_size: int = 0,
+        prompt_start: int = 0,
     ) -> Dict[str, np.ndarray]:
         prompt_j = jnp.asarray(prompt, jnp.int32)
-        sot_index = jnp.int32(0)
+        # index of <|sot|> inside the prompt — with a <|startofprev|> prefix
+        # (initial_prompt / condition_on_previous_text) it is not 0, and
+        # no_speech_prob must be read at the sot position's logits.
+        sot_index = jnp.int32(sot_index)
         rep = (jnp.float32(repetition_penalty)
                if repetition_penalty and repetition_penalty != 1.0 else None)
-        if beam_size > 1 and temperature == 0.0 and rep is None:
+        ngram = int(no_repeat_ngram_size or 0)
+        # left-padded prompt buffers (sequential conditioning) share one
+        # compiled program; prompt_start marks the first real token.
+        ps = jnp.int32(prompt_start) if prompt_start else None
+        if beam_size > 1 and temperature == 0.0:
             out = G.beam_search_decode(
                 self.params, xa, prompt_j, self.dims, self.ids,
                 self.suppress_mask, sot_index, beam_size=beam_size,
                 sample_len=sample_len, length_penalty=length_penalty,
+                repetition_penalty=rep, patience=float(patience or 1.0),
+                no_repeat_ngram_size=ngram, kv_int8=self.kv_int8,
+                prompt_start=ps,
             )
         else:
             out = G.greedy_decode(
@@ -253,6 +287,8 @@ class AriesTranscriber:
                 self.suppress_mask, sot_index,
                 jnp.float32(temperature), jax.random.PRNGKey(seed),
                 sample_len=sample_len, repetition_penalty=rep,
+                no_repeat_ngram_size=ngram, kv_int8=self.kv_int8,
+                prompt_start=ps,
             )
         return {k: np.asarray(v) for k, v in out.items()
                 if k in ("tokens", "n_sampled", "sum_logprob", "avg_logprob",
@@ -283,7 +319,9 @@ class AriesTranscriber:
         task: str = "transcribe",
         beam_size: Optional[int] = None,
         best_of: int = 5,
+        patience: Optional[float] = None,
         repetition_penalty: float = 1.0,
+        no_repeat_ngram_size: Optional[int] = None,
         temperature: Optional[Sequence[float]] = None,
         vad_filter: bool = True,
         vad_parameters: Optional[dict] = None,
@@ -320,10 +358,15 @@ class AriesTranscriber:
         log.info("planned %d windows for %.1fs audio", len(windows), duration)
 
         beam = beam_size if beam_size is not None else self.config.decode.beam_size
-        temps = tuple(temperature if temperature is not None
-                      else self.config.decode.temperature)
-        if isinstance(temps, float):
-            temps = (temps,)
+        temps = (temperature if temperature is not None
+                 else self.config.decode.temperature)
+        if isinstance(temps, (int, float)):  # scalar (e.g. temperature=0.0)
+            temps = (float(temps),)
+        temps = tuple(temps)
+        patience = (patience if patience is not None
+                    else self.config.decode.patience)
+        ngram = (no_repeat_ngram_size if no_repeat_ngram_size is not None
+                 else self.config.decode.no_repeat_ngram_size)
 
         segments: List[Dict[str, Any]] = []
         info: Dict[str, Any] = {
@@ -337,9 +380,7 @@ class AriesTranscriber:
 
             # language detection on the first window if not specified
             if language is None:
-                mel0 = log_mel_spectrogram(
-                    jnp.asarray(batch_np[:1]), n_mels=self.dims.n_mels
-                )
+                mel0 = self._mel(jnp.asarray(batch_np[:1]))
                 language, lang_prob = self.detect_language(mel0)
                 info["language"], info["language_probability"] = language, lang_prob
 
@@ -357,6 +398,8 @@ class AriesTranscriber:
                     length_penalty, max_new_tokens,
                     compression_ratio_threshold, log_prob_threshold,
                     no_speech_threshold, progress_callback,
+                    rep_penalty=repetition_penalty, patience=patience,
+                    ngram=ngram,
                 )
             else:
                 segments = self._transcribe_windows(
@@ -365,6 +408,7 @@ class AriesTranscriber:
                     compression_ratio_threshold, log_prob_threshold,
                     no_speech_threshold, progress_callback,
                     best_of=best_of, rep_penalty=repetition_penalty,
+                    patience=patience, ngram=ngram,
                 )
             if chunking_mode == "fixed":
                 from whisper_aries_tpu.utils.segments import (
@@ -423,22 +467,23 @@ class AriesTranscriber:
         self, batch_np, windows, prompt_ids, sot_idx, beam, temps,
         length_penalty, sample_len, cr_thresh, lp_thresh, ns_thresh,
         progress_callback=None, best_of: int = 5, rep_penalty: float = 1.0,
+        patience: float = 1.0, ngram: int = 0,
     ) -> List[Dict[str, Any]]:
         from whisper_aries_tpu.utils.perf import PerformanceMonitor
 
         B = self.batch_size
         N = len(windows)
         all_segments: List[Dict[str, Any]] = []
-        n_batches = (N + B - 1) // B
         monitor = PerformanceMonitor(
             total_audio_s=sum(w.duration for w in windows)
         )
         self.last_monitor = monitor
 
+        next_w = 0  # first unprocessed window (OOM retries resume here)
         bi = 0
-        while bi * B < N:
+        while next_w < N:
             t_batch = time.time()
-            sl = slice(bi * B, min(N, (bi + 1) * B))
+            sl = slice(next_w, min(N, next_w + B))
             wb = windows[sl]
             chunk, n_real = pad_to_multiple(batch_np[sl], B)
             # shard the window batch over the mesh's data axis so the whole
@@ -446,47 +491,60 @@ class AriesTranscriber:
             chunk_j = jax.device_put(
                 chunk, batch_sharding(self.mesh, 2)
             )
-            mel = log_mel_spectrogram(chunk_j, n_mels=self.dims.n_mels)
+            mel = self._mel(chunk_j)
             xa = self._encode_batch(mel)
             prompt = np.tile(np.asarray(prompt_ids, np.int32), (chunk.shape[0], 1))
 
             try:
                 out = self._decode_batch(
                     xa, prompt, beam, temps[0], sample_len, length_penalty,
-                    repetition_penalty=rep_penalty,
+                    repetition_penalty=rep_penalty, sot_index=sot_idx,
+                    patience=patience, no_repeat_ngram_size=ngram,
                 )
             except Exception as e:
-                # HBM OOM: halve the window batch and replan (the auto
-                # heuristic is a first guess; the exact budget depends on
-                # beam/sample_len/model — see parallel/mesh.py)
-                if "memory" in str(e).lower() and B > 1:
+                # HBM OOM: halve the window batch and retry from the first
+                # unprocessed window (the auto heuristic is a first guess;
+                # the exact budget depends on beam/sample_len/model — see
+                # parallel/mesh.py)
+                if _is_oom(e) and B > 1:
                     B = max(1, B // 2)
                     self.batch_size = B
                     log.warning("HBM OOM — retrying with batch_size=%d", B)
-                    n_batches = (N + B - 1) // B
-                    bi = (sl.start) // B
                     continue
                 raise
             # temperature fallback ladder per window
             for w_i in range(n_real):
                 window = wb[w_i]
                 toks = out["tokens"][w_i]
-                segs, quality = self._parse_one(
-                    toks, window, len(prompt_ids),
-                    float(out["avg_logprob"][w_i]),
-                    float(out["no_speech_prob"][w_i]),
-                    cr_thresh, lp_thresh, ns_thresh,
-                )
-                if quality["is_silence"]:
-                    continue
-                if quality["needs_fallback"] and len(temps) > 1:
-                    segs = self._fallback_window(
-                        chunk[w_i], window, prompt_ids, temps[1:],
-                        sample_len, cr_thresh, lp_thresh, ns_thresh, segs,
-                        best_of=best_of,
+                try:
+                    segs, quality = self._parse_one(
+                        toks, window, len(prompt_ids),
+                        float(out["avg_logprob"][w_i]),
+                        float(out["no_speech_prob"][w_i]),
+                        cr_thresh, lp_thresh, ns_thresh,
                     )
+                    if quality["is_silence"]:
+                        continue
+                    if quality["needs_fallback"] and len(temps) > 1:
+                        segs = self._fallback_window(
+                            chunk[w_i], window, prompt_ids, temps[1:],
+                            sample_len, cr_thresh, lp_thresh, ns_thresh, segs,
+                            best_of=best_of, sot_idx=sot_idx,
+                        )
+                except Exception as e:
+                    # per-window soft failure: one bad window must not kill
+                    # the file (reference emits ChunkResult(success=False)
+                    # and keeps going, final_optimized_transcriber.py:355-365)
+                    log.warning("window %d (%.1f-%.1fs) failed: %s",
+                                sl.start + w_i, window.start, window.end, e)
+                    segs = [{
+                        "start": window.start, "end": window.end, "text": "",
+                        "success": False, "error": str(e),
+                        "avg_logprob": 0.0, "no_speech_prob": 0.0,
+                    }]
                 for s in segs:
-                    s["chunk_id"] = sl.start + w_i
+                    s["chunk_id"] = window.chunk_id
+                    s["window_id"] = sl.start + w_i
                     s["worker_id"] = w_i % max(
                         1, int(np.prod(self.mesh.devices.shape))
                     )
@@ -496,9 +554,10 @@ class AriesTranscriber:
                 device=bi % max(1, int(np.prod(self.mesh.devices.shape))),
                 kind="batch",
             )
-            if progress_callback:
-                progress_callback(min(N, (bi + 1) * B), N)
+            next_w = sl.stop
             bi += 1
+            if progress_callback:
+                progress_callback(next_w, N)
 
         all_segments.sort(key=lambda s: (s["start"], s["end"]))
         return all_segments
@@ -506,7 +565,8 @@ class AriesTranscriber:
     def _transcribe_windows_sequential(
         self, batch_np, windows, prompt_ids, sot_idx, beam, temps,
         length_penalty, sample_len, cr_thresh, lp_thresh, ns_thresh,
-        progress_callback=None,
+        progress_callback=None, rep_penalty: float = 1.0,
+        patience: float = 1.0, ngram: int = 0,
     ) -> List[Dict[str, Any]]:
         """Window-by-window decode with cross-window text conditioning.
 
@@ -515,44 +575,68 @@ class AriesTranscriber:
         Slower than the batched path — this is the fidelity mode.
         """
         sp = self.tokenizer.specials
+        # length of the sot sequence at the tail of prompt_ids (prompt_ids may
+        # already carry an initial_prompt <|startofprev|> prefix of sot_idx
+        # tokens)
+        sot_seq = list(prompt_ids[sot_idx:])
+        # All prompts are LEFT-PADDED to one static width so the whole
+        # sequential mode is a single compiled decode program (a fresh jit
+        # per distinct prompt length costs 40-90 s on the TPU tunnel).
+        P_max = 224 + len(sot_seq)
+        w_sot = P_max - len(sot_seq)  # sot position is constant when padded
         all_segments: List[Dict[str, Any]] = []
         prev_tokens: List[int] = []
         for wi, window in enumerate(windows):
             if prev_tokens:
-                prev = [sp.sot_prev] + prev_tokens[-(223 - len(prompt_ids)):]
-                prompt = prev + list(prompt_ids)
+                prev = [sp.sot_prev] + prev_tokens[-(223 - len(sot_seq)):]
+                prompt = prev + sot_seq
             else:
                 prompt = list(prompt_ids)
-            mel = log_mel_spectrogram(
-                jnp.asarray(batch_np[wi : wi + 1]), n_mels=self.dims.n_mels
-            )
+            pad = P_max - len(prompt)
+            prompt = [-1] * pad + prompt  # -1 pads are masked in the decoder
+            mel = self._mel(jnp.asarray(batch_np[wi : wi + 1]))
             xa = self._encode_batch(mel)
-            out = self._decode_batch(
-                xa, np.asarray(prompt, np.int32)[None], beam, temps[0],
-                sample_len, length_penalty,
-            )
-            segs, quality = self._parse_one(
-                out["tokens"][0], window, len(prompt),
-                float(out["avg_logprob"][0]), float(out["no_speech_prob"][0]),
-                cr_thresh, lp_thresh, ns_thresh,
-            )
+            try:
+                out = self._decode_batch(
+                    xa, np.asarray(prompt, np.int32)[None], beam, temps[0],
+                    sample_len, length_penalty, sot_index=w_sot,
+                    repetition_penalty=rep_penalty, patience=patience,
+                    no_repeat_ngram_size=ngram, prompt_start=pad,
+                )
+                segs, quality = self._parse_one(
+                    out["tokens"][0], window, len(prompt),
+                    float(out["avg_logprob"][0]), float(out["no_speech_prob"][0]),
+                    cr_thresh, lp_thresh, ns_thresh,
+                )
+            except Exception as e:
+                log.warning("window %d (%.1f-%.1fs) failed: %s",
+                            wi, window.start, window.end, e)
+                segs = [{
+                    "start": window.start, "end": window.end, "text": "",
+                    "success": False, "error": str(e),
+                    "avg_logprob": 0.0, "no_speech_prob": 0.0,
+                }]
+                quality = {"is_silence": False, "needs_fallback": False}
+                prev_tokens = []
             if quality["is_silence"]:
                 prev_tokens = []
                 continue
             if quality["needs_fallback"] and len(temps) > 1:
                 segs = self._fallback_window(
                     batch_np[wi], window, prompt, temps[1:], sample_len,
-                    cr_thresh, lp_thresh, ns_thresh, segs,
+                    cr_thresh, lp_thresh, ns_thresh, segs, sot_idx=w_sot,
+                    prompt_start=pad,
                 )
                 # conditioning resets after a fallback (reference behaviour)
                 prev_tokens = []
-            else:
+            elif segs and segs[0].get("success", True):
                 prev_tokens = [
                     t for s in segs for t in s.get("tokens", [])
                     if t < sp.eot
                 ]
             for s in segs:
-                s["chunk_id"] = window.chunk_id or wi
+                s["chunk_id"] = window.chunk_id
+                s["window_id"] = wi
                 s["worker_id"] = 0
             all_segments.extend(segs)
             if progress_callback:
@@ -580,7 +664,8 @@ class AriesTranscriber:
 
     def _fallback_window(self, audio_window, window, prompt_ids, temps,
                          sample_len, cr_thresh, lp_thresh, ns_thresh,
-                         best_segs, best_of: int = 5):
+                         best_segs, best_of: int = 5, sot_idx: int = 0,
+                         prompt_start: int = 0):
         """Re-decode one failing window at increasing temperatures
         (faster-whisper's fallback ladder; README.md:179 TEMPERATURE).
 
@@ -590,16 +675,14 @@ class AriesTranscriber:
         num_hypotheses and keeps the best by sum logprob).
         """
         K = max(1, best_of)
-        mel = log_mel_spectrogram(
-            jnp.asarray(np.tile(audio_window[None], (K, 1))),
-            n_mels=self.dims.n_mels,
-        )
+        mel = self._mel(jnp.asarray(np.tile(audio_window[None], (K, 1))))
         xa = self._encode_batch(mel)
         prompt = np.tile(np.asarray(prompt_ids, np.int32)[None], (K, 1))
         for t_i, t in enumerate(temps):
             out = self._decode_batch(
                 xa, prompt, beam_size=1, temperature=float(t),
                 sample_len=sample_len, length_penalty=1.0, seed=1234 + t_i,
+                sot_index=sot_idx, prompt_start=prompt_start,
             )
             best = int(np.argmax(out["sum_logprob"]))
             segs, q = self._parse_one(

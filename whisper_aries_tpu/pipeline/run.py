@@ -93,10 +93,20 @@ def run_pipeline(
         try:
             # --- [1] transcription -----------------------------------------
             if transcriber is None:
-                transcriber = get_transcriber(model_size or cfg.model.name)
+                transcriber = get_transcriber(
+                    model_size or cfg.model.name,
+                    compute_type=cfg.model.compute_type,
+                    cache_dir=cfg.model.cache_dir,
+                    config=cfg,
+                )
             tres = transcriber.transcribe_file(
                 audio_for_processing,
                 language=language,
+                beam_size=cfg.decode.beam_size,
+                repetition_penalty=cfg.decode.repetition_penalty,
+                condition_on_previous_text=cfg.decode.condition_on_previous_text,
+                word_timestamps=cfg.decode.word_timestamps,
+                initial_prompt=cfg.decode.initial_prompt,
                 output_formats=[],
             )
             if not tres.get("success"):

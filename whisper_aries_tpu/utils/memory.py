@@ -41,3 +41,21 @@ def get_device_memory_stats() -> list:
         return stats
     except Exception:
         return []
+
+
+def is_oom_error(e: BaseException) -> bool:
+    """Out-of-device-memory heuristic for retry ladders.
+
+    XLA raises XlaRuntimeError with RESOURCE_EXHAUSTED; the axon remote
+    tunnel can strip the message down to generic text, so match the status
+    first and fall back to substrings.
+    """
+    name = type(e).__name__
+    msg = str(e).lower()
+    if "resource_exhausted" in msg or "resource exhausted" in msg:
+        return True
+    if name in ("XlaRuntimeError", "RuntimeError") and (
+        "memory" in msg or "hbm" in msg or "oom" in msg or "allocat" in msg
+    ):
+        return True
+    return False

@@ -89,7 +89,10 @@ def plan_windows(
             break
     if cur_start is not None and cur_end - cur_start > 1e-6:
         windows.append(Window(cur_start, cur_end))
-    return windows
+    # With no coarse-chunk structure, each window is its own "chunk" for
+    # downstream reporting/reconciliation (chunk_id mirrors the reference's
+    # per-chunk segment annotation, final_optimized_transcriber.py:331-340).
+    return [Window(w.start, w.end, chunk_id=i) for i, w in enumerate(windows)]
 
 
 def plan_chunks(
