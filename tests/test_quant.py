@@ -173,7 +173,8 @@ def test_cross_attention_q8_reference_close_to_exact():
     k8, ks = quantize_kv_per_position(k)
     v8, vs = quantize_kv_per_position(v)
     got = np.asarray(cross_attention_q8_reference(
-        q, k8, ks / np.sqrt(dh), v8, vs
+        q, jnp.swapaxes(k8, -1, -2), ks / np.sqrt(dh),
+        jnp.swapaxes(v8, -1, -2), vs
     ))
     assert np.abs(got - want).max() / np.abs(want).max() < 0.03
 
@@ -192,6 +193,7 @@ def test_cross_attention_q8_kernel_matches_reference():
     v = jnp.asarray(rng.standard_normal((B, H, T, dh)).astype(np.float32))
     k8, ks = quantize_kv_per_position(k)
     v8, vs = quantize_kv_per_position(v)
+    k8, v8 = jnp.swapaxes(k8, -1, -2), jnp.swapaxes(v8, -1, -2)
     ks = ks / np.sqrt(dh)
     want = np.asarray(cross_attention_q8_reference(q, k8, ks, v8, vs))
     got = np.asarray(cross_attention_q8(q, k8, ks, v8, vs, interpret=True))

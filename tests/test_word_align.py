@@ -138,3 +138,81 @@ def test_engine_word_timestamps_integration():
         for w in seg.get("words", []):
             assert set(w) == {"word", "start", "end", "probability"}
             assert w["end"] >= w["start"]
+
+
+# ---------------------------------------------------------------------------
+# Cross-validation vs transformers' DTW/median-filter (SURVEY §7 hard-part 2)
+# ---------------------------------------------------------------------------
+
+
+def test_dtw_matches_transformers():
+    """Our dtw_path and transformers' _dynamic_time_warping must pick the
+    same token->frame jump times on the same cost matrix."""
+    pytest.importorskip("torch")
+    from transformers.models.whisper.generation_whisper import (
+        _dynamic_time_warping,
+    )
+
+    from whisper_aries_tpu.align.word_align import dtw_path
+
+    rng = np.random.default_rng(5)
+    for trial in range(5):
+        matrix = rng.standard_normal((12, 60)).astype(np.float32)
+        ti, tj = dtw_path(-matrix.astype(np.float64))
+        hf_ti, hf_tj = _dynamic_time_warping(-matrix.astype(np.float64))
+        jumps = np.pad(np.diff(ti), (1, 0), constant_values=1).astype(bool)
+        hf_jumps = np.pad(np.diff(hf_ti), (1, 0), constant_values=1).astype(bool)
+        np.testing.assert_array_equal(ti[jumps], hf_ti[hf_jumps])
+        np.testing.assert_array_equal(tj[jumps], hf_tj[hf_jumps], err_msg=f"trial {trial}")
+
+
+def test_median_filter_matches_transformers():
+    torch = pytest.importorskip("torch")
+    from transformers.models.whisper.generation_whisper import _median_filter
+
+    from whisper_aries_tpu.align.word_align import _median_filter as ours
+
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((2, 3, 40)).astype(np.float32)
+    want = _median_filter(torch.from_numpy(x), 7).numpy()
+    np.testing.assert_allclose(ours(x, 7), want, atol=1e-6)
+
+
+def test_token_times_match_transformers_pipeline():
+    """Full alignment math cross-check: identical synthetic attention logits
+    through (a) our attention_to_token_times and (b) an openai-whisper-
+    equivalent pipeline rebuilt from transformers' primitives."""
+    torch = pytest.importorskip("torch")
+    from transformers.models.whisper.generation_whisper import (
+        _dynamic_time_warping,
+        _median_filter,
+    )
+
+    from whisper_aries_tpu.align.word_align import (
+        FRAME_S,
+        attention_to_token_times,
+    )
+
+    rng = np.random.default_rng(7)
+    L, H, T_text, T_audio = 4, 2, 10, 80
+    n_frames = 70
+    cross_qk = (3.0 * rng.standard_normal((L, H, T_text, T_audio))).astype(
+        np.float32
+    )
+
+    ours = attention_to_token_times(cross_qk, n_frames)
+
+    # independent reimplementation (openai/whisper find_alignment steps)
+    w = torch.from_numpy(cross_qk[L // 2 :, :, :, :n_frames]).double()
+    w = torch.softmax(w, dim=-1)
+    mean = w.mean(dim=-2, keepdim=True)
+    std = w.std(dim=-2, keepdim=True, unbiased=False) + 1e-8
+    w = (w - mean) / std
+    w = _median_filter(w, 7)
+    matrix = w.mean(dim=(0, 1)).numpy()
+    ti, tj = _dynamic_time_warping(-matrix.astype(np.float64))
+    jumps = np.pad(np.diff(ti), (1, 0), constant_values=1).astype(bool)
+    want = np.zeros(T_text)
+    want[ti[jumps]] = tj[jumps] * FRAME_S
+
+    np.testing.assert_allclose(ours, want, atol=1e-9)

@@ -64,11 +64,13 @@ def dtw_path(cost: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def _median_filter(x: np.ndarray, width: int = 7) -> np.ndarray:
-    """Median filter along the last axis (whisper uses width 7)."""
-    if width < 3 or x.shape[-1] < width:
+    """Median filter along the last axis with REFLECT padding — matching
+    openai/whisper's timing.py median_filter and transformers'
+    _median_filter exactly (edge padding shifts boundary medians)."""
+    if width < 3 or x.shape[-1] <= width // 2:
         return x
     pad = width // 2
-    padded = np.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="edge")
+    padded = np.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
     windows = np.lib.stride_tricks.sliding_window_view(padded, width, axis=-1)
     return np.median(windows, axis=-1)
 

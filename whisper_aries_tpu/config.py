@@ -92,6 +92,9 @@ class VadConfig:
     final_optimized_transcriber.py:440, complete_fixed_whisper.py:744-748)."""
 
     enabled: bool = True
+    #: frame scorer: "auto" (learned net when weights are shipped, else the
+    #: adaptive-energy detector), "learned", or "energy".
+    backend: str = "auto"
     threshold: float = 0.5
     neg_threshold: Optional[float] = None
     min_speech_duration_ms: int = 250

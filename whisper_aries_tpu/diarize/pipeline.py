@@ -53,25 +53,32 @@ class DiarizationPipeline:
         self.vad_options = vad_options or VadOptions(min_silence_duration_ms=300)
         self.seg_params = None
         self.emb_params = None
-        if model_dir:
-            self._try_load(Path(model_dir))
+        if model_dir is None:
+            # package-shipped checkpoints (trained by
+            # training/diarize_train.py) are the default neural path
+            from whisper_aries_tpu.utils.params_io import default_weights_dir
+
+            model_dir = str(default_weights_dir())
+        self._try_load(Path(model_dir))
 
     def _try_load(self, model_dir: Path) -> None:
+        """Load segmentation/embedding safetensors into the nets' nested
+        pytrees (flat dotted-key layout; utils/params_io.py)."""
         try:
-            from safetensors.numpy import load_file
-
-            import jax.numpy as jnp
+            from whisper_aries_tpu.models.diarize_nets import (
+                init_embedding,
+                init_segmentation,
+            )
+            from whisper_aries_tpu.utils.params_io import load_params_into
 
             seg_f = model_dir / "segmentation.safetensors"
             emb_f = model_dir / "embedding.safetensors"
             if seg_f.exists():
-                self.seg_params = {
-                    k: jnp.asarray(v) for k, v in load_file(str(seg_f)).items()
-                }
+                self.seg_params = load_params_into(init_segmentation(),
+                                                   str(seg_f))
             if emb_f.exists():
-                self.emb_params = {
-                    k: jnp.asarray(v) for k, v in load_file(str(emb_f)).items()
-                }
+                self.emb_params = load_params_into(init_embedding(),
+                                                   str(emb_f))
         except Exception as e:
             log.warning("could not load diarization checkpoints: %s", e)
 

@@ -15,12 +15,14 @@ output against the bf16 path.
 
 Layout contract (one decoder layer, one decode position):
     q:  (B, H, G, dh)   bf16/f32 — G = beams per window (1 for greedy)
-    k8: (B, H, T, dh)   int8
+    k8: (B, H, dh, T)   int8 TRANSPOSED (T minor: dh=64 minor pads 2x to
+                        the int8 (32,128) tile — doubling HBM footprint
+                        AND stream; T=1500 minor pads only 1536/1500)
     ks: (B, H, 1, T)    f32 per-position scales (already includes 1/sqrt(dh))
-    v8: (B, H, T, dh)   int8
+    v8: (B, H, dh, T)   int8 transposed
     vs: (B, H, 1, T)    f32
     -> out (B, H, G, dh) f32
-Grid (B, H): each step streams one head's K/V slabs (2 x T x dh int8 =
+Grid (B, H): each step streams one head's K/V slabs (2 x dh x T int8 =
 192 KB) through VMEM with Pallas' pipelined block DMA.
 """
 
@@ -48,17 +50,17 @@ def quantize_kv_per_position(k: jax.Array) -> Tuple[jax.Array, jax.Array]:
 def cross_attention_q8(q: jax.Array, k8: jax.Array, ks: jax.Array,
                        v8: jax.Array, vs: jax.Array,
                        interpret: bool = False) -> jax.Array:
-    """Fused attention over int8 K/V. Shapes per the module docstring."""
+    """Fused attention over transposed int8 K/V (module docstring)."""
     from jax.experimental import pallas as pl
 
     B, H, G, dh = q.shape
-    T = k8.shape[2]
+    T = k8.shape[3]
 
     def kernel(q_ref, k_ref, ks_ref, v_ref, vs_ref, out_ref):
         qb = q_ref[0, 0].astype(jnp.float32)  # (G, dh)
-        kf = k_ref[0, 0].astype(jnp.float32)  # (T, dh)
+        kf = k_ref[0, 0].astype(jnp.float32)  # (dh, T)
         raw = jax.lax.dot_general(
-            qb, kf, (((1,), (1,)), ((), ())),
+            qb, kf, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (G, T)
         logits = raw * ks_ref[0, 0]  # scales include 1/sqrt(dh)
@@ -66,8 +68,11 @@ def cross_attention_q8(q: jax.Array, k8: jax.Array, ks: jax.Array,
         p = jnp.exp(logits - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
         pv = p * vs_ref[0, 0]  # fold V scales into the probs
-        vf = v_ref[0, 0].astype(jnp.float32)  # (T, dh)
-        out_ref[0, 0] = jnp.dot(pv, vf, preferred_element_type=jnp.float32)
+        vf = v_ref[0, 0].astype(jnp.float32)  # (dh, T)
+        out_ref[0, 0] = jax.lax.dot_general(
+            pv, vf, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (G, dh)
 
     return pl.pallas_call(
         kernel,
@@ -75,9 +80,9 @@ def cross_attention_q8(q: jax.Array, k8: jax.Array, ks: jax.Array,
         grid=(B, H),
         in_specs=[
             pl.BlockSpec((1, 1, G, dh), lambda b, h: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, T, dh), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, dh, T), lambda b, h: (b, h, 0, 0)),
             pl.BlockSpec((1, 1, 1, T), lambda b, h: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, T, dh), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, dh, T), lambda b, h: (b, h, 0, 0)),
             pl.BlockSpec((1, 1, 1, T), lambda b, h: (b, h, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, 1, G, dh), lambda b, h: (b, h, 0, 0)),
@@ -98,10 +103,12 @@ def cross_attention_q8_auto(q, k8, ks, v8, vs):
 
 
 def cross_attention_q8_reference(q, k8, ks, v8, vs):
-    """XLA reference implementation (used off-TPU and in tests)."""
-    kf = k8.astype(jnp.float32)  # (B, H, T, dh)
-    logits = jnp.einsum("bhgd,bhtd->bhgt", q.astype(jnp.float32), kf)
+    """XLA reference implementation (used off-TPU and in tests).
+
+    k8/v8 transposed (B, H, dh, T); scales (B, H, 1, T)."""
+    kf = k8.astype(jnp.float32)
+    logits = jnp.einsum("bhgd,bhdt->bhgt", q.astype(jnp.float32), kf)
     logits = logits * ks  # (B, H, 1, T) broadcasts over G
     p = jax.nn.softmax(logits, axis=-1)
     pv = p * vs
-    return jnp.einsum("bhgt,bhtd->bhgd", pv, v8.astype(jnp.float32))
+    return jnp.einsum("bhgt,bhdt->bhgd", pv, v8.astype(jnp.float32))

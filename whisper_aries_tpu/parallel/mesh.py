@@ -89,12 +89,11 @@ def auto_windows_per_device(
     TPU-native replacement for the reference's VRAM-based worker heuristics
     (final_optimized_transcriber.py:219-240, complete_fixed_whisper.py:
     638-678). Anchored empirically: large-v3 at beam 5 / 103 cache
-    positions fits 20 windows in a 16 GB v5e chip (measured; the dominant
-    per-window buffers are the bf16 cross-K/V ~491 MB plus the beam
-    self-cache and its reorder transient, which scale with
-    beam * cache_len). The engine additionally retries with a halved batch
-    on an HBM OOM, so this only needs to be a good first guess.
-    Clamped to [1, 32].
+    positions fits 32 windows in a 16 GB v5e chip with the transposed
+    int8 cross-K/V + transposed beam self-cache (measured round 2: batch
+    32 runs at 267x realtime, batch 40 exceeds HBM by ~1 GB). The engine
+    additionally retries with a halved batch on an HBM OOM, so this only
+    needs to be a good first guess. Clamped to [1, 48].
     """
     from whisper_aries_tpu.models.whisper import PRESETS
 
@@ -112,15 +111,16 @@ def auto_windows_per_device(
 
     dh = dims.n_text_state // dims.n_text_head
     cache_len = sample_len + 8
-    # relative cost vs the measured anchor configuration
+    # relative cost vs the measured anchor configuration (int8 cross-KV,
+    # bf16 self-cache kept twice across the beam-reorder gather)
     anchor_cost = (
-        2 * 32 * 20 * 1500 * 64 * 2  # large-v3 cross-KV
+        2 * 32 * 20 * 1500 * 64 * 1  # large-v3 int8 cross-KV
         + 2 * 2 * 32 * 5 * 20 * 103 * 64 * 2  # beam self-cache (x2 reorder)
     )
     cost = (
-        2 * dims.n_text_layer * dims.n_text_head * dims.n_audio_ctx * dh * 2
+        2 * dims.n_text_layer * dims.n_text_head * dims.n_audio_ctx * dh * 1
         + 2 * 2 * dims.n_text_layer * beam_size * dims.n_text_head
         * cache_len * dh * 2
     )
-    anchor_windows = 20.0 * (hbm_bytes / (16 * 1024**3))
-    return int(np.clip(anchor_windows * anchor_cost / max(cost, 1), 1, 32))
+    anchor_windows = 32.0 * (hbm_bytes / (16 * 1024**3))
+    return int(np.clip(anchor_windows * anchor_cost / max(cost, 1), 1, 48))

@@ -178,6 +178,33 @@ class AriesTranscriber:
         self.kv_int8 = kvd == "int8" or (kvd == "auto" and on_tpu)
         melb = mel_backend or self.config.decode.mel_backend
         self.use_pallas_mel = melb == "pallas" or (melb == "auto" and on_tpu)
+        self._speech_scorer = self._make_speech_scorer()
+
+    def _make_speech_scorer(self):
+        """Frame speech-probability scorer: the trained Silero-replacement
+        net when its checkpoint ships (weights/vad.safetensors), else the
+        adaptive-energy detector (vad/energy.py). Config: vad.backend."""
+        backend = self.config.vad.backend
+        if backend in ("auto", "learned"):
+            try:
+                from whisper_aries_tpu.models.vad_net import (
+                    init_vad,
+                    make_nn_speech_scorer,
+                )
+                from whisper_aries_tpu.utils.params_io import (
+                    default_weights_dir,
+                    load_params_into,
+                )
+
+                path = default_weights_dir() / "vad.safetensors"
+                params = load_params_into(init_vad(), str(path))
+                log.info("VAD: learned scorer (%s)", path)
+                return make_nn_speech_scorer(params)
+            except Exception as e:
+                if backend == "learned":
+                    raise
+                log.info("VAD: energy scorer (no learned weights: %s)", e)
+        return get_speech_probs
 
     def _mel(self, audio_j: jax.Array) -> jax.Array:
         """Log-mel via the fused Pallas kernel on TPU, XLA FFT elsewhere."""
@@ -231,7 +258,7 @@ class AriesTranscriber:
             return windows
         if vad_filter:
             opts = VadOptions(**(vad_parameters or {}))
-            probs = get_speech_probs(audio)
+            probs = self._speech_scorer(audio)
             speech = collect_speech_segments(probs, opts, total_samples=len(audio))
             if not speech:
                 return []

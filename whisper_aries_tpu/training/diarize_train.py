@@ -1,0 +1,372 @@
+"""Training loops for the VAD / speaker-segmentation / speaker-embedding nets.
+
+Produces the checkpoints that replace Silero VAD and pyannote 3.1 in this
+framework (SURVEY §2.3 N3/N4; reference loads them at
+final_optimized_transcriber.py:440 and conversation_transcriber.py:85-98).
+Zero-egress training: the corpus is formant-synthesised speech
+(training/synth.py) with disjoint train/validation speaker draws.
+
+Models + losses:
+  * VAD (models/vad_net.py): per-frame BCE on noisy mixtures.
+  * SegmentationNet (models/diarize_nets.py): powerset cross-entropy with
+    permutation-invariant training (min over the 6 local-speaker
+    permutations — pyannote 3.1's PIT objective on its powerset classes).
+  * EmbeddingNet: GE2E-style softmax contrastive loss over
+    (speaker, utterance) batches with exclusive centroids.
+
+Run:  python -m whisper_aries_tpu.training.diarize_train \
+          [--target vad|segmentation|embedding|all] [--steps N] [--out DIR]
+
+Checkpoints land as flat safetensors (utils/params_io.py) in
+whisper_aries_tpu/weights/ by default — the directory the engine and
+DiarizationPipeline load at startup.
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import logging
+import time
+from typing import Any, Dict, List, Tuple
+
+import numpy as np
+
+from whisper_aries_tpu.training import synth
+from whisper_aries_tpu.utils.params_io import default_weights_dir, save_params
+
+log = logging.getLogger(__name__)
+
+# powerset class index for every (a0, a1, a2) activity triple (<=2 active)
+_POWERSET_LOOKUP = np.zeros((2, 2, 2), np.int32)
+
+
+def _init_lookup():
+    from whisper_aries_tpu.models.diarize_nets import POWERSET
+
+    for ci, members in enumerate(POWERSET):
+        a = [0, 0, 0]
+        for m in members:
+            a[m] = 1
+        _POWERSET_LOOKUP[a[0], a[1], a[2]] = ci
+
+
+_init_lookup()
+
+_PERMS = list(itertools.permutations(range(3)))  # 6 local-speaker perms
+
+
+def _dataset_vad(rng: np.random.Generator, n: int
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+    xs, ys = [], []
+    for _ in range(n):
+        a, l = synth.vad_example(rng)
+        xs.append(a)
+        ys.append(l)
+    return np.stack(xs), np.stack(ys)
+
+
+def _dataset_seg(rng: np.random.Generator, n: int
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+    xs, ys = [], []
+    for _ in range(n):
+        a, act = synth.diarization_window(rng)
+        xs.append(a)
+        ys.append(act)
+    return np.stack(xs), np.stack(ys)
+
+
+# ---------------------------------------------------------------------------
+# VAD
+# ---------------------------------------------------------------------------
+
+
+def train_vad(steps: int = 600, batch: int = 32, lr: float = 1e-3,
+              seed: int = 0, n_train: int = 768, n_val: int = 128,
+              log_every: int = 50) -> Tuple[Dict[str, Any], Dict[str, float]]:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from whisper_aries_tpu.models.vad_net import VadDims, init_vad, vad_forward
+
+    rng = np.random.default_rng(seed)
+    rng_val = np.random.default_rng(10_000 + seed)
+    log.info("VAD: generating %d train / %d val examples...", n_train, n_val)
+    X, Y = _dataset_vad(rng, n_train)
+    Xv, Yv = _dataset_vad(rng_val, n_val)
+
+    dims = VadDims()
+    params = init_vad(dims)
+    tx = optax.adam(lr)
+    opt = tx.init(params)
+
+    def loss_fn(p, audio, labels):
+        probs = vad_forward(p, audio, dims)
+        probs = jnp.clip(probs, 1e-6, 1 - 1e-6)
+        bce = -(labels * jnp.log(probs) + (1 - labels) * jnp.log(1 - probs))
+        return bce.mean()
+
+    @jax.jit
+    def step_fn(p, o, audio, labels):
+        l, g = jax.value_and_grad(loss_fn)(p, audio, labels)
+        updates, o = tx.update(g, o)
+        return optax.apply_updates(p, updates), o, l
+
+    t0 = time.time()
+    for s in range(steps):
+        idx = rng.integers(0, n_train, batch)
+        params, opt, l = step_fn(params, opt, jnp.asarray(X[idx]),
+                                 jnp.asarray(Y[idx]))
+        if s % log_every == 0 or s == steps - 1:
+            log.info("vad step %d loss %.4f (%.1fs)", s, float(l),
+                     time.time() - t0)
+
+    # validation: frame accuracy vs the classical energy scorer
+    from whisper_aries_tpu.vad.energy import get_speech_probs
+
+    probs = np.asarray(vad_forward(params, jnp.asarray(Xv), dims))
+    acc_nn = float((((probs > 0.5) == (Yv > 0.5))).mean())
+    acc_energy = float(np.mean([
+        ((get_speech_probs(Xv[i]) > 0.5) == (Yv[i] > 0.5)).mean()
+        for i in range(n_val)
+    ]))
+    metrics = {"val_acc": acc_nn, "val_acc_energy_baseline": acc_energy}
+    log.info("VAD val acc: nn=%.4f energy=%.4f", acc_nn, acc_energy)
+    return params, metrics
+
+
+# ---------------------------------------------------------------------------
+# Segmentation (powerset + PIT)
+# ---------------------------------------------------------------------------
+
+
+def train_segmentation(steps: int = 800, batch: int = 16, lr: float = 3e-4,
+                       seed: int = 1, n_train: int = 512, n_val: int = 96,
+                       log_every: int = 50
+                       ) -> Tuple[Dict[str, Any], Dict[str, float]]:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from whisper_aries_tpu.audio.mel import log_mel_spectrogram
+    from whisper_aries_tpu.models.diarize_nets import (
+        SegDims,
+        init_segmentation,
+        segmentation_forward,
+    )
+
+    rng = np.random.default_rng(seed)
+    rng_val = np.random.default_rng(20_000 + seed)
+    log.info("SEG: generating %d train / %d val windows...", n_train, n_val)
+    X, Y = _dataset_seg(rng, n_train)          # X (N, 160000), Y (N, 500, 3)
+    Xv, Yv = _dataset_seg(rng_val, n_val)
+
+    dims = SegDims()
+    params = init_segmentation(dims)
+    tx = optax.adam(lr)
+    opt = tx.init(params)
+    lookup = jnp.asarray(_POWERSET_LOOKUP)
+    perms = jnp.asarray(_PERMS)  # (6, 3)
+
+    def pit_loss(p, audio, act):
+        mel = log_mel_spectrogram(audio)          # (B, 80, 1000)
+        logp = segmentation_forward(p, mel, dims)  # (B, 500, 7)
+        a = act.astype(jnp.int32)                  # (B, F, 3)
+
+        def perm_ce(perm):
+            ap = a[:, :, perm]                     # (B, F, 3)
+            cls = lookup[ap[..., 0], ap[..., 1], ap[..., 2]]  # (B, F)
+            ce = -jnp.take_along_axis(logp, cls[..., None], axis=-1)[..., 0]
+            return ce.mean(axis=1)                 # (B,)
+
+        ces = jax.vmap(perm_ce)(perms)             # (6, B)
+        return jnp.min(ces, axis=0).mean()
+
+    @jax.jit
+    def step_fn(p, o, audio, act):
+        l, g = jax.value_and_grad(pit_loss)(p, audio, act)
+        updates, o = tx.update(g, o)
+        return optax.apply_updates(p, updates), o, l
+
+    t0 = time.time()
+    for s in range(steps):
+        idx = rng.integers(0, n_train, batch)
+        params, opt, l = step_fn(params, opt, jnp.asarray(X[idx]),
+                                 jnp.asarray(Y[idx]))
+        if s % log_every == 0 or s == steps - 1:
+            log.info("seg step %d loss %.4f (%.1fs)", s, float(l),
+                     time.time() - t0)
+
+    metrics = {"val_frame_acc": _seg_val_accuracy(params, Xv, Yv, dims)}
+    log.info("SEG val best-perm frame acc: %.4f", metrics["val_frame_acc"])
+    return params, metrics
+
+
+def _seg_val_accuracy(params, Xv, Yv, dims) -> float:
+    import jax.numpy as jnp
+
+    from whisper_aries_tpu.audio.mel import log_mel_spectrogram
+    from whisper_aries_tpu.models.diarize_nets import (
+        powerset_to_multilabel,
+        segmentation_forward,
+    )
+
+    accs = []
+    for i in range(0, len(Xv), 16):
+        mel = log_mel_spectrogram(jnp.asarray(Xv[i : i + 16]))
+        ml = powerset_to_multilabel(
+            np.asarray(segmentation_forward(params, mel, dims))
+        ) > 0.5
+        want = Yv[i : i + 16] > 0.5
+        for b in range(ml.shape[0]):
+            best = max(
+                (ml[b][:, list(p)] == want[b]).mean() for p in _PERMS
+            )
+            accs.append(best)
+    return float(np.mean(accs))
+
+
+# ---------------------------------------------------------------------------
+# Embedding (GE2E-style)
+# ---------------------------------------------------------------------------
+
+
+def train_embedding(steps: int = 700, n_spk: int = 12, n_utt: int = 4,
+                    lr: float = 3e-4, seed: int = 2, log_every: int = 50,
+                    n_batches: int = 48
+                    ) -> Tuple[Dict[str, Any], Dict[str, float]]:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from whisper_aries_tpu.audio.mel import log_mel_spectrogram
+    from whisper_aries_tpu.models.diarize_nets import (
+        EmbDims,
+        embedding_forward,
+        init_embedding,
+    )
+
+    rng = np.random.default_rng(seed)
+    log.info("EMB: generating %d contrastive batches (%dx%d utts)...",
+             n_batches, n_spk, n_utt)
+    batches = [synth.embedding_batch(rng, n_spk, n_utt)[0]
+               for _ in range(n_batches)]
+
+    dims = EmbDims()
+    params = init_embedding(dims)
+    tx = optax.adam(lr)
+    opt = tx.init(params)
+    scale, bias = 10.0, -5.0  # GE2E init, kept fixed (stable for small nets)
+
+    def ge2e_loss(p, audio):
+        mel = log_mel_spectrogram(audio)             # (S*U, 80, T)
+        emb = embedding_forward(p, mel)              # (S*U, D) L2-normed
+        e = emb.reshape(n_spk, n_utt, -1)
+        cent = e.mean(axis=1)                        # (S, D) inclusive
+        cent = cent / jnp.linalg.norm(cent, axis=-1, keepdims=True)
+        # exclusive centroid for the own-speaker column
+        excl = (e.sum(axis=1, keepdims=True) - e) / (n_utt - 1)
+        excl = excl / jnp.linalg.norm(excl, axis=-1, keepdims=True)
+        sim = jnp.einsum("sud,kd->suk", e, cent)     # (S, U, S)
+        own = jnp.einsum("sud,sud->su", e, excl)     # (S, U)
+        s_idx = jnp.arange(n_spk)
+        sim = sim.at[s_idx, :, s_idx].set(own)
+        logits = scale * sim + bias
+        labels = jnp.tile(s_idx[:, None], (1, n_utt))
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        return -jnp.take_along_axis(logp, labels[..., None], axis=-1).mean()
+
+    @jax.jit
+    def step_fn(p, o, audio):
+        l, g = jax.value_and_grad(ge2e_loss)(p, audio)
+        updates, o = tx.update(g, o)
+        return optax.apply_updates(p, updates), o, l
+
+    t0 = time.time()
+    for s in range(steps):
+        audio = batches[int(rng.integers(0, len(batches)))]
+        params, opt, l = step_fn(params, opt, jnp.asarray(audio))
+        if s % log_every == 0 or s == steps - 1:
+            log.info("emb step %d loss %.4f (%.1fs)", s, float(l),
+                     time.time() - t0)
+
+    metrics = _emb_val_metrics(params, seed=30_000 + seed)
+    log.info("EMB val: same=%.3f diff=%.3f margin=%.3f",
+             metrics["same_cos"], metrics["diff_cos"], metrics["margin"])
+    return params, metrics
+
+
+def _emb_val_metrics(params, seed: int, n_spk: int = 10, n_utt: int = 6
+                     ) -> Dict[str, float]:
+    import jax.numpy as jnp
+
+    from whisper_aries_tpu.audio.mel import log_mel_spectrogram
+    from whisper_aries_tpu.models.diarize_nets import embedding_forward
+
+    rng = np.random.default_rng(seed)
+    audio, _ = synth.embedding_batch(rng, n_spk, n_utt)
+    emb = np.asarray(
+        embedding_forward(params, log_mel_spectrogram(jnp.asarray(audio)))
+    ).reshape(n_spk, n_utt, -1)
+    sims = emb.reshape(n_spk * n_utt, -1) @ emb.reshape(n_spk * n_utt, -1).T
+    same_mask = np.kron(np.eye(n_spk, dtype=bool), np.ones((n_utt, n_utt), bool))
+    np.fill_diagonal(sims, np.nan)
+    same = np.nanmean(np.where(same_mask, sims, np.nan))
+    diff = np.nanmean(np.where(~same_mask, sims, np.nan))
+    return {"same_cos": float(same), "diff_cos": float(diff),
+            "margin": float(same - diff)}
+
+
+# ---------------------------------------------------------------------------
+# CLI
+# ---------------------------------------------------------------------------
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        description="Train the VAD / diarization nets on synthetic speech"
+    )
+    p.add_argument("--target", default="all",
+                   choices=["vad", "segmentation", "embedding", "all"])
+    p.add_argument("--steps", type=int, default=None,
+                   help="override per-model default step counts")
+    p.add_argument("--out", default=None,
+                   help="output dir (default: whisper_aries_tpu/weights/)")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+    logging.basicConfig(level=logging.INFO,
+                        format="%(levelname)s %(name)s: %(message)s")
+    out = args.out or str(default_weights_dir())
+
+    import json
+    from pathlib import Path
+
+    all_metrics: Dict[str, Dict[str, float]] = {}
+    if args.target in ("vad", "all"):
+        params, m = train_vad(steps=args.steps or 600, seed=args.seed)
+        save_params(f"{out}/vad.safetensors", params)
+        all_metrics["vad"] = m
+    if args.target in ("segmentation", "all"):
+        params, m = train_segmentation(steps=args.steps or 800,
+                                       seed=args.seed + 1)
+        save_params(f"{out}/segmentation.safetensors", params)
+        all_metrics["segmentation"] = m
+    if args.target in ("embedding", "all"):
+        params, m = train_embedding(steps=args.steps or 700,
+                                    seed=args.seed + 2)
+        save_params(f"{out}/embedding.safetensors", params)
+        all_metrics["embedding"] = m
+
+    mpath = Path(out) / "TRAINING.json"
+    existing = {}
+    if mpath.exists():
+        existing = json.loads(mpath.read_text())
+    existing.update(all_metrics)
+    mpath.write_text(json.dumps(existing, indent=2))
+    print(json.dumps(all_metrics, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

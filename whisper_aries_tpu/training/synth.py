@@ -1,0 +1,259 @@
+"""Synthetic speech corpus generation for VAD / diarization training.
+
+This container is zero-egress, so the Silero/pyannote replacement models
+(SURVEY §2.3 N3/N4) are trained on synthetic speech: formant-synthesised
+"speakers" (glottal-harmonic source + per-speaker formant envelope), syllable
+gating, unvoiced fricative bursts, and realistic noise (white/pink/hum/
+babble). The generator exposes exactly the labels the three models need:
+
+  * VAD: per-512-sample-frame speech flags for noisy mixtures,
+  * segmentation: per-20 ms-frame activity of up to 3 local speakers
+    (<=2 simultaneously, the pyannote 3.1 powerset constraint),
+  * embedding: (speaker, utterance) pairs with per-utterance prosody
+    variation but a stable per-speaker vocal tract.
+
+Every function is pure numpy (host): data generation overlaps with the TPU
+train step. Speakers are fully parameterised by ``Voice`` so train/val
+splits draw disjoint speaker sets.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+SR = 16_000
+
+
+@dataclass(frozen=True)
+class Voice:
+    """A synthetic speaker: pitch + 3-formant vocal tract + color."""
+
+    f0: float                 # base pitch, Hz
+    formants: Tuple[float, float, float]
+    bandwidths: Tuple[float, float, float]
+    tilt: float               # spectral tilt exponent (harmonic rolloff)
+    breathiness: float        # aspiration noise mixed into voicing
+
+
+def random_voice(rng: np.random.Generator) -> Voice:
+    f1 = rng.uniform(300.0, 900.0)
+    f2 = rng.uniform(max(f1 + 300, 1000.0), 2600.0)
+    f3 = rng.uniform(max(f2 + 300, 2600.0), 3800.0)
+    return Voice(
+        f0=float(rng.uniform(85.0, 300.0)),
+        formants=(float(f1), float(f2), float(f3)),
+        bandwidths=(float(rng.uniform(60, 140)), float(rng.uniform(80, 180)),
+                    float(rng.uniform(100, 240))),
+        tilt=float(rng.uniform(0.8, 1.6)),
+        breathiness=float(rng.uniform(0.01, 0.08)),
+    )
+
+
+def _syllable_gate(rng: np.random.Generator, n: int,
+                   speech_rate: float = 1.0) -> np.ndarray:
+    """(n,) float envelope in [0,1]: syllables grouped into phrases with
+    pauses; ~10 ms raised-cosine ramps."""
+    gate = np.zeros(n, np.float32)
+    t = int(rng.uniform(0, 0.2 * SR))
+    while t < n:
+        # one phrase: 2-9 syllables
+        for _ in range(rng.integers(2, 10)):
+            dur = int(rng.uniform(0.08, 0.35) * SR / speech_rate)
+            gap = int(rng.uniform(0.01, 0.12) * SR)
+            end = min(n, t + dur)
+            gate[t:end] = 1.0
+            t = end + gap
+            if t >= n:
+                break
+        t += int(rng.uniform(0.15, 0.8) * SR)  # inter-phrase pause
+    ramp = int(0.01 * SR)
+    if ramp > 1:
+        win = np.hanning(2 * ramp + 1).astype(np.float32)
+        win /= win.sum()
+        gate = np.convolve(gate, win, mode="same")
+    return np.clip(gate, 0.0, 1.0)
+
+
+def _spectral_noise(rng: np.random.Generator, n: int, lo: float, hi: float
+                    ) -> np.ndarray:
+    """Band-limited noise via rfft masking."""
+    x = rng.standard_normal(n).astype(np.float32)
+    spec = np.fft.rfft(x)
+    freqs = np.fft.rfftfreq(n, 1.0 / SR)
+    mask = ((freqs >= lo) & (freqs <= hi)).astype(np.float32)
+    y = np.fft.irfft(spec * mask, n=n).astype(np.float32)
+    s = y.std()
+    return y / max(s, 1e-6)
+
+
+def synth_utterance(rng: np.random.Generator, voice: Voice, dur_s: float,
+                    speech_rate: float = 1.0
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+    """One speaker talking: returns (audio (n,), activity gate (n,))."""
+    n = int(dur_s * SR)
+    t = np.arange(n, dtype=np.float32) / SR
+
+    # pitch contour: slow wander + vibrato + per-utterance offset
+    wander = np.interp(
+        np.arange(n), np.linspace(0, n, 12),
+        rng.uniform(-0.12, 0.12, 12)
+    ).astype(np.float32)
+    f0 = voice.f0 * (1.0 + wander + 0.015 * np.sin(2 * np.pi * 5.3 * t))
+    phase = 2.0 * np.pi * np.cumsum(f0) / SR  # (n,)
+
+    # formant envelope sampled at harmonic frequencies, slow formant motion
+    fmove = 1.0 + 0.08 * np.interp(
+        np.arange(n), np.linspace(0, n, 8), rng.uniform(-1, 1, 8)
+    ).astype(np.float32)
+    k_max = int(min(40, 7600.0 / voice.f0))
+    voiced = np.zeros(n, np.float32)
+    for k in range(1, k_max + 1):
+        fk = k * f0  # (n,)
+        amp = np.zeros(n, np.float32)
+        for (fc, bw) in zip(voice.formants, voice.bandwidths):
+            amp += np.exp(-0.5 * ((fk - fc * fmove) / (1.8 * bw)) ** 2)
+        amp = (amp + 0.05) / (k ** voice.tilt)
+        voiced += amp * np.sin(k * phase)
+    voiced /= max(np.abs(voiced).max(), 1e-6)
+
+    gate = _syllable_gate(rng, n, speech_rate)
+    # some syllables are unvoiced fricatives (high-band noise)
+    fric = _spectral_noise(rng, n, 2500.0, 7800.0) * 0.35
+    fric_sel = (np.interp(
+        np.arange(n), np.linspace(0, n, 24), rng.uniform(0, 1, 24)
+    ) > 0.8).astype(np.float32)
+    asp = voice.breathiness * _spectral_noise(rng, n, 300.0, 6000.0)
+    speech = gate * ((1 - fric_sel) * (voiced + asp) + fric_sel * fric)
+    level = rng.uniform(0.08, 0.3)
+    speech = speech * level
+    return speech.astype(np.float32), (gate > 0.5).astype(np.float32)
+
+
+def synth_noise(rng: np.random.Generator, n: int,
+                kind: Optional[str] = None) -> np.ndarray:
+    """Background noise, unit RMS. Kinds: white, pink, hum, babble."""
+    if kind is None:
+        kind = rng.choice(["white", "pink", "hum", "babble"])
+    if kind == "white":
+        y = rng.standard_normal(n).astype(np.float32)
+    elif kind == "pink":
+        spec = np.fft.rfft(rng.standard_normal(n).astype(np.float32))
+        f = np.fft.rfftfreq(n, 1.0 / SR)
+        spec = spec / np.sqrt(np.maximum(f, 1.0))
+        y = np.fft.irfft(spec, n=n).astype(np.float32)
+    elif kind == "hum":
+        t = np.arange(n, dtype=np.float32) / SR
+        y = sum(
+            a * np.sin(2 * np.pi * 50.0 * h * t)
+            for h, a in ((1, 1.0), (2, 0.4), (3, 0.2))
+        ) + 0.2 * rng.standard_normal(n).astype(np.float32)
+    else:  # babble: many faint distant speakers
+        y = np.zeros(n, np.float32)
+        for _ in range(6):
+            s, _ = synth_utterance(rng, random_voice(rng), n / SR,
+                                   speech_rate=1.3)
+            y += s
+    y = np.asarray(y, np.float32)
+    return y / max(y.std(), 1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Labelled examples
+# ---------------------------------------------------------------------------
+
+VAD_FRAME = 512  # matches vad/energy.py and models/vad_net.py
+
+
+def vad_example(rng: np.random.Generator, dur_s: float = 9.92
+                ) -> Tuple[np.ndarray, np.ndarray]:
+    """(audio (n,), labels (n//512,)) noisy mixture with frame speech flags."""
+    n = int(dur_s * SR) // VAD_FRAME * VAD_FRAME
+    has_speech = rng.uniform() > 0.2
+    if has_speech:
+        speech, gate = synth_utterance(rng, random_voice(rng), n / SR)
+    else:
+        speech, gate = np.zeros(n, np.float32), np.zeros(n, np.float32)
+    noise = synth_noise(rng, n)
+    snr_db = rng.uniform(-2.0, 30.0)
+    sp_rms = speech.std() if has_speech else 0.0
+    noise_level = (sp_rms / (10 ** (snr_db / 20.0))) if sp_rms > 0 else \
+        rng.uniform(0.005, 0.08)
+    audio = speech + noise_level * noise
+    labels = gate[: n // VAD_FRAME * VAD_FRAME].reshape(-1, VAD_FRAME)
+    labels = (labels.mean(axis=1) > 0.4).astype(np.float32)
+    return audio.astype(np.float32), labels
+
+
+SEG_FRAME_S = 0.02  # segmentation label hop (mel 10ms x conv stride 2)
+
+
+def diarization_window(rng: np.random.Generator, dur_s: float = 10.0,
+                       voices: Optional[List[Voice]] = None
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+    """(audio (n,), activity (n_frames, 3)) — a multi-speaker conversation
+    window with turn-taking and <=2-way overlap (powerset constraint)."""
+    n = int(dur_s * SR)
+    n_frames = int(dur_s / SEG_FRAME_S) // 2 * 2 // 1
+    n_frames = int(round(dur_s / SEG_FRAME_S / 2)) * 2  # even, 500 for 10 s
+    if voices is None:
+        n_spk = int(rng.integers(1, 4))
+        voices = [random_voice(rng) for _ in range(n_spk)]
+    K = len(voices)
+    audio = np.zeros(n, np.float32)
+    act = np.zeros((n, K), np.float32)
+
+    t = rng.uniform(0.0, 1.0)
+    cur = int(rng.integers(0, K))
+    while t < dur_s:
+        turn = rng.uniform(0.8, 3.5)
+        i0, i1 = int(t * SR), min(n, int((t + turn) * SR))
+        if i1 - i0 > SR // 10:
+            # synth_utterance rounds duration*SR down — request a hair more
+            # and slice to the exact span
+            seg, gate = synth_utterance(rng, voices[cur],
+                                        (i1 - i0) / SR + 1e-4)
+            audio[i0:i1] += seg[: i1 - i0]
+            act[i0:i1, cur] = gate[: i1 - i0]
+        # overlap: next speaker may start before this turn ends
+        if K > 1 and rng.uniform() < 0.3:
+            t = t + turn * rng.uniform(0.6, 0.95)
+        else:
+            t = t + turn + rng.uniform(0.05, 0.6)
+        if K > 1:
+            nxt = int(rng.integers(0, K))
+            cur = nxt if nxt != cur else (nxt + 1) % K
+    audio += rng.uniform(0.002, 0.02) * synth_noise(rng, n)
+
+    # sample-level activity -> 20 ms frames, pad speaker axis to 3
+    frames = act[: n_frames * int(SEG_FRAME_S * SR)].reshape(
+        n_frames, int(SEG_FRAME_S * SR), K
+    ).mean(axis=1)
+    frames = (frames > 0.4).astype(np.float32)
+    # enforce <=2 simultaneous (drop the weakest when 3 collide)
+    over = frames.sum(axis=1) > 2
+    if over.any():
+        frames[over, 2] = 0.0
+    out = np.zeros((n_frames, 3), np.float32)
+    out[:, :K] = frames
+    return audio.astype(np.float32), out
+
+
+def embedding_batch(rng: np.random.Generator, n_speakers: int, n_utt: int,
+                    dur_s: float = 2.0, voices: Optional[List[Voice]] = None
+                    ) -> Tuple[np.ndarray, List[Voice]]:
+    """(audio (n_speakers*n_utt, n), voices): per-speaker utterance groups
+    (row-major speaker blocks) for contrastive training."""
+    if voices is None:
+        voices = [random_voice(rng) for _ in range(n_speakers)]
+    n = int(dur_s * SR)
+    rows = []
+    for v in voices:
+        for _ in range(n_utt):
+            s, _ = synth_utterance(rng, v, dur_s,
+                                   speech_rate=float(rng.uniform(0.8, 1.3)))
+            s = s + rng.uniform(0.002, 0.02) * synth_noise(rng, n)
+            rows.append(s[:n])
+    return np.stack(rows).astype(np.float32), voices

@@ -27,8 +27,10 @@ def get_speech_probs(audio: np.ndarray, frame_size: int = FRAME_SIZE) -> np.ndar
 
     Pure numpy (host): VAD runs once per file at ~0.01% of transcription
     compute; keeping it off-device avoids a host<->device round trip per
-    chunk. A learned Silero-style JAX model can replace this scorer via the
-    ``vad_model`` hook in the engine.
+    chunk. The learned Silero-replacement scorer (models/vad_net.py, weights
+    shipped in whisper_aries_tpu/weights/) replaces this one when
+    ``config.vad.backend`` is "auto"/"learned" — see
+    AriesTranscriber._make_speech_scorer.
     """
     x = np.asarray(audio, dtype=np.float32)
     n_frames = len(x) // frame_size
