@@ -285,3 +285,90 @@ def test_sequential_mode_single_prompt_shape(tiny_engine, tmp_path):
     assert len(shapes) >= 3  # 65 s -> 3 windows
     widths = {s[-1] for s in shapes}
     assert len(widths) == 1, shapes
+
+
+def _long_wav(tmp_path, seconds=65.0, name="resume.wav"):
+    rng = np.random.default_rng(5)
+    sr = 16000
+    t = np.arange(int(seconds * sr)) / sr
+    x = (0.3 * np.sin(2 * np.pi * 250 * t)
+         * (0.6 + 0.4 * np.sin(2 * np.pi * 3 * t))).astype(np.float32)
+    x += 0.01 * rng.standard_normal(len(t)).astype(np.float32)
+    p = str(tmp_path / name)
+    write_wav(p, x, sr)
+    return p
+
+
+def test_resume_skips_decoded_windows(tiny_engine, tmp_path):
+    """A journal from a killed run must prevent re-decoding those windows,
+    and the resumed result must equal the uninterrupted one."""
+    wav = _long_wav(tmp_path)
+    journal = str(tmp_path / "resume.jsonl")
+    kw = dict(language="en", beam_size=1, max_new_tokens=8, vad_filter=False,
+              output_formats=(), temperature=(0.0,))
+
+    # full run with journal (baseline)
+    full = tiny_engine.transcribe_file(wav, resume_path=journal, **kw)
+    assert full["success"] and full["num_windows"] >= 3
+
+    # simulate a crash after the journal was written: re-run and count
+    # decode calls — every window is journaled, so none should decode
+    calls = {"n": 0}
+    real = AriesTranscriber._decode_batch
+
+    def spy(self, *a, **k):
+        calls["n"] += 1
+        return real(self, *a, **k)
+
+    AriesTranscriber._decode_batch = spy
+    try:
+        resumed = tiny_engine.transcribe_file(wav, resume_path=journal, **kw)
+    finally:
+        AriesTranscriber._decode_batch = real
+    assert calls["n"] == 0
+    assert resumed["success"]
+    assert [s["text"] for s in resumed["segments"]] == \
+        [s["text"] for s in full["segments"]]
+    assert [round(s["start"], 2) for s in resumed["segments"]] == \
+        [round(s["start"], 2) for s in full["segments"]]
+
+
+def test_resume_partial_journal(tiny_engine, tmp_path):
+    """A journal holding only some windows re-decodes exactly the rest."""
+    import json as _json
+
+    wav = _long_wav(tmp_path, name="partial.wav")
+    journal = str(tmp_path / "partial.jsonl")
+    kw = dict(language="en", beam_size=1, max_new_tokens=8, vad_filter=False,
+              output_formats=(), temperature=(0.0,))
+    full = tiny_engine.transcribe_file(wav, resume_path=journal, **kw)
+
+    # keep only the first journaled window ("crash" after window 0)
+    lines = open(journal).read().splitlines()
+    kept = [lines[0]] + [
+        l for l in lines[1:] if _json.loads(l)["window_id"] == 0
+    ]
+    with open(journal, "w") as f:
+        f.write("\n".join(kept) + "\n")
+
+    resumed = tiny_engine.transcribe_file(wav, resume_path=journal, **kw)
+    assert resumed["success"]
+    assert [s["text"] for s in resumed["segments"]] == \
+        [s["text"] for s in full["segments"]]
+
+
+def test_resume_plan_change_discards_journal(tiny_engine, tmp_path):
+    wav = _long_wav(tmp_path, name="planchange.wav")
+    journal = str(tmp_path / "pc.jsonl")
+    kw = dict(language="en", beam_size=1, vad_filter=False,
+              output_formats=(), temperature=(0.0,))
+    tiny_engine.transcribe_file(wav, resume_path=journal, max_new_tokens=8,
+                                **kw)
+    # different decode config -> different plan signature -> fresh journal
+    res = tiny_engine.transcribe_file(wav, resume_path=journal,
+                                      max_new_tokens=6, **kw)
+    assert res["success"]
+    import json as _json
+
+    header = _json.loads(open(journal).read().splitlines()[0])
+    assert "plan_sig" in header

@@ -52,6 +52,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="disable VAD filtering")
     p.add_argument("--initial-prompt", default=None)
     p.add_argument("--model-cache", default="./models")
+    p.add_argument("--resume", default=None, metavar="JOURNAL",
+                   help="per-window resume journal path; rerunning after a "
+                        "crash skips already-decoded windows")
     p.add_argument("--allow-random", action="store_true",
                    help="run with random weights if no checkpoint (perf tests)")
     p.add_argument("--verbose", "-v", action="store_true")
@@ -105,6 +108,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         vad_filter=not args.no_vad,
         initial_prompt=args.initial_prompt,
         word_timestamps=args.word_timestamps,
+        resume_path=args.resume,
     )
     if not result.get("success"):
         print(f"transcription failed: {result.get('error')}", file=sys.stderr)

@@ -75,6 +75,79 @@ from whisper_aries_tpu.utils.memory import is_oom_error as _is_oom
 log = logging.getLogger(__name__)
 
 
+def _plan_signature(windows: Sequence[Window], model_size: str,
+                    beam: int, sample_len: int) -> str:
+    """Stable id of (window plan, decode config) for resume-journal safety:
+    a journal written under a different plan must not be replayed."""
+    import hashlib
+
+    h = hashlib.sha1()
+    h.update(f"{model_size}|{beam}|{sample_len}|{len(windows)}".encode())
+    for w in windows:
+        h.update(f"{w.start:.3f},{w.end:.3f},{w.chunk_id};".encode())
+    return h.hexdigest()
+
+
+class ResumeJournal:
+    """Append-only JSONL journal of per-window decode results.
+
+    SURVEY §5's rebuild decision ("add per-chunk resume, which the chunk
+    architecture makes natural"): a killed job re-runs only the windows
+    whose results were never journaled. Line 1 is a header with the plan
+    signature; a signature mismatch (different file/plan/knobs) discards
+    the stale journal.
+    """
+
+    def __init__(self, path: str, sig: str):
+        self.path = path
+        self.sig = sig
+        self.done: Dict[int, List[Dict[str, Any]]] = {}
+        self._load()
+
+    def _load(self) -> None:
+        p = Path(self.path)
+        if not p.exists():
+            self._write_header()
+            return
+        try:
+            lines = p.read_text(encoding="utf-8").splitlines()
+            header = json.loads(lines[0]) if lines else {}
+            if header.get("plan_sig") != self.sig:
+                log.info("resume journal %s: plan changed, starting fresh",
+                         self.path)
+                self._write_header()
+                return
+            for line in lines[1:]:
+                try:
+                    rec = json.loads(line)
+                    self.done[int(rec["window_id"])] = rec["segments"]
+                except Exception:
+                    continue  # torn tail write from a crash
+            if self.done:
+                log.info("resume journal %s: %d windows already decoded",
+                         self.path, len(self.done))
+        except Exception as e:
+            log.warning("resume journal %s unreadable (%s); starting fresh",
+                        self.path, e)
+            self._write_header()
+
+    def _write_header(self) -> None:
+        self.done = {}
+        Path(self.path).parent.mkdir(parents=True, exist_ok=True)
+        with open(self.path, "w", encoding="utf-8") as f:
+            f.write(json.dumps({"plan_sig": self.sig}) + "\n")
+
+    def record(self, window_id: int, segments: List[Dict[str, Any]]) -> None:
+        self.done[window_id] = segments
+        with open(self.path, "a", encoding="utf-8") as f:
+            f.write(json.dumps({"window_id": window_id,
+                                "segments": segments}) + "\n")
+            f.flush()
+            import os as _os
+
+            _os.fsync(f.fileno())
+
+
 class DummyTokenizer:
     """Tokenizer stand-in for random-weight runs (perf benchmarks)."""
 
@@ -363,6 +436,7 @@ class AriesTranscriber:
         chunking_mode: str = "vad",
         overlap_strategy: Optional[str] = None,
         condition_on_previous_text: bool = False,
+        resume_path: Optional[str] = None,
     ) -> Dict[str, Any]:
         """Transcribe one file end to end; returns the result dict and writes
         any requested output formats.
@@ -375,6 +449,9 @@ class AriesTranscriber:
         prompted with the previous window's text via <|startofprev|>
         (faster-whisper semantics; the reference disables it for parallelism,
         final_optimized_transcriber.py:437).
+        ``resume_path``: per-window resume journal (JSONL). A killed run
+        restarted with the same path re-decodes only the unfinished windows
+        (SURVEY §5 checkpoint/resume).
         """
         t0 = time.time()
         self.last_monitor = None
@@ -419,6 +496,13 @@ class AriesTranscriber:
                 prompt_ids = prev + prompt_ids
                 sot_idx = len(prev)
 
+            journal = None
+            if resume_path:
+                journal = ResumeJournal(
+                    resume_path,
+                    _plan_signature(windows, self.model_size,
+                                    beam or 1, max_new_tokens),
+                )
             if condition_on_previous_text:
                 segments = self._transcribe_windows_sequential(
                     batch_np, windows, prompt_ids, sot_idx, beam, temps,
@@ -426,7 +510,7 @@ class AriesTranscriber:
                     compression_ratio_threshold, log_prob_threshold,
                     no_speech_threshold, progress_callback,
                     rep_penalty=repetition_penalty, patience=patience,
-                    ngram=ngram,
+                    ngram=ngram, journal=journal,
                 )
             else:
                 segments = self._transcribe_windows(
@@ -435,7 +519,7 @@ class AriesTranscriber:
                     compression_ratio_threshold, log_prob_threshold,
                     no_speech_threshold, progress_callback,
                     best_of=best_of, rep_penalty=repetition_penalty,
-                    patience=patience, ngram=ngram,
+                    patience=patience, ngram=ngram, journal=journal,
                 )
             if chunking_mode == "fixed":
                 from whisper_aries_tpu.utils.segments import (
@@ -494,25 +578,30 @@ class AriesTranscriber:
         self, batch_np, windows, prompt_ids, sot_idx, beam, temps,
         length_penalty, sample_len, cr_thresh, lp_thresh, ns_thresh,
         progress_callback=None, best_of: int = 5, rep_penalty: float = 1.0,
-        patience: float = 1.0, ngram: int = 0,
+        patience: float = 1.0, ngram: int = 0, journal=None,
     ) -> List[Dict[str, Any]]:
         from whisper_aries_tpu.utils.perf import PerformanceMonitor
 
         B = self.batch_size
         N = len(windows)
         all_segments: List[Dict[str, Any]] = []
+        # windows already decoded in a previous (killed) run of this job
+        done = dict(journal.done) if journal is not None else {}
+        for segs in done.values():
+            all_segments.extend(segs)
+        pending = [i for i in range(N) if i not in done]
         monitor = PerformanceMonitor(
-            total_audio_s=sum(w.duration for w in windows)
+            total_audio_s=sum(windows[i].duration for i in pending)
         )
         self.last_monitor = monitor
 
-        next_w = 0  # first unprocessed window (OOM retries resume here)
+        pos = 0  # index into pending (OOM retries resume here)
         bi = 0
-        while next_w < N:
+        while pos < len(pending):
             t_batch = time.time()
-            sl = slice(next_w, min(N, next_w + B))
-            wb = windows[sl]
-            chunk, n_real = pad_to_multiple(batch_np[sl], B)
+            batch_idx = pending[pos : pos + B]
+            wb = [windows[i] for i in batch_idx]
+            chunk, n_real = pad_to_multiple(batch_np[batch_idx], B)
             # shard the window batch over the mesh's data axis so the whole
             # mel+encode+decode program runs data-parallel across chips
             chunk_j = jax.device_put(
@@ -542,7 +631,9 @@ class AriesTranscriber:
             # temperature fallback ladder per window
             for w_i in range(n_real):
                 window = wb[w_i]
+                win_id = batch_idx[w_i]
                 toks = out["tokens"][w_i]
+                failed = False
                 try:
                     segs, quality = self._parse_one(
                         toks, window, len(prompt_ids),
@@ -551,6 +642,8 @@ class AriesTranscriber:
                         cr_thresh, lp_thresh, ns_thresh,
                     )
                     if quality["is_silence"]:
+                        if journal is not None:
+                            journal.record(win_id, [])
                         continue
                     if quality["needs_fallback"] and len(temps) > 1:
                         segs = self._fallback_window(
@@ -563,7 +656,8 @@ class AriesTranscriber:
                     # the file (reference emits ChunkResult(success=False)
                     # and keeps going, final_optimized_transcriber.py:355-365)
                     log.warning("window %d (%.1f-%.1fs) failed: %s",
-                                sl.start + w_i, window.start, window.end, e)
+                                win_id, window.start, window.end, e)
+                    failed = True
                     segs = [{
                         "start": window.start, "end": window.end, "text": "",
                         "success": False, "error": str(e),
@@ -571,20 +665,23 @@ class AriesTranscriber:
                     }]
                 for s in segs:
                     s["chunk_id"] = window.chunk_id
-                    s["window_id"] = sl.start + w_i
+                    s["window_id"] = win_id
                     s["worker_id"] = w_i % max(
                         1, int(np.prod(self.mesh.devices.shape))
                     )
+                # failed windows are NOT journaled: a resume retries them
+                if journal is not None and not failed:
+                    journal.record(win_id, segs)
                 all_segments.extend(segs)
             monitor.record(
                 bi, sum(w.duration for w in wb), time.time() - t_batch,
                 device=bi % max(1, int(np.prod(self.mesh.devices.shape))),
                 kind="batch",
             )
-            next_w = sl.stop
+            pos += B
             bi += 1
             if progress_callback:
-                progress_callback(next_w, N)
+                progress_callback(len(done) + min(pos, len(pending)), N)
 
         all_segments.sort(key=lambda s: (s["start"], s["end"]))
         return all_segments
@@ -593,7 +690,7 @@ class AriesTranscriber:
         self, batch_np, windows, prompt_ids, sot_idx, beam, temps,
         length_penalty, sample_len, cr_thresh, lp_thresh, ns_thresh,
         progress_callback=None, rep_penalty: float = 1.0,
-        patience: float = 1.0, ngram: int = 0,
+        patience: float = 1.0, ngram: int = 0, journal=None,
     ) -> List[Dict[str, Any]]:
         """Window-by-window decode with cross-window text conditioning.
 
@@ -613,7 +710,17 @@ class AriesTranscriber:
         w_sot = P_max - len(sot_seq)  # sot position is constant when padded
         all_segments: List[Dict[str, Any]] = []
         prev_tokens: List[int] = []
+        done = dict(journal.done) if journal is not None else {}
         for wi, window in enumerate(windows):
+            if wi in done:
+                segs = done[wi]
+                all_segments.extend(segs)
+                # rebuild conditioning state from the journaled tokens
+                prev_tokens = [
+                    t for s in segs for t in s.get("tokens", [])
+                    if t < sp.eot
+                ] if segs else []
+                continue
             if prev_tokens:
                 prev = [sp.sot_prev] + prev_tokens[-(223 - len(sot_seq)):]
                 prompt = prev + sot_seq
@@ -647,6 +754,8 @@ class AriesTranscriber:
                 prev_tokens = []
             if quality["is_silence"]:
                 prev_tokens = []
+                if journal is not None:
+                    journal.record(wi, [])
                 continue
             if quality["needs_fallback"] and len(temps) > 1:
                 segs = self._fallback_window(
@@ -665,6 +774,9 @@ class AriesTranscriber:
                 s["chunk_id"] = window.chunk_id
                 s["window_id"] = wi
                 s["worker_id"] = 0
+            if journal is not None and not (segs and segs[0].get("success")
+                                            is False):
+                journal.record(wi, segs)
             all_segments.extend(segs)
             if progress_callback:
                 progress_callback(wi + 1, len(windows))

@@ -63,6 +63,7 @@ def run_pipeline(
     diarizer=None,
     strict_diarization: bool = False,
     model_size: Optional[str] = None,
+    resume_path: Optional[str] = None,
 ) -> Dict[str, Any]:
     cfg = config or load_config()
     output_dir = output_dir or cfg.pipeline.output_dir
@@ -108,6 +109,7 @@ def run_pipeline(
                 word_timestamps=cfg.decode.word_timestamps,
                 initial_prompt=cfg.decode.initial_prompt,
                 output_formats=[],
+                resume_path=resume_path,
             )
             if not tres.get("success"):
                 result["error"] = f"Transcription failed: {tres.get('error')}"

@@ -123,6 +123,10 @@ def create_app(
                         confidence_threshold=params["confidence_threshold"],
                         language=params["language"],
                         run_llm_analysis=params["run_llm_analysis"],
+                        # per-window resume: a job killed mid-decode (crash,
+                        # restart) resumes without re-decoding finished
+                        # windows (SURVEY §5 checkpoint/resume)
+                        resume_path=os.path.join(output_dir, "resume.jsonl"),
                     ),
                 )
                 if result.get("success"):

@@ -141,9 +141,9 @@ def train_vad(steps: int = 600, batch: int = 32, lr: float = 1e-3,
 # ---------------------------------------------------------------------------
 
 
-def train_segmentation(steps: int = 800, batch: int = 16, lr: float = 3e-4,
-                       seed: int = 1, n_train: int = 512, n_val: int = 96,
-                       log_every: int = 50
+def train_segmentation(steps: int = 2500, batch: int = 16, lr: float = 3e-4,
+                       seed: int = 1, n_train: int = 1536, n_val: int = 96,
+                       log_every: int = 100
                        ) -> Tuple[Dict[str, Any], Dict[str, float]]:
     import jax
     import jax.numpy as jnp
@@ -164,12 +164,27 @@ def train_segmentation(steps: int = 800, batch: int = 16, lr: float = 3e-4,
 
     dims = SegDims()
     params = init_segmentation(dims)
-    tx = optax.adam(lr)
+    tx = optax.adamw(lr, weight_decay=1e-4)
     opt = tx.init(params)
     lookup = jnp.asarray(_POWERSET_LOOKUP)
     perms = jnp.asarray(_PERMS)  # (6, 3)
+    hop = 320  # samples per 20 ms label frame
 
-    def pit_loss(p, audio, act):
+    def augment(key, audio, act):
+        """On-device augmentation against memorising the fixed corpus:
+        random gain, extra noise, and label-aligned circular 20 ms shifts."""
+        kg, kn, ks = jax.random.split(key, 3)
+        B = audio.shape[0]
+        gain = jax.random.uniform(kg, (B, 1), minval=0.4, maxval=1.8)
+        noise = jax.random.uniform(kn, (B, 1), minval=0.0, maxval=0.03)
+        audio = audio * gain + noise * jax.random.normal(ks, audio.shape)
+        shift = jax.random.randint(kg, (B,), 0, act.shape[1])  # frames
+        audio = jax.vmap(lambda a, k: jnp.roll(a, k * hop))(audio, shift)
+        act = jax.vmap(lambda y, k: jnp.roll(y, k, axis=0))(act, shift)
+        return audio, act
+
+    def pit_loss(p, key, audio, act):
+        audio, act = augment(key, audio, act)
         mel = log_mel_spectrogram(audio)          # (B, 80, 1000)
         logp = segmentation_forward(p, mel, dims)  # (B, 500, 7)
         a = act.astype(jnp.int32)                  # (B, F, 3)
@@ -184,15 +199,17 @@ def train_segmentation(steps: int = 800, batch: int = 16, lr: float = 3e-4,
         return jnp.min(ces, axis=0).mean()
 
     @jax.jit
-    def step_fn(p, o, audio, act):
-        l, g = jax.value_and_grad(pit_loss)(p, audio, act)
-        updates, o = tx.update(g, o)
+    def step_fn(p, o, key, audio, act):
+        l, g = jax.value_and_grad(pit_loss, argnums=0)(p, key, audio, act)
+        updates, o = tx.update(g, o, p)
         return optax.apply_updates(p, updates), o, l
 
     t0 = time.time()
+    key = jax.random.PRNGKey(seed)
     for s in range(steps):
         idx = rng.integers(0, n_train, batch)
-        params, opt, l = step_fn(params, opt, jnp.asarray(X[idx]),
+        key, sub = jax.random.split(key)
+        params, opt, l = step_fn(params, opt, sub, jnp.asarray(X[idx]),
                                  jnp.asarray(Y[idx]))
         if s % log_every == 0 or s == steps - 1:
             log.info("seg step %d loss %.4f (%.1fs)", s, float(l),

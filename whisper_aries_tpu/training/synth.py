@@ -196,18 +196,20 @@ def diarization_window(rng: np.random.Generator, dur_s: float = 10.0,
     """(audio (n,), activity (n_frames, 3)) — a multi-speaker conversation
     window with turn-taking and <=2-way overlap (powerset constraint)."""
     n = int(dur_s * SR)
-    n_frames = int(dur_s / SEG_FRAME_S) // 2 * 2 // 1
     n_frames = int(round(dur_s / SEG_FRAME_S / 2)) * 2  # even, 500 for 10 s
     if voices is None:
-        n_spk = int(rng.integers(1, 4))
+        # ~12% zero-speaker windows: the net must stay quiet on pure
+        # noise/silence (miscalibration here hallucinated speakers on
+        # silence in the first training round)
+        n_spk = 0 if rng.uniform() < 0.12 else int(rng.integers(1, 4))
         voices = [random_voice(rng) for _ in range(n_spk)]
     K = len(voices)
     audio = np.zeros(n, np.float32)
-    act = np.zeros((n, K), np.float32)
+    act = np.zeros((n, max(K, 1)), np.float32)
 
     t = rng.uniform(0.0, 1.0)
-    cur = int(rng.integers(0, K))
-    while t < dur_s:
+    cur = int(rng.integers(0, K)) if K else 0
+    while K and t < dur_s:
         turn = rng.uniform(0.8, 3.5)
         i0, i1 = int(t * SR), min(n, int((t + turn) * SR))
         if i1 - i0 > SR // 10:
@@ -225,19 +227,23 @@ def diarization_window(rng: np.random.Generator, dur_s: float = 10.0,
         if K > 1:
             nxt = int(rng.integers(0, K))
             cur = nxt if nxt != cur else (nxt + 1) % K
-    audio += rng.uniform(0.002, 0.02) * synth_noise(rng, n)
+    # noise floor spans quiet rooms to genuinely noisy recordings
+    # (log-uniform 0.002..0.12); silence-only windows get the same range
+    noise_level = float(np.exp(rng.uniform(np.log(0.002), np.log(0.12))))
+    audio += noise_level * synth_noise(rng, n)
 
     # sample-level activity -> 20 ms frames, pad speaker axis to 3
+    K0 = act.shape[1]
     frames = act[: n_frames * int(SEG_FRAME_S * SR)].reshape(
-        n_frames, int(SEG_FRAME_S * SR), K
+        n_frames, int(SEG_FRAME_S * SR), K0
     ).mean(axis=1)
     frames = (frames > 0.4).astype(np.float32)
     # enforce <=2 simultaneous (drop the weakest when 3 collide)
     over = frames.sum(axis=1) > 2
     if over.any():
-        frames[over, 2] = 0.0
+        frames[over, 2:] = 0.0
     out = np.zeros((n_frames, 3), np.float32)
-    out[:, :K] = frames
+    out[:, :K0] = frames
     return audio.astype(np.float32), out
 
 
