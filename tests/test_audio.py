@@ -349,3 +349,65 @@ def test_mp3_garbage_bytes_error(tmp_path):
     p.write_bytes(b"\x00\x01nonsense" * 100)
     with pytest.raises(AudioError):
         load_audio(str(p))
+
+
+# ---------------------------------------------------------------------------
+# OGG/Vorbis ingestion (native/ariesogg.cpp over system libvorbisfile)
+# ---------------------------------------------------------------------------
+
+
+def test_ogg_roundtrip_native(tmp_path):
+    """Encode with libvorbisenc (test-only native export), decode through
+    load_audio — the reference's .ogg support without ffmpeg."""
+    from whisper_aries_tpu.audio import _native
+    from whisper_aries_tpu.audio.decode import load_audio
+
+    if not (_native.native_available() and _native.ogg_available()):
+        pytest.skip("native ogg path unavailable")
+    sr = 16000
+    t = np.arange(sr * 3) / sr
+    x = (0.5 * np.sin(2 * np.pi * 440 * t)
+         * (0.6 + 0.4 * np.sin(2 * np.pi * 2 * t))).astype(np.float32)
+    data = _native.encode_ogg_native(x, sr)
+    assert data[:4] == b"OggS"
+    p = tmp_path / "tone.ogg"
+    p.write_bytes(data)
+    y = load_audio(str(p))
+    assert len(y) == len(x)  # vorbis is sample-exact end to end
+    n = len(x) - 1000
+    best = max(
+        float(np.dot(y[lag:lag + n], x[:n])
+              / (np.linalg.norm(y[lag:lag + n]) * np.linalg.norm(x[:n]) + 1e-9))
+        for lag in range(0, 200, 2)
+    )
+    assert best > 0.98, best
+
+
+def test_ogg_441k_resampled(tmp_path):
+    from whisper_aries_tpu.audio import _native
+    from whisper_aries_tpu.audio.decode import load_audio
+
+    if not (_native.native_available() and _native.ogg_available()):
+        pytest.skip("native ogg path unavailable")
+    sr = 44100
+    t = np.arange(sr * 2) / sr
+    x = (0.4 * np.sin(2 * np.pi * 523.25 * t)).astype(np.float32)
+    p = tmp_path / "note.ogg"
+    p.write_bytes(_native.encode_ogg_native(x, sr))
+    y = load_audio(str(p))
+    f = np.fft.rfftfreq(len(y), 1 / 16000)
+    dom = f[np.argmax(np.abs(np.fft.rfft(y)))]
+    assert abs(dom - 523.25) < 5.0, dom
+
+
+def test_ogg_garbage_bytes_error(tmp_path):
+    from whisper_aries_tpu.audio import _native
+    from whisper_aries_tpu.audio.decode import load_audio
+    from whisper_aries_tpu.errors import AudioError
+
+    if not (_native.native_available() and _native.ogg_available()):
+        pytest.skip("native ogg path unavailable")
+    p = tmp_path / "junk.ogg"
+    p.write_bytes(b"OggS....but not really a stream" * 50)
+    with pytest.raises(AudioError):
+        load_audio(str(p))

@@ -230,3 +230,87 @@ def decode_mp3_native(data: bytes) -> Tuple[np.ndarray, int]:
     finally:
         lib.aries_free(out)
     return arr, int(sr.value)
+
+
+def ogg_available() -> bool:
+    """True when the native shim and system libvorbisfile are present."""
+    lib = load_library()
+    if lib is None:
+        return False
+    if not hasattr(lib, "_ogg_configured"):
+        _configure_ogg(lib)
+    return bool(lib.aries_ogg_available())
+
+
+def _configure_ogg(lib) -> None:
+    lib.aries_ogg_available.restype = ctypes.c_int32
+    lib.aries_ogg_available.argtypes = []
+    lib.aries_decode_ogg.restype = ctypes.c_int32
+    lib.aries_decode_ogg.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.aries_encode_ogg_vorbis.restype = ctypes.c_int32
+    lib.aries_encode_ogg_vorbis.argtypes = [
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.c_float,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte)),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib._ogg_configured = True
+
+
+def decode_ogg_native(data: bytes) -> Tuple[np.ndarray, int]:
+    """Decode Ogg/Vorbis bytes to (mono float32, sample_rate) via the native
+    shim over system libvorbisfile (native/ariesogg.cpp)."""
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native ariesaudio library unavailable")
+    if not hasattr(lib, "_ogg_configured"):
+        _configure_ogg(lib)
+    out = ctypes.POINTER(ctypes.c_float)()
+    out_len = ctypes.c_int64()
+    sr = ctypes.c_int32()
+    status = lib.aries_decode_ogg(
+        data, len(data), ctypes.byref(out), ctypes.byref(out_len),
+        ctypes.byref(sr)
+    )
+    if status != 0:
+        msg = {-2: "system libvorbisfile not found",
+               -3: "decoder error"}.get(status, f"status {status}")
+        raise ValueError(f"OGG decode failed: {msg}")
+    try:
+        arr = np.ctypeslib.as_array(out, shape=(out_len.value,)).copy()
+    finally:
+        lib.aries_free(out)
+    return arr, int(sr.value)
+
+
+def encode_ogg_native(audio: np.ndarray, sample_rate: int,
+                      quality: float = 0.4) -> bytes:
+    """Test-vector Ogg/Vorbis encoder (native/ariesogg.cpp over
+    libvorbisenc); used by the test suite only."""
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native ariesaudio library unavailable")
+    if not hasattr(lib, "_ogg_configured"):
+        _configure_ogg(lib)
+    x = np.ascontiguousarray(np.clip(audio, -1.0, 1.0), dtype=np.float32)
+    out = ctypes.POINTER(ctypes.c_ubyte)()
+    out_len = ctypes.c_int64()
+    status = lib.aries_encode_ogg_vorbis(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(x),
+        sample_rate, ctypes.c_float(quality), ctypes.byref(out),
+        ctypes.byref(out_len)
+    )
+    if status != 0:
+        raise ValueError(f"OGG encode failed: status {status}")
+    try:
+        return bytes(bytearray(out[: out_len.value]))
+    finally:
+        lib.aries_free(out)

@@ -193,6 +193,19 @@ def load_audio(path: str, sample_rate: int = SAMPLE_RATE) -> np.ndarray:
                 except ValueError as e:
                     raise AudioError(f"MP3 decode failed for {path}: {e}") from e
             # fall through to ffmpeg extraction below
+        if ext in (".ogg", ".oga"):
+            # native Ogg/Vorbis path (native/ariesogg.cpp over libvorbisfile)
+            from whisper_aries_tpu.audio import _native
+
+            if _native.native_available() and _native.ogg_available():
+                try:
+                    audio, sr = _native.decode_ogg_native(p.read_bytes())
+                    if sr != sample_rate:
+                        audio = resample(audio, sr, sample_rate)
+                    return audio
+                except ValueError as e:
+                    raise AudioError(f"OGG decode failed for {path}: {e}") from e
+            # fall through to ffmpeg extraction below
         if ext != ".wav":
             from whisper_aries_tpu.utils.media import extract_audio_if_needed
             import shutil as _shutil

@@ -220,6 +220,7 @@ class AriesTranscriber:
         self.mesh = mesh if mesh is not None else make_mesh()
         n_dev = int(np.prod(self.mesh.devices.shape))
         wpd = windows_per_device or num_workers
+        self._auto_batch = wpd is None
         if wpd is None:
             if jax.default_backend() == "tpu":
                 from whisper_aries_tpu.parallel.mesh import auto_windows_per_device
@@ -462,6 +463,17 @@ class AriesTranscriber:
         log.info("planned %d windows for %.1fs audio", len(windows), duration)
 
         beam = beam_size if beam_size is not None else self.config.decode.beam_size
+        # auto-sized batches assumed the config's beam at construction; a
+        # larger call-time beam needs proportionally more HBM per window
+        if (self._auto_batch and jax.default_backend() == "tpu"
+                and beam != (self.config.decode.beam_size or 5)):
+            from whisper_aries_tpu.parallel.mesh import auto_windows_per_device
+
+            n_dev = int(np.prod(self.mesh.devices.shape))
+            self.batch_size = max(1, n_dev * auto_windows_per_device(
+                self.model_size, beam_size=beam or 1,
+                sample_len=max_new_tokens,
+            ))
         temps = (temperature if temperature is not None
                  else self.config.decode.temperature)
         if isinstance(temps, (int, float)):  # scalar (e.g. temperature=0.0)

@@ -227,9 +227,12 @@ def diarization_window(rng: np.random.Generator, dur_s: float = 10.0,
         if K > 1:
             nxt = int(rng.integers(0, K))
             cur = nxt if nxt != cur else (nxt + 1) % K
-    # noise floor spans quiet rooms to genuinely noisy recordings
-    # (log-uniform 0.002..0.12); silence-only windows get the same range
-    noise_level = float(np.exp(rng.uniform(np.log(0.002), np.log(0.12))))
+    # noise floor spans quiet rooms to moderately noisy recordings
+    # (log-uniform 0.002..0.05 amplitude vs speech levels 0.08-0.3);
+    # silence-only windows get the same range. (A first training round
+    # with noise up to 0.12 — sub-0dB SNR vs quiet speakers — collapsed
+    # the net to marginal predictions.)
+    noise_level = float(np.exp(rng.uniform(np.log(0.002), np.log(0.05))))
     audio += noise_level * synth_noise(rng, n)
 
     # sample-level activity -> 20 ms frames, pad speaker axis to 3

@@ -58,4 +58,10 @@ def is_oom_error(e: BaseException) -> bool:
         "memory" in msg or "hbm" in msg or "oom" in msg or "allocat" in msg
     ):
         return True
+    # The axon remote-compile tunnel wraps compile-time OOM as an opaque
+    # "HTTP 500: tpu_compile_helper subprocess exit code 1" with the real
+    # allocation table only in stderr logs. Treat it as retryable-as-OOM:
+    # a genuine compile bug will keep failing down to batch 1 and surface.
+    if "tpu_compile_helper" in msg or "remote_compile" in msg:
+        return True
     return False
