@@ -132,7 +132,7 @@ def test_diarization_two_speakers():
     a = synth_speaker(110, 500, [(0.5, 4.0), (8.0, 11.5)], 16.0, seed=1)
     b = synth_speaker(280, 2400, [(4.5, 7.5), (12.0, 15.5)], 16.0, seed=2)
     wav = a + b
-    pipe = DiarizationPipeline(clustering_threshold=0.7)
+    pipe = DiarizationPipeline()  # per-backend default threshold
     turns = pipe(wav)
     assert turns, "no turns detected"
     speakers = {t["speaker"] for t in turns}
@@ -192,7 +192,9 @@ def test_neural_active_regions_from_synthetic_probs():
         return probs, [0.0, 5.0]
 
     pipe._segmentation_multilabel = fake_seg
-    regions = pipe._neural_active_regions(np.zeros(16000 * 15, np.float32))
+    # non-silent audio: the neural path gates sustained sub--56dBFS spans
+    wav = 0.05 * np.ones(16000 * 15, np.float32)
+    regions = pipe._neural_active_regions(wav)
     assert (1.0, 3.0) in regions
     # the 6-9s activity appears once per window but clipped to unique spans
     mids = [r for r in regions if 5.5 < r[0] < 9.5]
@@ -205,7 +207,7 @@ def test_neural_mode_end_to_end_with_fake_segmentation():
     a = synth_speaker(110, 500, [(1.0, 4.0)], 12.0, seed=1)
     b = synth_speaker(280, 2400, [(6.0, 9.0)], 12.0, seed=2)
     wav = a + b
-    pipe = DiarizationPipeline(clustering_threshold=0.7)
+    pipe = DiarizationPipeline()  # per-backend default threshold
     pipe.seg_params = object()
 
     def fake_seg(w):

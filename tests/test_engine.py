@@ -372,3 +372,39 @@ def test_resume_plan_change_discards_journal(tiny_engine, tmp_path):
 
     header = _json.loads(open(journal).read().splitlines()[0])
     assert "plan_sig" in header
+
+
+def test_prefix_forces_transcript_start(tiny_engine, speech_wav):
+    """faster-whisper's `prefix`: forced text appears at the start of the
+    output and the decode continues from it."""
+    res = tiny_engine.transcribe_file(
+        speech_wav, language="en", output_formats=(), beam_size=1,
+        temperature=(0.0,), max_new_tokens=8, prefix="abc",
+    )
+    assert res["success"]
+    text = " ".join(s["text"] for s in res["segments"])
+    assert text.lstrip().startswith("abc"), text
+
+
+def test_hotwords_prepend_prev_context(tiny_engine, speech_wav):
+    prompts = []
+    real = AriesTranscriber._decode_batch
+
+    def spy(self, xa, prompt, *a, **k):
+        prompts.append(np.asarray(prompt))
+        return real(self, xa, prompt, *a, **k)
+
+    AriesTranscriber._decode_batch = spy
+    try:
+        res = tiny_engine.transcribe_file(
+            speech_wav, language="en", output_formats=(), beam_size=1,
+            temperature=(0.0,), max_new_tokens=8, hotwords="abc",
+        )
+    finally:
+        AriesTranscriber._decode_batch = real
+    assert res["success"]
+    sp = tiny_engine.tokenizer.specials
+    assert prompts[0][0, 0] == sp.sot_prev  # hotwords in <|startofprev|>
+    # hotword text must NOT leak into the transcript
+    text = " ".join(s["text"] for s in res["segments"])
+    assert not text.lstrip().startswith("abc")

@@ -16,7 +16,8 @@ from aiohttp.test_utils import TestClient, TestServer  # noqa: E402
 
 
 def fake_pipeline(audio_file, output_dir, formats, confidence_threshold,
-                  language, run_llm_analysis):
+                  language, run_llm_analysis, **kwargs):
+    # **kwargs absorbs pass-through knobs like resume_path
     os.makedirs(output_dir, exist_ok=True)
     outputs = {}
     segs = [{"text": "hello", "start": 0.0, "end": 1.0,

@@ -96,11 +96,16 @@ def test_export_safetensors(tmp_path, tiny_setup):
 def test_auto_windows_per_device():
     from whisper_aries_tpu.parallel.mesh import auto_windows_per_device
 
-    # v5e-like 16GB budget at beam 5 -> around 20 windows
-    n = auto_windows_per_device("large-v3", beam_size=5,
+    # v5e-like 16GB budget at beam 5 / 100 tokens -> around 32 windows
+    # (transposed int8 cross-KV anchor; batch 32 measured, 40 OOMs)
+    n = auto_windows_per_device("large-v3", beam_size=5, sample_len=100,
                                 hbm_bytes=16 * 1024**3)
-    assert 12 <= n <= 26
-    # tiny model fits far more (clamped at 32)
-    assert auto_windows_per_device("tiny", 1, hbm_bytes=16 * 1024**3) == 32
+    assert 24 <= n <= 40
+    # the full 224-token budget costs more cache -> fewer windows
+    n224 = auto_windows_per_device("large-v3", beam_size=5,
+                                   hbm_bytes=16 * 1024**3)
+    assert 10 <= n224 < n
+    # tiny model fits far more (clamped at 48)
+    assert auto_windows_per_device("tiny", 1, hbm_bytes=16 * 1024**3) == 48
     # small memory -> clamped at 1
     assert auto_windows_per_device("large-v3", 5, hbm_bytes=6 * 1024**3) >= 1

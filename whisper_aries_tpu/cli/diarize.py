@@ -28,8 +28,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-speakers", type=int, default=None)
     p.add_argument("--min-speakers", type=int, default=None)
     p.add_argument("--max-speakers", type=int, default=None)
-    p.add_argument("--threshold", type=float, default=0.7,
-                   help="clustering distance threshold")
+    p.add_argument("--threshold", type=float, default=None,
+                   help="clustering distance threshold (default: per-"
+                        "backend — 0.53 neural, 0.7045 classical)")
     p.add_argument("--model-dir", default=None,
                    help="dir with segmentation/embedding safetensors")
     p.add_argument("--formats", default="csv,json,txt")

@@ -51,6 +51,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-vad", action="store_true",
                    help="disable VAD filtering")
     p.add_argument("--initial-prompt", default=None)
+    p.add_argument("--prefix", default=None,
+                   help="force the transcript to start with this text")
+    p.add_argument("--hotwords", default=None,
+                   help="bias vocabulary via <|startofprev|> context "
+                        "(ignored when --initial-prompt is set)")
     p.add_argument("--model-cache", default="./models")
     p.add_argument("--resume", default=None, metavar="JOURNAL",
                    help="per-window resume journal path; rerunning after a "
@@ -107,6 +112,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         output_dir=args.output_dir,
         vad_filter=not args.no_vad,
         initial_prompt=args.initial_prompt,
+        prefix=args.prefix,
+        hotwords=args.hotwords,
         word_timestamps=args.word_timestamps,
         resume_path=args.resume,
     )

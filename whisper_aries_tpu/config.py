@@ -138,7 +138,10 @@ class DiarizeConfig:
     model: str = "diarization-tpu-v1"
     min_speakers: Optional[int] = None
     max_speakers: Optional[int] = None
-    clustering_threshold: float = 0.7045654963945799
+    #: None = per-backend default (0.53 for the trained embedding net,
+    #: pyannote's 0.7045 for the classical mel-stats space) — see
+    #: DiarizationPipeline.NEURAL_THRESHOLD.
+    clustering_threshold: Optional[float] = None
 
 
 @dataclass

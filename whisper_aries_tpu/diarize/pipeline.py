@@ -43,10 +43,18 @@ SUBSEG_HOP_S = 1.0
 class DiarizationPipeline:
     """Callable like pyannote's ``Pipeline``: ``pipeline(audio)`` -> turns."""
 
+    #: default agglomerative-clustering thresholds (cosine distance), per
+    #: embedding space. pyannote's 0.7045 belongs to WeSpeaker embeddings;
+    #: our GE2E-trained net is tighter — 0.53 calibrated on a synthetic
+    #: battery (same-speaker p90 dist 0.50, different-speaker p10 0.58,
+    #: 93% pair accuracy at 0.53).
+    NEURAL_THRESHOLD = 0.53
+    CLASSICAL_THRESHOLD = 0.7045654963945799
+
     def __init__(
         self,
         model_dir: Optional[str] = None,
-        clustering_threshold: float = 0.7,
+        clustering_threshold: Optional[float] = None,
         vad_options: Optional[VadOptions] = None,
     ):
         self.clustering_threshold = clustering_threshold
@@ -60,6 +68,11 @@ class DiarizationPipeline:
 
             model_dir = str(default_weights_dir())
         self._try_load(Path(model_dir))
+        if self.clustering_threshold is None:
+            self.clustering_threshold = (
+                self.NEURAL_THRESHOLD if self.emb_params is not None
+                else self.CLASSICAL_THRESHOLD
+            )
 
     def _try_load(self, model_dir: Path) -> None:
         """Load segmentation/embedding safetensors into the nets' nested
@@ -162,15 +175,37 @@ class DiarizationPipeline:
 
     def _neural_active_regions(self, wav: np.ndarray,
                                threshold: float = 0.5,
-                               min_dur_s: float = 0.25
+                               min_dur_s: float = 0.25,
+                               silence_floor: float = 1.5e-3
                                ) -> List[Tuple[float, float]]:
         """Local speaker-activity intervals from the segmentation net.
 
         Each (window, local-speaker) activity run becomes one region to be
         embedded + clustered — the pyannote 3.1 stitching scheme. Regions
         are clipped to the window's unique half-overlap span so sliding
-        windows don't double-count."""
+        windows don't double-count.
+
+        ``silence_floor``: absolute per-frame RMS below which activity is
+        ignored (~ -56 dBFS). Whisper's log-mel normalises each window to
+        its own max, so near-digital silence renormalises into structure
+        the net can mistake for speech; no intelligible speech lives below
+        this floor."""
         probs, starts = self._segmentation_multilabel(wav)
+        # physical energy per 20 ms frame of the whole file
+        hop = int(self.SEG_FRAME_S * SAMPLE_RATE)
+        n_fr = len(wav) // hop
+        frame_rms = np.sqrt(
+            (wav[: n_fr * hop].reshape(n_fr, hop) ** 2).mean(axis=1)
+        ) if n_fr else np.zeros((0,), np.float32)
+        # dilate by ~0.24 s so inter-syllable micro-pauses inside a turn are
+        # not re-fragmented; only sustained silence is gated
+        if len(frame_rms) >= 25:
+            frame_rms = np.max(
+                np.lib.stride_tricks.sliding_window_view(
+                    np.pad(frame_rms, (12, 12), mode="edge"), 25
+                ),
+                axis=1,
+            )
         total_s = len(wav) / SAMPLE_RATE
         regions: List[Tuple[float, float]] = []
         for b, w_start in enumerate(starts):
@@ -179,8 +214,14 @@ class DiarizationPipeline:
             hi = (w_start + self.SEG_WINDOW_S
                   if b == len(starts) - 1
                   else w_start + self.SEG_WINDOW_S - self.SEG_HOP_S / 2)
+            # frames of this window in file-frame coordinates
+            f0 = int(round(w_start / self.SEG_FRAME_S))
+            n_f = probs.shape[1]
+            energy_ok = np.zeros((n_f,), bool)
+            span = frame_rms[f0 : f0 + n_f]
+            energy_ok[: len(span)] = span > silence_floor
             for k in range(probs.shape[2]):
-                active = probs[b, :, k] > threshold
+                active = (probs[b, :, k] > threshold) & energy_ok
                 i = 0
                 F = len(active)
                 while i < F:
@@ -197,7 +238,17 @@ class DiarizationPipeline:
                         regions.append((round(s, 3), round(e, 3)))
                     i = j
         regions.sort()
-        return regions
+        # An activity run crossing the half-overlap clip boundary is split
+        # into two regions by construction; the sliver side embeds badly
+        # (too little audio) and seeds spurious clusters. Re-join regions
+        # that abut (the same run, stitched back together).
+        merged: List[Tuple[float, float]] = []
+        for s, e in regions:
+            if merged and s - merged[-1][1] <= 0.06:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        return merged
 
     @staticmethod
     def _subsegment(speech: Sequence[Tuple[float, float]]
@@ -213,8 +264,36 @@ class DiarizationPipeline:
                 t += SUBSEG_HOP_S
         return out
 
+    EMB_CROP_S = 2.0  # the embedding net's training utterance length
+
     def _embed(self, wav: np.ndarray,
                subsegs: Sequence[Tuple[float, float]]) -> np.ndarray:
+        if self.emb_params is not None:
+            import jax.numpy as jnp
+
+            from whisper_aries_tpu.models.diarize_nets import embedding_forward
+
+            # fixed-length audio crops matching the training distribution:
+            # long regions crop around their center, short ones loop-tile —
+            # zero-padding normalised mels is out-of-distribution for the
+            # net and was measured to collapse speaker margins
+            n_crop = int(self.EMB_CROP_S * SAMPLE_RATE)
+            crops = []
+            for s, e in subsegs:
+                i0, i1 = int(s * SAMPLE_RATE), int(e * SAMPLE_RATE)
+                seg = wav[i0:max(i1, i0 + 1)]
+                if len(seg) >= n_crop:
+                    mid = len(seg) // 2
+                    seg = seg[mid - n_crop // 2 : mid - n_crop // 2 + n_crop]
+                else:
+                    reps = int(np.ceil(n_crop / max(len(seg), 1)))
+                    seg = np.tile(seg, reps)[:n_crop]
+                crops.append(seg)
+            batch = np.stack([log_mel_spectrogram_np(c) for c in crops])
+            return np.asarray(
+                embedding_forward(self.emb_params, jnp.asarray(batch))
+            )
+        # classical fallback: long-term mel statistics
         mels = []
         for s, e in subsegs:
             i0, i1 = int(s * SAMPLE_RATE), int(e * SAMPLE_RATE)
@@ -222,19 +301,6 @@ class DiarizationPipeline:
             if len(seg) < 400:
                 seg = np.pad(seg, (0, 400 - len(seg)))
             mels.append(log_mel_spectrogram_np(seg))
-        if self.emb_params is not None:
-            import jax.numpy as jnp
-
-            from whisper_aries_tpu.models.diarize_nets import embedding_forward
-
-            T = max(m.shape[1] for m in mels)
-            batch = np.stack([
-                np.pad(m, ((0, 0), (0, T - m.shape[1]))) for m in mels
-            ])
-            return np.asarray(
-                embedding_forward(self.emb_params, jnp.asarray(batch))
-            )
-        # classical fallback: long-term mel statistics
         T = max(m.shape[1] for m in mels)
         batch = np.stack([
             np.pad(m, ((0, 0), (0, T - m.shape[1])), mode="edge") for m in mels

@@ -427,6 +427,8 @@ class AriesTranscriber:
         vad_filter: bool = True,
         vad_parameters: Optional[dict] = None,
         initial_prompt: Optional[str] = None,
+        prefix: Optional[str] = None,
+        hotwords: Optional[str] = None,
         word_timestamps: bool = False,
         length_penalty: float = 1.0,
         compression_ratio_threshold: float = 2.4,
@@ -502,11 +504,21 @@ class AriesTranscriber:
 
             prompt_ids = self.tokenizer.specials.sot_sequence(language, task)
             sot_idx = 0
-            if initial_prompt:
+            # faster-whisper semantics: hotwords fill the <|startofprev|>
+            # context when no initial_prompt is given; initial_prompt wins.
+            prev_text = initial_prompt or hotwords
+            if prev_text:
                 prev = [self.tokenizer.specials.sot_prev] + \
-                    self.tokenizer.encode(" " + initial_prompt.strip())[-223:]
+                    self.tokenizer.encode(" " + prev_text.strip())[-223:]
                 prompt_ids = prev + prompt_ids
                 sot_idx = len(prev)
+            prefix_len = 0
+            if prefix:
+                # forced transcript start: prefix tokens follow the sot
+                # sequence as already-decoded text and appear in the output
+                ptoks = self.tokenizer.encode(" " + prefix.strip())
+                prompt_ids = prompt_ids + ptoks
+                prefix_len = len(ptoks)
 
             journal = None
             if resume_path:
@@ -522,7 +534,7 @@ class AriesTranscriber:
                     compression_ratio_threshold, log_prob_threshold,
                     no_speech_threshold, progress_callback,
                     rep_penalty=repetition_penalty, patience=patience,
-                    ngram=ngram, journal=journal,
+                    ngram=ngram, journal=journal, prefix_len=prefix_len,
                 )
             else:
                 segments = self._transcribe_windows(
@@ -532,6 +544,7 @@ class AriesTranscriber:
                     no_speech_threshold, progress_callback,
                     best_of=best_of, rep_penalty=repetition_penalty,
                     patience=patience, ngram=ngram, journal=journal,
+                    prefix_len=prefix_len,
                 )
             if chunking_mode == "fixed":
                 from whisper_aries_tpu.utils.segments import (
@@ -591,8 +604,13 @@ class AriesTranscriber:
         length_penalty, sample_len, cr_thresh, lp_thresh, ns_thresh,
         progress_callback=None, best_of: int = 5, rep_penalty: float = 1.0,
         patience: float = 1.0, ngram: int = 0, journal=None,
+        prefix_len: int = 0,
     ) -> List[Dict[str, Any]]:
         from whisper_aries_tpu.utils.perf import PerformanceMonitor
+
+        # forced-prefix tokens are part of the prompt for decoding but part
+        # of the TEXT for parsing (faster-whisper's `prefix` semantics)
+        parse_skip = len(prompt_ids) - prefix_len
 
         B = self.batch_size
         N = len(windows)
@@ -648,7 +666,7 @@ class AriesTranscriber:
                 failed = False
                 try:
                     segs, quality = self._parse_one(
-                        toks, window, len(prompt_ids),
+                        toks, window, parse_skip,
                         float(out["avg_logprob"][w_i]),
                         float(out["no_speech_prob"][w_i]),
                         cr_thresh, lp_thresh, ns_thresh,
@@ -662,6 +680,7 @@ class AriesTranscriber:
                             chunk[w_i], window, prompt_ids, temps[1:],
                             sample_len, cr_thresh, lp_thresh, ns_thresh, segs,
                             best_of=best_of, sot_idx=sot_idx,
+                            parse_skip=parse_skip,
                         )
                 except Exception as e:
                     # per-window soft failure: one bad window must not kill
@@ -703,6 +722,7 @@ class AriesTranscriber:
         length_penalty, sample_len, cr_thresh, lp_thresh, ns_thresh,
         progress_callback=None, rep_penalty: float = 1.0,
         patience: float = 1.0, ngram: int = 0, journal=None,
+        prefix_len: int = 0,
     ) -> List[Dict[str, Any]]:
         """Window-by-window decode with cross-window text conditioning.
 
@@ -750,7 +770,7 @@ class AriesTranscriber:
                     no_repeat_ngram_size=ngram, prompt_start=pad,
                 )
                 segs, quality = self._parse_one(
-                    out["tokens"][0], window, len(prompt),
+                    out["tokens"][0], window, len(prompt) - prefix_len,
                     float(out["avg_logprob"][0]), float(out["no_speech_prob"][0]),
                     cr_thresh, lp_thresh, ns_thresh,
                 )
@@ -773,7 +793,7 @@ class AriesTranscriber:
                 segs = self._fallback_window(
                     batch_np[wi], window, prompt, temps[1:], sample_len,
                     cr_thresh, lp_thresh, ns_thresh, segs, sot_idx=w_sot,
-                    prompt_start=pad,
+                    prompt_start=pad, parse_skip=len(prompt) - prefix_len,
                 )
                 # conditioning resets after a fallback (reference behaviour)
                 prev_tokens = []
@@ -816,7 +836,7 @@ class AriesTranscriber:
     def _fallback_window(self, audio_window, window, prompt_ids, temps,
                          sample_len, cr_thresh, lp_thresh, ns_thresh,
                          best_segs, best_of: int = 5, sot_idx: int = 0,
-                         prompt_start: int = 0):
+                         prompt_start: int = 0, parse_skip: Optional[int] = None):
         """Re-decode one failing window at increasing temperatures
         (faster-whisper's fallback ladder; README.md:179 TEMPERATURE).
 
@@ -825,6 +845,8 @@ class AriesTranscriber:
         final_optimized_transcriber.py:310-319; CTranslate2 samples
         num_hypotheses and keeps the best by sum logprob).
         """
+        if parse_skip is None:
+            parse_skip = len(prompt_ids)
         K = max(1, best_of)
         mel = self._mel(jnp.asarray(np.tile(audio_window[None], (K, 1))))
         xa = self._encode_batch(mel)
@@ -837,7 +859,7 @@ class AriesTranscriber:
             )
             best = int(np.argmax(out["sum_logprob"]))
             segs, q = self._parse_one(
-                out["tokens"][best], window, len(prompt_ids),
+                out["tokens"][best], window, parse_skip,
                 float(out["avg_logprob"][best]),
                 float(out["no_speech_prob"][best]),
                 cr_thresh, lp_thresh, ns_thresh,
