@@ -50,7 +50,8 @@ def engine_mode() -> int:
     n_tokens = int(os.environ.get("ARIES_BENCH_TOKENS", "100"))
     beam = int(os.environ.get("ARIES_BENCH_BEAM", "5"))
     reps = int(os.environ.get("ARIES_BENCH_REPS", "2"))
-    minutes = float(os.environ.get("ARIES_BENCH_MINUTES", "10"))
+    minutes = float(os.environ.get("ARIES_BENCH_MINUTES", "18"))  # 36 windows
+    # = one full auto-sized batch at large-v3 beam 5 (parallel/mesh.py)
     import jax
 
     backend = jax.default_backend()
@@ -120,7 +121,7 @@ def main() -> int:
 
     backend = jax.default_backend()
     model_name = os.environ.get("ARIES_BENCH_MODEL", "large-v3")
-    batch = int(os.environ.get("ARIES_BENCH_BATCH", "32"))
+    batch = int(os.environ.get("ARIES_BENCH_BATCH", "40"))
     n_tokens = int(os.environ.get("ARIES_BENCH_TOKENS", "100"))
     beam = int(os.environ.get("ARIES_BENCH_BEAM", "5"))
     reps = int(os.environ.get("ARIES_BENCH_REPS", "3"))
@@ -174,8 +175,8 @@ def main() -> int:
     prompt_j = jnp.asarray(prompt)
 
     # int8 cross-KV is the engine's TPU default (kv_cache_dtype="auto");
-    # the transposed layout makes batch 32 the HBM sweet spot (267x
-    # measured vs 207x for bf16 KV at batch 20).
+    # the transposed layout + sequenced cache-reorder gathers make batch 40
+    # the HBM sweet spot (367x measured vs 207x for bf16 KV at batch 20).
     kv_default = "int8" if backend == "tpu" else "bf16"
     kv_int8 = os.environ.get("ARIES_BENCH_KV", kv_default) == "int8"
     if kv_int8:

@@ -100,12 +100,12 @@ def test_auto_windows_per_device():
     # (transposed int8 cross-KV anchor; batch 32 measured, 40 OOMs)
     n = auto_windows_per_device("large-v3", beam_size=5, sample_len=100,
                                 hbm_bytes=16 * 1024**3)
-    assert 24 <= n <= 40
+    assert 32 <= n <= 44 and n % 4 == 0
     # the full 224-token budget costs more cache -> fewer windows
     n224 = auto_windows_per_device("large-v3", beam_size=5,
                                    hbm_bytes=16 * 1024**3)
     assert 10 <= n224 < n
-    # tiny model fits far more (clamped at 48)
-    assert auto_windows_per_device("tiny", 1, hbm_bytes=16 * 1024**3) == 48
+    # tiny model fits far more (clamped at 56)
+    assert auto_windows_per_device("tiny", 1, hbm_bytes=16 * 1024**3) == 56
     # small memory -> clamped at 1
     assert auto_windows_per_device("large-v3", 5, hbm_bytes=6 * 1024**3) >= 1

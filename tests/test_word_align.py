@@ -216,3 +216,35 @@ def test_token_times_match_transformers_pipeline():
     want[ti[jumps]] = tj[jumps] * FRAME_S
 
     np.testing.assert_allclose(ours, want, atol=1e-9)
+
+
+def test_alignment_heads_selection():
+    """Per-checkpoint (layer, head) pairs select exactly those attention
+    maps; result equals the generic path on a head-set that matches it."""
+    rng = np.random.default_rng(11)
+    L, H, T_text, T_audio = 4, 2, 8, 60
+    cqk = (3.0 * rng.standard_normal((L, H, T_text, T_audio))).astype(np.float32)
+
+    from whisper_aries_tpu.align.word_align import attention_to_token_times
+
+    # explicit pairs covering the whole top half == the layer fallback
+    pairs = [(l, h) for l in (2, 3) for h in range(H)]
+    t_pairs = attention_to_token_times(cqk, 50, alignment_heads=pairs)
+    t_fallback = attention_to_token_times(cqk, 50)
+    np.testing.assert_allclose(t_pairs, t_fallback, atol=1e-9)
+    # a different head subset gives a (generally) different alignment
+    t_sub = attention_to_token_times(cqk, 50, alignment_heads=[(0, 0)])
+    assert t_sub.shape == t_fallback.shape
+
+
+def test_load_alignment_heads_from_generation_config(tmp_path):
+    import json as _json
+
+    from whisper_aries_tpu.models.loader import load_alignment_heads
+
+    (tmp_path / "generation_config.json").write_text(
+        _json.dumps({"alignment_heads": [[3, 1], [5, 0]]})
+    )
+    assert load_alignment_heads(tmp_path) == [(3, 1), (5, 0)]
+    assert load_alignment_heads(None) is None
+    assert load_alignment_heads(tmp_path / "missing") is None

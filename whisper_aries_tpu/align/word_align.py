@@ -79,15 +79,26 @@ def attention_to_token_times(
     cross_qk: np.ndarray,  # (L, H, T_text, T_audio) logits for ONE sequence
     n_frames: int,
     alignment_layers: Optional[Sequence[int]] = None,
+    alignment_heads: Optional[Sequence[Tuple[int, int]]] = None,
 ) -> np.ndarray:
-    """Token -> time (seconds) via DTW over averaged attention."""
+    """Token -> time (seconds) via DTW over averaged attention.
+
+    ``alignment_heads``: per-checkpoint (layer, head) pairs from
+    generation_config.json (openai/whisper's published head masks) —
+    preferred when available; falls back to whole top-half layers.
+    """
     L = cross_qk.shape[0]
-    layers = (
-        list(alignment_layers)
-        if alignment_layers is not None
-        else list(range(L // 2, L))  # openai/whisper fallback head set
-    )
-    w = cross_qk[layers]  # (L', H, T_text, T_audio)
+    if alignment_heads:
+        w = np.stack([cross_qk[l, h] for l, h in alignment_heads
+                      if l < L and h < cross_qk.shape[1]])
+        w = w[None]  # (1, N, T_text, T_audio) — same axes as the layer path
+    else:
+        layers = (
+            list(alignment_layers)
+            if alignment_layers is not None
+            else list(range(L // 2, L))  # openai/whisper fallback head set
+        )
+        w = cross_qk[layers]  # (L', H, T_text, T_audio)
     w = w[..., :n_frames]
     # softmax over audio axis in f64 for stability
     w = w.astype(np.float64)
@@ -159,12 +170,14 @@ def find_word_alignments(
     n_frames: int,
     token_probs: Optional[np.ndarray] = None,
     alignment_layers: Optional[Sequence[int]] = None,
+    alignment_heads: Optional[Sequence[Tuple[int, int]]] = None,
 ) -> List[Dict[str, Any]]:
     """Words with times for one decoded sequence (token list incl specials).
 
     ``cross_qk`` rows must correspond 1:1 with ``tokens``.
     """
-    times = attention_to_token_times(cross_qk, n_frames, alignment_layers)
+    times = attention_to_token_times(cross_qk, n_frames, alignment_layers,
+                                     alignment_heads)
     # carry times forward so every token has a start estimate
     for i in range(1, len(times)):
         if times[i] == 0.0 and i > 0:
@@ -263,6 +276,7 @@ def add_word_timestamps(
         words = find_word_alignments(
             flat_tokens, cqk_np, engine.tokenizer, max(n_frames, 1),
             token_probs=probs,
+            alignment_heads=getattr(engine, "alignment_heads", None),
         )
         # distribute words into segments by token span coverage
         token_word: List[int] = []

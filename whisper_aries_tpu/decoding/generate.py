@@ -537,10 +537,16 @@ def beam_search_decode(
             k_rows = jnp.arange(K)[None, :]
             present = present.at[b_rows, k_rows, next_tok].set(True)
 
-        # Reorder the KV cache: flat index b*K + live_src.
+        # Reorder the KV cache: flat index b*K + live_src. The barrier
+        # sequences the two gathers so their outputs are never live
+        # together — the K-gather transient dies before the V-gather runs,
+        # shaving ~0.5x cache off peak HBM (the beam batch limiter).
         flat_src = (jnp.arange(B)[:, None] * K + live_src).reshape(-1)
         cache_k = jnp.take(state.cache_k, flat_src, axis=1)
-        cache_v = jnp.take(state.cache_v, flat_src, axis=1)
+        cache_k, old_v, flat_src = jax.lax.optimization_barrier(
+            (cache_k, state.cache_v, flat_src)
+        )
+        cache_v = jnp.take(old_v, flat_src, axis=1)
 
         return BeamState(
             tokens=tokens, pos=state.pos + 1,

@@ -89,11 +89,12 @@ def auto_windows_per_device(
     TPU-native replacement for the reference's VRAM-based worker heuristics
     (final_optimized_transcriber.py:219-240, complete_fixed_whisper.py:
     638-678). Anchored empirically: large-v3 at beam 5 / 103 cache
-    positions fits 32 windows in a 16 GB v5e chip with the transposed
-    int8 cross-K/V + transposed beam self-cache (measured round 2: batch
-    32 runs at 267x realtime, batch 40 exceeds HBM by ~1 GB). The engine
+    positions fits 40 windows in a 16 GB v5e chip with the transposed
+    int8 cross-K/V, transposed beam self-cache, and the sequenced
+    cache-reorder gathers (measured round 2: batch 40 runs at 367x
+    realtime; pre-barrier it exceeded HBM by ~1 GB). The engine
     additionally retries with a halved batch on an HBM OOM, so this only
-    needs to be a good first guess. Clamped to [1, 48].
+    needs to be a good first guess. Clamped to [1, 56].
     """
     from whisper_aries_tpu.models.whisper import PRESETS
 
@@ -122,5 +123,11 @@ def auto_windows_per_device(
         + 2 * 2 * dims.n_text_layer * beam_size * dims.n_text_head
         * cache_len * dh * 2
     )
-    anchor_windows = 32.0 * (hbm_bytes / (16 * 1024**3))
-    return int(np.clip(anchor_windows * anchor_cost / max(cost, 1), 1, 48))
+    # 36 leaves headroom over the measured batch-40 ceiling for the engine
+    # path's extra buffers (device-side window gather, Pallas mel)
+    anchor_windows = 36.0 * (hbm_bytes / (16 * 1024**3))
+    n = anchor_windows * anchor_cost / max(cost, 1)
+    # round to a multiple of 4: friendlier XLA tiles, and window counts
+    # (files tile into whole windows) pad less often against odd batches
+    n = round(n / 4.0) * 4
+    return int(np.clip(n, 1, 56))

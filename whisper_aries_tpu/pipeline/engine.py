@@ -57,7 +57,6 @@ from whisper_aries_tpu.models.loader import load_model
 from whisper_aries_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
-    pad_to_multiple,
     replicate_params,
 )
 from whisper_aries_tpu.render.renderers import srt_timestamp
@@ -216,6 +215,11 @@ class AriesTranscriber:
             self.params = quantize_model_params(self.params)
         self.tokenizer = _tokenizer if _tokenizer is not None else self._load_tokenizer()
         self.ids = G.DecodeSpecialIds.from_tokenizer(self.tokenizer)
+        # per-checkpoint DTW alignment heads (generation_config.json); None
+        # falls back to the top-half-layers head set in align/word_align.py
+        from whisper_aries_tpu.models.loader import load_alignment_heads
+
+        self.alignment_heads = load_alignment_heads(self.model_dir)
 
         self.mesh = mesh if mesh is not None else make_mesh()
         n_dev = int(np.prod(self.mesh.devices.shape))
@@ -287,6 +291,65 @@ class AriesTranscriber:
 
             return log_mel_pallas(audio_j, n_mels=self.dims.n_mels)
         return log_mel_spectrogram(audio_j, n_mels=self.dims.n_mels)
+
+    # ------------------------------------------------------------------
+    # Device-side windowing: the whole file is uploaded ONCE as int16 and
+    # 30 s windows are gathered on-device. Per-batch host->device window
+    # uploads (B x 1.9 MB float32) dominated the product path on
+    # bandwidth-limited transports (the axon tunnel measured ~35 s/batch);
+    # one int16 upload is 2 B/sample for the entire file.
+    # ------------------------------------------------------------------
+
+    WINDOW_SAMPLES = 480_000  # 30 s @ 16 kHz
+
+    def _upload_audio(self, audio: np.ndarray) -> jax.Array:
+        # 16-bit wire fidelity matches the reference exactly: its pipeline
+        # ingests via ffmpeg pcm_s16le extraction (utils.py:107-123), so
+        # every sample it ever decoded was 16-bit.
+        a16 = np.clip(np.asarray(audio, np.float32) * 32767.0,
+                      -32768, 32767).astype(np.int16)
+        a16 = np.pad(a16, (0, self.WINDOW_SAMPLES))  # windows may overhang
+        return jax.device_put(a16)
+
+    def _gather_windows(self, audio_dev: jax.Array, starts: np.ndarray,
+                        lengths: np.ndarray) -> jax.Array:
+        """(B,) sample starts/lengths -> (B, WINDOW_SAMPLES) float32 windows
+        gathered on device, zeroed past each window's length, sharded on the
+        mesh data axis."""
+        if not hasattr(self, "_gather_fns"):
+            WIN = self.WINDOW_SAMPLES
+
+            def gather(audio16, starts_j, lengths_j):
+                def one(s, l):
+                    w = jax.lax.dynamic_slice(audio16, (s,), (WIN,))
+                    w = w.astype(jnp.float32) * (1.0 / 32767.0)
+                    return jnp.where(jnp.arange(WIN) < l, w, 0.0)
+
+                return jax.vmap(one)(starts_j, lengths_j)
+
+            self._gather_fns = {
+                # batches divisible by the mesh shard on the data axis;
+                # odd sizes (B=1 language probe / sequential) replicate
+                True: jax.jit(gather, out_shardings=batch_sharding(self.mesh, 2)),
+                False: jax.jit(gather),
+            }
+        n_dev = int(np.prod(self.mesh.devices.shape))
+        fn = self._gather_fns[len(starts) % n_dev == 0]
+        return fn(
+            audio_dev, jnp.asarray(starts, jnp.int32),
+            jnp.asarray(lengths, jnp.int32),
+        )
+
+    def _window_starts_lengths(self, windows: Sequence[Window], idx, B: int):
+        """Padded (B,) start/length sample arrays for a window subset."""
+        sr = 16_000
+        starts = np.zeros((B,), np.int32)
+        lengths = np.zeros((B,), np.int32)
+        for k, i in enumerate(idx):
+            starts[k] = int(round(windows[i].start * sr))
+            lengths[k] = min(self.WINDOW_SAMPLES,
+                             int(round(windows[i].duration * sr)))
+        return starts, lengths
 
     # ------------------------------------------------------------------
 
@@ -493,12 +556,13 @@ class AriesTranscriber:
         }
 
         if windows:
-            batch_np = windows_to_batch(pre.audio, windows)
-            mel_full = None
+            # one int16 upload of the whole file; windows gather on device
+            audio_dev = self._upload_audio(pre.audio)
 
             # language detection on the first window if not specified
             if language is None:
-                mel0 = self._mel(jnp.asarray(batch_np[:1]))
+                s0, l0 = self._window_starts_lengths(windows, [0], 1)
+                mel0 = self._mel(self._gather_windows(audio_dev, s0, l0))
                 language, lang_prob = self.detect_language(mel0)
                 info["language"], info["language_probability"] = language, lang_prob
 
@@ -529,7 +593,8 @@ class AriesTranscriber:
                 )
             if condition_on_previous_text:
                 segments = self._transcribe_windows_sequential(
-                    batch_np, windows, prompt_ids, sot_idx, beam, temps,
+                    pre.audio, audio_dev, windows, prompt_ids, sot_idx, beam,
+                    temps,
                     length_penalty, max_new_tokens,
                     compression_ratio_threshold, log_prob_threshold,
                     no_speech_threshold, progress_callback,
@@ -538,7 +603,8 @@ class AriesTranscriber:
                 )
             else:
                 segments = self._transcribe_windows(
-                    batch_np, windows, prompt_ids, sot_idx, beam, temps,
+                    pre.audio, audio_dev, windows, prompt_ids, sot_idx, beam,
+                    temps,
                     length_penalty, max_new_tokens,
                     compression_ratio_threshold, log_prob_threshold,
                     no_speech_threshold, progress_callback,
@@ -600,7 +666,7 @@ class AriesTranscriber:
     # ------------------------------------------------------------------
 
     def _transcribe_windows(
-        self, batch_np, windows, prompt_ids, sot_idx, beam, temps,
+        self, audio_np, audio_dev, windows, prompt_ids, sot_idx, beam, temps,
         length_penalty, sample_len, cr_thresh, lp_thresh, ns_thresh,
         progress_callback=None, best_of: int = 5, rep_penalty: float = 1.0,
         patience: float = 1.0, ngram: int = 0, journal=None,
@@ -631,17 +697,20 @@ class AriesTranscriber:
             t_batch = time.time()
             batch_idx = pending[pos : pos + B]
             wb = [windows[i] for i in batch_idx]
-            chunk, n_real = pad_to_multiple(batch_np[batch_idx], B)
-            # shard the window batch over the mesh's data axis so the whole
-            # mel+encode+decode program runs data-parallel across chips
-            chunk_j = jax.device_put(
-                chunk, batch_sharding(self.mesh, 2)
-            )
-            mel = self._mel(chunk_j)
-            xa = self._encode_batch(mel)
-            prompt = np.tile(np.asarray(prompt_ids, np.int32), (chunk.shape[0], 1))
+            n_real = len(batch_idx)
+            prompt = np.tile(np.asarray(prompt_ids, np.int32), (B, 1))
 
             try:
+                # gather this batch's windows on device (sharded on the
+                # mesh's data axis) from the uploaded int16 file audio;
+                # inside the try so HBM OOM anywhere in gather/mel/encode/
+                # decode triggers the halve-and-retry ladder
+                starts, lens = self._window_starts_lengths(
+                    windows, batch_idx, B
+                )
+                chunk_j = self._gather_windows(audio_dev, starts, lens)
+                mel = self._mel(chunk_j)
+                xa = self._encode_batch(mel)
                 out = self._decode_batch(
                     xa, prompt, beam, temps[0], sample_len, length_penalty,
                     repetition_penalty=rep_penalty, sot_index=sot_idx,
@@ -677,7 +746,8 @@ class AriesTranscriber:
                         continue
                     if quality["needs_fallback"] and len(temps) > 1:
                         segs = self._fallback_window(
-                            chunk[w_i], window, prompt_ids, temps[1:],
+                            windows_to_batch(audio_np, [window])[0], window,
+                            prompt_ids, temps[1:],
                             sample_len, cr_thresh, lp_thresh, ns_thresh, segs,
                             best_of=best_of, sot_idx=sot_idx,
                             parse_skip=parse_skip,
@@ -718,7 +788,7 @@ class AriesTranscriber:
         return all_segments
 
     def _transcribe_windows_sequential(
-        self, batch_np, windows, prompt_ids, sot_idx, beam, temps,
+        self, audio_np, audio_dev, windows, prompt_ids, sot_idx, beam, temps,
         length_penalty, sample_len, cr_thresh, lp_thresh, ns_thresh,
         progress_callback=None, rep_penalty: float = 1.0,
         patience: float = 1.0, ngram: int = 0, journal=None,
@@ -760,7 +830,8 @@ class AriesTranscriber:
                 prompt = list(prompt_ids)
             pad = P_max - len(prompt)
             prompt = [-1] * pad + prompt  # -1 pads are masked in the decoder
-            mel = self._mel(jnp.asarray(batch_np[wi : wi + 1]))
+            s1, l1 = self._window_starts_lengths(windows, [wi], 1)
+            mel = self._mel(self._gather_windows(audio_dev, s1, l1))
             xa = self._encode_batch(mel)
             try:
                 out = self._decode_batch(
@@ -791,7 +862,8 @@ class AriesTranscriber:
                 continue
             if quality["needs_fallback"] and len(temps) > 1:
                 segs = self._fallback_window(
-                    batch_np[wi], window, prompt, temps[1:], sample_len,
+                    windows_to_batch(audio_np, [window])[0], window, prompt,
+                    temps[1:], sample_len,
                     cr_thresh, lp_thresh, ns_thresh, segs, sot_idx=w_sot,
                     prompt_start=pad, parse_skip=len(prompt) - prefix_len,
                 )
