@@ -120,18 +120,36 @@ int32_t aries_decode_mp3(const uint8_t* data, int64_t len, float** out,
 
   long rate = 0;
   int channels = 0, enc = 0;
-  std::vector<int16_t> pcm;
+  // mixed down to mono INCREMENTALLY with the channel count in force when
+  // each chunk was decoded — a mid-stream mono<->stereo switch (stitched
+  // files) must not de-interleave earlier frames with the later layout
+  std::vector<float> mono_acc;
   std::vector<unsigned char> buf(65536);
   bool have_format = false;
+
+  auto mixdown = [&](size_t bytes) {
+    if (!bytes || channels <= 0) return;
+    const int16_t* s = reinterpret_cast<const int16_t*>(buf.data());
+    const size_t frames = bytes / 2 / static_cast<size_t>(channels);
+    const float norm = 1.0f / 32768.0f / static_cast<float>(channels);
+    for (size_t i = 0; i < frames; ++i) {
+      int32_t acc = 0;
+      for (int c = 0; c < channels; ++c) acc += s[i * channels + c];
+      mono_acc.push_back(static_cast<float>(acc) * norm);
+    }
+  };
+
   for (;;) {
     size_t done = 0;
     int rc = m.read(h, buf.data(), buf.size(), &done);
-    if (done) {
-      const int16_t* s = reinterpret_cast<const int16_t*>(buf.data());
-      pcm.insert(pcm.end(), s, s + done / 2);
-    }
+    mixdown(done);
     if (rc == MPG123_NEW_FORMAT) {
-      m.getformat(h, &rate, &channels, &enc);
+      long new_rate = 0;
+      int new_ch = 0;
+      m.getformat(h, &new_rate, &new_ch, &enc);
+      if (have_format && new_rate != rate) break;  // keep the first-rate part
+      rate = new_rate;
+      channels = new_ch;
       have_format = true;
       continue;
     }
@@ -144,17 +162,13 @@ int32_t aries_decode_mp3(const uint8_t* data, int64_t len, float** out,
   }
   if (m.close) m.close(h);
   m.delete_(h);
-  if (!have_format || channels <= 0 || rate <= 0 || pcm.empty()) return -3;
+  if (!have_format || channels <= 0 || rate <= 0 || mono_acc.empty())
+    return -3;
 
-  const int64_t frames = static_cast<int64_t>(pcm.size()) / channels;
+  const int64_t frames = static_cast<int64_t>(mono_acc.size());
   float* mono = static_cast<float*>(std::malloc(sizeof(float) * frames));
   if (!mono) return -3;
-  const float norm = 1.0f / 32768.0f / static_cast<float>(channels);
-  for (int64_t i = 0; i < frames; ++i) {
-    int32_t acc = 0;
-    for (int c = 0; c < channels; ++c) acc += pcm[i * channels + c];
-    mono[i] = static_cast<float>(acc) * norm;
-  }
+  std::memcpy(mono, mono_acc.data(), sizeof(float) * frames);
   *out = mono;
   *out_len = frames;
   *sample_rate = static_cast<int32_t>(rate);

@@ -229,14 +229,18 @@ int32_t aries_decode_ogg(const uint8_t* data, int64_t len, float** out,
   const int channels = info->channels;
   const long rate = info->rate;
 
+  constexpr long OV_HOLE_RC = -3;  // libvorbis OV_HOLE: recoverable gap
   std::vector<int16_t> pcm;
   std::vector<char> buf(65536);
   int bitstream = 0;
   for (;;) {
     long n = v.ov_read(vfbuf.data(), buf.data(),
                        static_cast<int>(buf.size()), 0, 2, 1, &bitstream);
-    if (n == 0) break;      // EOF
-    if (n < 0) continue;    // recoverable hole in stream
+    if (n == 0) break;             // EOF
+    if (n == OV_HOLE_RC) continue;  // skip the gap, keep decoding
+    if (n < 0) break;  // persistent error (OV_EBADLINK/OV_EINVAL do not
+                       // advance the stream — continuing would spin forever);
+                       // keep whatever decoded cleanly before it
     const int16_t* s = reinterpret_cast<const int16_t*>(buf.data());
     pcm.insert(pcm.end(), s, s + n / 2);
   }

@@ -408,3 +408,44 @@ def test_hotwords_prepend_prev_context(tiny_engine, speech_wav):
     # hotword text must NOT leak into the transcript
     text = " ".join(s["text"] for s in res["segments"])
     assert not text.lstrip().startswith("abc")
+
+
+def test_prefix_applies_to_first_window_only(tiny_engine, tmp_path):
+    """faster-whisper applies `prefix` at seek==0 only: a multi-window file
+    must contain the forced text exactly once, at the start."""
+    wav = _long_wav(tmp_path, name="pfx.wav")
+    res = tiny_engine.transcribe_file(
+        wav, language="en", output_formats=(), beam_size=1,
+        temperature=(0.0,), max_new_tokens=8, prefix="abc", vad_filter=False,
+    )
+    assert res["success"]
+    text = " ".join(s["text"] for s in res["segments"])
+    assert text.lstrip().startswith("abc")
+    assert text.count("abc") == 1, text
+
+
+def test_resume_decode_options_change_discards_journal(tiny_engine, tmp_path):
+    """The journal signature covers decode options, not just the window
+    plan: changing repetition_penalty must not replay stale results."""
+    wav = _long_wav(tmp_path, name="opts.wav")
+    journal = str(tmp_path / "opts.jsonl")
+    kw = dict(language="en", beam_size=1, max_new_tokens=8, vad_filter=False,
+              output_formats=(), temperature=(0.0,))
+    tiny_engine.transcribe_file(wav, resume_path=journal, **kw)
+
+    calls = {"n": 0}
+    real = AriesTranscriber._decode_batch
+
+    def spy(self, *a, **k):
+        calls["n"] += 1
+        return real(self, *a, **k)
+
+    AriesTranscriber._decode_batch = spy
+    try:
+        res = tiny_engine.transcribe_file(
+            wav, resume_path=journal, repetition_penalty=1.5, **kw
+        )
+    finally:
+        AriesTranscriber._decode_batch = real
+    assert res["success"]
+    assert calls["n"] > 0  # stale journal discarded -> real decodes happened

@@ -129,6 +129,8 @@ class DiarizationPipeline:
             min_clusters=min_speakers,
             max_clusters=max_speakers,
         )
+        labels = self._absorb_tiny_clusters(labels, embeddings, subsegs,
+                                            floor=min_speakers)
         order = np.argsort([s for s, _ in subsegs], kind="stable")
         labels = relabel_by_first_appearance(labels, order)
         turns = self._merge_turns(subsegs, labels)
@@ -191,6 +193,7 @@ class DiarizationPipeline:
         the net can mistake for speech; no intelligible speech lives below
         this floor."""
         probs, starts = self._segmentation_multilabel(wav)
+        clip_points = set()  # window half-overlap clip boundaries
         # physical energy per 20 ms frame of the whole file
         hop = int(self.SEG_FRAME_S * SAMPLE_RATE)
         n_fr = len(wav) // hop
@@ -214,6 +217,8 @@ class DiarizationPipeline:
             hi = (w_start + self.SEG_WINDOW_S
                   if b == len(starts) - 1
                   else w_start + self.SEG_WINDOW_S - self.SEG_HOP_S / 2)
+            clip_points.add(round(lo, 3))
+            clip_points.add(round(hi, 3))
             # frames of this window in file-frame coordinates
             f0 = int(round(w_start / self.SEG_FRAME_S))
             n_f = probs.shape[1]
@@ -241,10 +246,16 @@ class DiarizationPipeline:
         # An activity run crossing the half-overlap clip boundary is split
         # into two regions by construction; the sliver side embeds badly
         # (too little audio) and seeds spurious clusters. Re-join regions
-        # that abut (the same run, stitched back together).
+        # that abut AT A CLIP BOUNDARY only (the same run, stitched back
+        # together) — overlapping regions are simultaneous speakers and
+        # must stay separate.
+        def at_clip(t: float) -> bool:
+            return any(abs(t - c) <= 2 * self.SEG_FRAME_S for c in clip_points)
+
         merged: List[Tuple[float, float]] = []
         for s, e in regions:
-            if merged and s - merged[-1][1] <= 0.06:
+            gap = s - merged[-1][1] if merged else 1e9
+            if merged and 0.0 <= gap <= 0.06 and at_clip(s):
                 merged[-1] = (merged[-1][0], max(merged[-1][1], e))
             else:
                 merged.append((s, e))
@@ -306,6 +317,38 @@ class DiarizationPipeline:
             np.pad(m, ((0, 0), (0, T - m.shape[1])), mode="edge") for m in mels
         ])
         return melstats_embedding(batch)
+
+    @staticmethod
+    def _absorb_tiny_clusters(labels: np.ndarray, embeddings: np.ndarray,
+                              subsegs: Sequence[Tuple[float, float]],
+                              min_total_s: float = 0.75,
+                              floor: Optional[int] = None) -> np.ndarray:
+        """Reassign clusters with < ``min_total_s`` of total speech to the
+        nearest substantial cluster's centroid.
+
+        Sub-second slivers (end-of-file tails, clipped onsets) embed poorly
+        and otherwise seed phantom speakers; a real extra speaker talks for
+        longer than this in any meeting.
+        """
+        labels = np.asarray(labels).copy()
+        durs: Dict[int, float] = {}
+        for (s, e), lab in zip(subsegs, labels):
+            durs[int(lab)] = durs.get(int(lab), 0.0) + (e - s)
+        big = [l for l, d in durs.items() if d >= min_total_s]
+        keep_at_least = max(1, floor or 1)
+        if len(big) < keep_at_least or len(big) == len(durs):
+            return labels
+        cents = {
+            l: embeddings[labels == l].mean(axis=0) for l in big
+        }
+        for l in cents:
+            cents[l] = cents[l] / max(np.linalg.norm(cents[l]), 1e-8)
+        for i, lab in enumerate(labels):
+            if int(lab) in big:
+                continue
+            sims = {l: float(embeddings[i] @ c) for l, c in cents.items()}
+            labels[i] = max(sims, key=sims.get)
+        return labels
 
     @staticmethod
     def _merge_turns(subsegs: Sequence[Tuple[float, float]],

@@ -75,13 +75,14 @@ log = logging.getLogger(__name__)
 
 
 def _plan_signature(windows: Sequence[Window], model_size: str,
-                    beam: int, sample_len: int) -> str:
+                    beam: int, sample_len: int, opts: str = "") -> str:
     """Stable id of (window plan, decode config) for resume-journal safety:
-    a journal written under a different plan must not be replayed."""
+    a journal written under a different plan or different decode options
+    (language/task/prompts/temperatures/penalties) must not be replayed."""
     import hashlib
 
     h = hashlib.sha1()
-    h.update(f"{model_size}|{beam}|{sample_len}|{len(windows)}".encode())
+    h.update(f"{model_size}|{beam}|{sample_len}|{len(windows)}|{opts}".encode())
     for w in windows:
         h.update(f"{w.start:.3f},{w.end:.3f},{w.chunk_id};".encode())
     return h.hexdigest()
@@ -101,6 +102,9 @@ class ResumeJournal:
         self.path = path
         self.sig = sig
         self.done: Dict[int, List[Dict[str, Any]]] = {}
+        #: windows whose decode reset cross-window conditioning (sequential
+        #: temperature fallback) — replayed on resume
+        self.reset_ids: set = set()
         self._load()
 
     def _load(self) -> None:
@@ -120,6 +124,8 @@ class ResumeJournal:
                 try:
                     rec = json.loads(line)
                     self.done[int(rec["window_id"])] = rec["segments"]
+                    if rec.get("reset"):
+                        self.reset_ids.add(int(rec["window_id"]))
                 except Exception:
                     continue  # torn tail write from a crash
             if self.done:
@@ -132,15 +138,19 @@ class ResumeJournal:
 
     def _write_header(self) -> None:
         self.done = {}
+        self.reset_ids = set()
         Path(self.path).parent.mkdir(parents=True, exist_ok=True)
         with open(self.path, "w", encoding="utf-8") as f:
             f.write(json.dumps({"plan_sig": self.sig}) + "\n")
 
-    def record(self, window_id: int, segments: List[Dict[str, Any]]) -> None:
+    def record(self, window_id: int, segments: List[Dict[str, Any]],
+               reset: bool = False) -> None:
         self.done[window_id] = segments
+        if reset:
+            self.reset_ids.add(window_id)
         with open(self.path, "a", encoding="utf-8") as f:
             f.write(json.dumps({"window_id": window_id,
-                                "segments": segments}) + "\n")
+                                "segments": segments, "reset": reset}) + "\n")
             f.flush()
             import os as _os
 
@@ -576,20 +586,26 @@ class AriesTranscriber:
                     self.tokenizer.encode(" " + prev_text.strip())[-223:]
                 prompt_ids = prev + prompt_ids
                 sot_idx = len(prev)
-            prefix_len = 0
-            if prefix:
-                # forced transcript start: prefix tokens follow the sot
-                # sequence as already-decoded text and appear in the output
-                ptoks = self.tokenizer.encode(" " + prefix.strip())
-                prompt_ids = prompt_ids + ptoks
-                prefix_len = len(ptoks)
+            # forced transcript start (faster-whisper: applies to the FIRST
+            # window only): prefix tokens follow the sot sequence as
+            # already-decoded text and appear in the output
+            prefix_ids: List[int] = (
+                self.tokenizer.encode(" " + prefix.strip()) if prefix else []
+            )
 
             journal = None
             if resume_path:
+                # the signature covers everything that changes decoded
+                # output: window plan, model, and the full decode config
+                # (prompt_ids encodes language/task/initial_prompt/hotwords)
+                opts_sig = json.dumps([
+                    prompt_ids, prefix_ids, list(temps), repetition_penalty,
+                    ngram, patience, length_penalty, condition_on_previous_text,
+                ])
                 journal = ResumeJournal(
                     resume_path,
                     _plan_signature(windows, self.model_size,
-                                    beam or 1, max_new_tokens),
+                                    beam or 1, max_new_tokens, opts_sig),
                 )
             if condition_on_previous_text:
                 segments = self._transcribe_windows_sequential(
@@ -599,10 +615,26 @@ class AriesTranscriber:
                     compression_ratio_threshold, log_prob_threshold,
                     no_speech_threshold, progress_callback,
                     rep_penalty=repetition_penalty, patience=patience,
-                    ngram=ngram, journal=journal, prefix_len=prefix_len,
+                    ngram=ngram, journal=journal, prefix_ids=prefix_ids,
                 )
             else:
-                segments = self._transcribe_windows(
+                segments = []
+                skip = set()
+                if prefix_ids and 0 not in (journal.done if journal else {}):
+                    # faster-whisper semantics: the prefix forces only the
+                    # FIRST window's transcript; decode it alone via the
+                    # sequential machinery, then batch the rest without it
+                    segments += self._transcribe_windows_sequential(
+                        pre.audio, audio_dev, windows[:1], prompt_ids,
+                        sot_idx, beam, temps,
+                        length_penalty, max_new_tokens,
+                        compression_ratio_threshold, log_prob_threshold,
+                        no_speech_threshold, None,
+                        rep_penalty=repetition_penalty, patience=patience,
+                        ngram=ngram, journal=journal, prefix_ids=prefix_ids,
+                    )
+                    skip = {0}
+                segments += self._transcribe_windows(
                     pre.audio, audio_dev, windows, prompt_ids, sot_idx, beam,
                     temps,
                     length_penalty, max_new_tokens,
@@ -610,8 +642,9 @@ class AriesTranscriber:
                     no_speech_threshold, progress_callback,
                     best_of=best_of, rep_penalty=repetition_penalty,
                     patience=patience, ngram=ngram, journal=journal,
-                    prefix_len=prefix_len,
+                    skip_ids=skip,
                 )
+                segments.sort(key=lambda s: (s["start"], s["end"]))
             if chunking_mode == "fixed":
                 from whisper_aries_tpu.utils.segments import (
                     merge_overlapping_segments,
@@ -670,22 +703,24 @@ class AriesTranscriber:
         length_penalty, sample_len, cr_thresh, lp_thresh, ns_thresh,
         progress_callback=None, best_of: int = 5, rep_penalty: float = 1.0,
         patience: float = 1.0, ngram: int = 0, journal=None,
-        prefix_len: int = 0,
+        skip_ids: Optional[set] = None,
     ) -> List[Dict[str, Any]]:
         from whisper_aries_tpu.utils.perf import PerformanceMonitor
 
-        # forced-prefix tokens are part of the prompt for decoding but part
-        # of the TEXT for parsing (faster-whisper's `prefix` semantics)
-        parse_skip = len(prompt_ids) - prefix_len
+        parse_skip = len(prompt_ids)
+        skip_ids = skip_ids or set()
 
         B = self.batch_size
         N = len(windows)
         all_segments: List[Dict[str, Any]] = []
-        # windows already decoded in a previous (killed) run of this job
+        # windows already decoded in a previous (killed) run of this job;
+        # skip_ids were handled by the caller (prefix window) — neither
+        # re-decoded nor re-emitted here
         done = dict(journal.done) if journal is not None else {}
-        for segs in done.values():
-            all_segments.extend(segs)
-        pending = [i for i in range(N) if i not in done]
+        for wid, segs in done.items():
+            if wid not in skip_ids:
+                all_segments.extend(segs)
+        pending = [i for i in range(N) if i not in done and i not in skip_ids]
         monitor = PerformanceMonitor(
             total_audio_s=sum(windows[i].duration for i in pending)
         )
@@ -792,15 +827,18 @@ class AriesTranscriber:
         length_penalty, sample_len, cr_thresh, lp_thresh, ns_thresh,
         progress_callback=None, rep_penalty: float = 1.0,
         patience: float = 1.0, ngram: int = 0, journal=None,
-        prefix_len: int = 0,
+        prefix_ids: Optional[List[int]] = None,
     ) -> List[Dict[str, Any]]:
         """Window-by-window decode with cross-window text conditioning.
 
         Each window's prompt becomes <|startofprev|> + previous text tokens
         + the sot sequence (faster-whisper's condition_on_previous_text).
-        Slower than the batched path — this is the fidelity mode.
+        ``prefix_ids`` force the FIRST window's transcript start (faster-
+        whisper applies `prefix` at seek==0 only). Slower than the batched
+        path — this is the fidelity mode.
         """
         sp = self.tokenizer.specials
+        prefix_ids = prefix_ids or []
         # length of the sot sequence at the tail of prompt_ids (prompt_ids may
         # already carry an initial_prompt <|startofprev|> prefix of sot_idx
         # tokens)
@@ -808,8 +846,7 @@ class AriesTranscriber:
         # All prompts are LEFT-PADDED to one static width so the whole
         # sequential mode is a single compiled decode program (a fresh jit
         # per distinct prompt length costs 40-90 s on the TPU tunnel).
-        P_max = 224 + len(sot_seq)
-        w_sot = P_max - len(sot_seq)  # sot position is constant when padded
+        P_max = 224 + len(sot_seq) + len(prefix_ids)
         all_segments: List[Dict[str, Any]] = []
         prev_tokens: List[int] = []
         done = dict(journal.done) if journal is not None else {}
@@ -817,17 +854,26 @@ class AriesTranscriber:
             if wi in done:
                 segs = done[wi]
                 all_segments.extend(segs)
-                # rebuild conditioning state from the journaled tokens
-                prev_tokens = [
-                    t for s in segs for t in s.get("tokens", [])
-                    if t < sp.eot
-                ] if segs else []
+                # rebuild conditioning state from the journaled tokens —
+                # unless that window reset conditioning (fallback) in the
+                # original run
+                if journal is not None and wi in journal.reset_ids:
+                    prev_tokens = []
+                else:
+                    prev_tokens = [
+                        t for s in segs for t in s.get("tokens", [])
+                        if t < sp.eot
+                    ] if segs else []
                 continue
+            pfx = list(prefix_ids) if wi == 0 else []
             if prev_tokens:
-                prev = [sp.sot_prev] + prev_tokens[-(223 - len(sot_seq)):]
-                prompt = prev + sot_seq
+                keep = max(0, 223 - len(sot_seq))
+                prev = [sp.sot_prev] + (prev_tokens[-keep:] if keep else [])
+                prompt = prev + sot_seq + pfx
             else:
-                prompt = list(prompt_ids)
+                prompt = list(prompt_ids) + pfx
+            # sot position in the left-padded static buffer
+            w_sot = P_max - len(sot_seq) - len(pfx)
             pad = P_max - len(prompt)
             prompt = [-1] * pad + prompt  # -1 pads are masked in the decoder
             s1, l1 = self._window_starts_lengths(windows, [wi], 1)
@@ -841,7 +887,7 @@ class AriesTranscriber:
                     no_repeat_ngram_size=ngram, prompt_start=pad,
                 )
                 segs, quality = self._parse_one(
-                    out["tokens"][0], window, len(prompt) - prefix_len,
+                    out["tokens"][0], window, len(prompt) - len(pfx),
                     float(out["avg_logprob"][0]), float(out["no_speech_prob"][0]),
                     cr_thresh, lp_thresh, ns_thresh,
                 )
@@ -860,15 +906,17 @@ class AriesTranscriber:
                 if journal is not None:
                     journal.record(wi, [])
                 continue
+            was_fallback = False
             if quality["needs_fallback"] and len(temps) > 1:
                 segs = self._fallback_window(
                     windows_to_batch(audio_np, [window])[0], window, prompt,
                     temps[1:], sample_len,
                     cr_thresh, lp_thresh, ns_thresh, segs, sot_idx=w_sot,
-                    prompt_start=pad, parse_skip=len(prompt) - prefix_len,
+                    prompt_start=pad, parse_skip=len(prompt) - len(pfx),
                 )
                 # conditioning resets after a fallback (reference behaviour)
                 prev_tokens = []
+                was_fallback = True
             elif segs and segs[0].get("success", True):
                 prev_tokens = [
                     t for s in segs for t in s.get("tokens", [])
@@ -880,7 +928,8 @@ class AriesTranscriber:
                 s["worker_id"] = 0
             if journal is not None and not (segs and segs[0].get("success")
                                             is False):
-                journal.record(wi, segs)
+                # reset=True replays the conditioning reset on resume
+                journal.record(wi, segs, reset=was_fallback)
             all_segments.extend(segs)
             if progress_callback:
                 progress_callback(wi + 1, len(windows))

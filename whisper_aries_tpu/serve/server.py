@@ -70,8 +70,10 @@ def create_app(
     """Build the aiohttp application.
 
     ``pipeline_fn(audio_file, output_dir, formats, confidence_threshold,
-    language, run_llm_analysis) -> result dict`` is injectable so tests can
-    fake the model stage (SURVEY §4's "API test that fakes the model stage").
+    language, run_llm_analysis, resume_path) -> result dict`` is injectable
+    so tests can fake the model stage (SURVEY §4's "API test that fakes the
+    model stage"). ``resume_path`` is the per-job resume journal; accept
+    ``**kwargs`` to stay forward-compatible with new pass-through knobs.
     """
     from aiohttp import web
 
