@@ -282,6 +282,11 @@ def train_embedding(steps: int = 700, n_spk: int = 12, n_utt: int = 4,
     rng = np.random.default_rng(seed)
     log.info("EMB: generating %d contrastive batches (%dx%d utts)...",
              n_batches, n_spk, n_utt)
+    # vary_duration=True (loop-tiled short utterances, matching _embed's
+    # serve-time crops) was tried and REGRESSED pipeline separability
+    # (region pair accuracy 0.93 -> 0.73): tiled sub-second clips teach
+    # shortcut features. Fixed 2 s utterances + tiny-cluster absorption in
+    # the pipeline is the better operating point.
     batches = [synth.embedding_batch(rng, n_spk, n_utt)[0]
                for _ in range(n_batches)]
 

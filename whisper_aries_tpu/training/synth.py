@@ -251,18 +251,33 @@ def diarization_window(rng: np.random.Generator, dur_s: float = 10.0,
 
 
 def embedding_batch(rng: np.random.Generator, n_speakers: int, n_utt: int,
-                    dur_s: float = 2.0, voices: Optional[List[Voice]] = None
+                    dur_s: float = 2.0, voices: Optional[List[Voice]] = None,
+                    vary_duration: bool = False
                     ) -> Tuple[np.ndarray, List[Voice]]:
     """(audio (n_speakers*n_utt, n), voices): per-speaker utterance groups
-    (row-major speaker blocks) for contrastive training."""
+    (row-major speaker blocks) for contrastive training.
+
+    ``vary_duration=True`` matches the serving distribution exactly: the
+    diarization pipeline embeds FIXED 2 s crops where short activity
+    regions are loop-tiled (diarize/pipeline.py:_embed) — so utterances
+    here are synthesised at 0.4-3 s and center-cropped / loop-tiled to
+    ``dur_s`` the same way.
+    """
     if voices is None:
         voices = [random_voice(rng) for _ in range(n_speakers)]
     n = int(dur_s * SR)
     rows = []
     for v in voices:
         for _ in range(n_utt):
-            s, _ = synth_utterance(rng, v, dur_s,
+            raw_dur = (float(rng.uniform(0.4, 3.0)) if vary_duration
+                       else dur_s)
+            s, _ = synth_utterance(rng, v, raw_dur + 1e-4,
                                    speech_rate=float(rng.uniform(0.8, 1.3)))
+            if len(s) >= n:
+                mid = len(s) // 2
+                s = s[mid - n // 2 : mid - n // 2 + n]
+            else:
+                s = np.tile(s, int(np.ceil(n / max(len(s), 1))))[:n]
             s = s + rng.uniform(0.002, 0.02) * synth_noise(rng, n)
             rows.append(s[:n])
     return np.stack(rows).astype(np.float32), voices
