@@ -201,11 +201,16 @@ def main() -> int:
             )
         return out["tokens"]
 
+    def run_once():
+        # the axon remote backend's block_until_ready does NOT block — force
+        # completion with a host fetch of the (small) token buffer
+        return np.asarray(step())
+
     log("compiling + warmup...")
     while True:
         try:
             t0 = time.time()
-            jax.block_until_ready(step())
+            run_once()
             log(f"warmup (incl. compile): {time.time() - t0:.1f}s")
             break
         except Exception as e:
@@ -221,7 +226,7 @@ def main() -> int:
     times = []
     for i in range(reps):
         t0 = time.time()
-        jax.block_until_ready(step())
+        run_once()
         dt = time.time() - t0
         times.append(dt)
         log(f"rep {i}: {dt:.3f}s -> {batch * 30.0 / dt:.1f}x realtime")

@@ -1,0 +1,692 @@
+"""Whisper encoder-decoder in JAX — scan-over-layers, TPU-first.
+
+This is the ground-up replacement for the CTranslate2 int8 Whisper engine
+the reference drives through faster-whisper (reference requirements.txt:9,
+final_optimized_transcriber.py:269-319). Design choices are TPU-native, not
+a torch translation:
+
+  * **Parameters are pytrees with stacked layers**: every per-layer weight
+    lives in one (L, ...) leaf and blocks run under ``lax.scan`` — one
+    compiled block body regardless of depth, fast compiles, and XLA can
+    double-buffer the per-layer weight DMA.
+  * **Conv stem as shifted matmuls**: at Whisper shapes, ``lax.conv`` on TPU
+    measured ~450 ms (200x off roofline); K=3 shifted slices + matmuls tile
+    straight onto the MXU.
+  * **Flash encoder attention (Pallas)**: one (B, H, q-block) grid instance
+    streams the full per-head K/V (1536 x 64 bf16 = 192 KB) through VMEM —
+    the (B, H, 1500, 1500) f32 logits tensor never exists in HBM.
+  * **Time-minor decode caches**: K/V buffers are laid out (..., dh, T).
+    dh=64-minor buffers pad 2x against the 128-lane tile at bf16/int8;
+    T-minor pads only 1536/1500 (measured round 2: +29% end-to-end).
+  * **Grouped cross-attention**: beams share their window's encoder K/V
+    (beam axis folded into the query group axis), so beam search pays the
+    dominant HBM stream once per window, not once per beam; the int8 path
+    streams it at half width through ops/pallas_cross_attn.py.
+  * **Left-pad aware stepping**: ``valid_start`` masks cache positions and
+    shifts positional embeddings so variable-length prompts (left-padded to
+    one static width) decode bit-identically to unpadded prompts in a
+    single compiled program.
+
+Weight layout/parity is pinned against HuggingFace transformers'
+WhisperForConditionalGeneration by tests/test_whisper_model.py.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from whisper_aries_tpu.models.layers import dense, gelu, layer_norm
+
+
+@dataclass(frozen=True)
+class WhisperDims:
+    """Model hyperparameters (openai/whisper ModelDimensions field order)."""
+
+    n_mels: int
+    n_audio_ctx: int
+    n_audio_state: int
+    n_audio_head: int
+    n_audio_layer: int
+    n_vocab: int
+    n_text_ctx: int
+    n_text_state: int
+    n_text_head: int
+    n_text_layer: int
+
+
+#: published checkpoint families (openai/whisper + HF mirrors)
+PRESETS: Dict[str, WhisperDims] = {
+    "tiny": WhisperDims(80, 1500, 384, 6, 4, 51865, 448, 384, 6, 4),
+    "tiny.en": WhisperDims(80, 1500, 384, 6, 4, 51864, 448, 384, 6, 4),
+    "base": WhisperDims(80, 1500, 512, 8, 6, 51865, 448, 512, 8, 6),
+    "base.en": WhisperDims(80, 1500, 512, 8, 6, 51864, 448, 512, 8, 6),
+    "small": WhisperDims(80, 1500, 768, 12, 12, 51865, 448, 768, 12, 12),
+    "small.en": WhisperDims(80, 1500, 768, 12, 12, 51864, 448, 768, 12, 12),
+    "medium": WhisperDims(80, 1500, 1024, 16, 24, 51865, 448, 1024, 16, 24),
+    "medium.en": WhisperDims(80, 1500, 1024, 16, 24, 51864, 448, 1024, 16, 24),
+    "large": WhisperDims(80, 1500, 1280, 20, 32, 51865, 448, 1280, 20, 32),
+    "large-v1": WhisperDims(80, 1500, 1280, 20, 32, 51865, 448, 1280, 20, 32),
+    "large-v2": WhisperDims(80, 1500, 1280, 20, 32, 51865, 448, 1280, 20, 32),
+    "large-v3": WhisperDims(128, 1500, 1280, 20, 32, 51866, 448, 1280, 20, 32),
+    "large-v3-turbo": WhisperDims(128, 1500, 1280, 20, 32, 51866, 448, 1280,
+                                  20, 4),
+    "turbo": WhisperDims(128, 1500, 1280, 20, 32, 51866, 448, 1280, 20, 4),
+}
+
+
+def sinusoids(length: int, channels: int, max_timescale: float = 10_000.0
+              ) -> np.ndarray:
+    """openai/whisper's fixed sinusoidal positional table (length, channels)."""
+    assert channels % 2 == 0
+    log_inc = np.log(max_timescale) / (channels // 2 - 1)
+    inv = np.exp(-log_inc * np.arange(channels // 2))
+    t = np.arange(length)[:, None] * inv[None, :]
+    return np.concatenate([np.sin(t), np.cos(t)], axis=1).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Init / HF conversion
+# ---------------------------------------------------------------------------
+
+
+def _dense_init(key, k_in: int, n_out: int, layers: int, dtype,
+                bias: bool = True, scale: float = 0.02) -> Dict[str, Any]:
+    p = {"w": (scale * jax.random.normal(key, (layers, k_in, n_out))
+               ).astype(dtype)}
+    if bias:
+        p["b"] = jnp.zeros((layers, n_out), dtype)
+    return p
+
+
+def _ln_init(layers: int, d: int, dtype) -> Dict[str, Any]:
+    return {"scale": jnp.ones((layers, d), dtype),
+            "bias": jnp.zeros((layers, d), dtype)}
+
+
+def _unstack_ln(d: int, dtype) -> Dict[str, Any]:
+    return {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)}
+
+
+def _blocks_init(key, layers: int, d: int, dtype, cross: bool
+                 ) -> Dict[str, Any]:
+    ks = jax.random.split(key, 12)
+    blocks: Dict[str, Any] = {
+        "ln1": _ln_init(layers, d, dtype),
+        "attn": {
+            "q": _dense_init(ks[0], d, d, layers, dtype),
+            "k": _dense_init(ks[1], d, d, layers, dtype, bias=False),
+            "v": _dense_init(ks[2], d, d, layers, dtype),
+            "o": _dense_init(ks[3], d, d, layers, dtype),
+        },
+        "ln2": _ln_init(layers, d, dtype),
+        "mlp": {
+            "fc1": _dense_init(ks[4], d, 4 * d, layers, dtype),
+            "fc2": _dense_init(ks[5], 4 * d, d, layers, dtype),
+        },
+    }
+    if cross:
+        blocks["ln_cross"] = _ln_init(layers, d, dtype)
+        blocks["cross"] = {
+            "q": _dense_init(ks[6], d, d, layers, dtype),
+            "k": _dense_init(ks[7], d, d, layers, dtype, bias=False),
+            "v": _dense_init(ks[8], d, d, layers, dtype),
+            "o": _dense_init(ks[9], d, d, layers, dtype),
+        }
+    return blocks
+
+
+def init_params(dims: WhisperDims, key: Optional[jax.Array] = None,
+                dtype=jnp.float32) -> Dict[str, Any]:
+    """Random-init parameter tree (used for tests and random-weight benches)."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    k = jax.random.split(key, 8)
+    da, dt = dims.n_audio_state, dims.n_text_state
+    return {
+        "encoder": {
+            "conv1": {
+                "w": (0.02 * jax.random.normal(
+                    k[0], (da, dims.n_mels, 3))).astype(dtype),
+                "b": jnp.zeros((da,), dtype),
+            },
+            "conv2": {
+                "w": (0.02 * jax.random.normal(k[1], (da, da, 3))).astype(dtype),
+                "b": jnp.zeros((da,), dtype),
+            },
+            "pos_emb": jnp.asarray(
+                sinusoids(dims.n_audio_ctx, da), dtype),
+            "blocks": _blocks_init(k[2], dims.n_audio_layer, da, dtype,
+                                   cross=False),
+            "ln_post": _unstack_ln(da, dtype),
+        },
+        "decoder": {
+            "tok_emb": (0.02 * jax.random.normal(
+                k[3], (dims.n_vocab, dt))).astype(dtype),
+            "pos_emb": (0.01 * jax.random.normal(
+                k[4], (dims.n_text_ctx, dt))).astype(dtype),
+            "blocks": _blocks_init(k[5], dims.n_text_layer, dt, dtype,
+                                   cross=True),
+            "ln": _unstack_ln(dt, dtype),
+        },
+    }
+
+
+def dims_from_hf_config(cfg) -> WhisperDims:
+    """HF transformers WhisperConfig (object or dict) -> WhisperDims."""
+    get = (cfg.get if isinstance(cfg, dict)
+           else lambda k, d=None: getattr(cfg, k, d))
+    return WhisperDims(
+        n_mels=int(get("num_mel_bins")),
+        n_audio_ctx=int(get("max_source_positions")),
+        n_audio_state=int(get("d_model")),
+        n_audio_head=int(get("encoder_attention_heads")),
+        n_audio_layer=int(get("encoder_layers")),
+        n_vocab=int(get("vocab_size")),
+        n_text_ctx=int(get("max_target_positions")),
+        n_text_state=int(get("d_model")),
+        n_text_head=int(get("decoder_attention_heads")),
+        n_text_layer=int(get("decoder_layers")),
+    )
+
+
+def convert_hf_state_dict(sd: Dict[str, Any], dims: WhisperDims,
+                          dtype=jnp.float32) -> Dict[str, Any]:
+    """HF WhisperForConditionalGeneration state dict -> our param tree.
+
+    Accepts torch tensors or numpy arrays (safetensors flat files share the
+    same key names). Linear weights transpose from torch's (out, in) to the
+    (in, out) layout ``dense`` consumes; conv stems keep (out, in, k).
+    """
+
+    def a(key: str) -> np.ndarray:
+        v = sd[key]
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().numpy()
+        return np.asarray(v, np.float32)
+
+    def stack_dense(prefix: str, n: int, name: str, bias: bool
+                    ) -> Dict[str, Any]:
+        w = np.stack([a(f"{prefix}.{i}.{name}.weight").T for i in range(n)])
+        out = {"w": jnp.asarray(w, dtype)}
+        if bias:
+            b = np.stack([a(f"{prefix}.{i}.{name}.bias") for i in range(n)])
+            out["b"] = jnp.asarray(b, dtype)
+        return out
+
+    def stack_ln(prefix: str, n: int, name: str) -> Dict[str, Any]:
+        return {
+            "scale": jnp.asarray(
+                np.stack([a(f"{prefix}.{i}.{name}.weight") for i in range(n)]),
+                dtype),
+            "bias": jnp.asarray(
+                np.stack([a(f"{prefix}.{i}.{name}.bias") for i in range(n)]),
+                dtype),
+        }
+
+    enc, dec = "model.encoder", "model.decoder"
+    if f"{enc}.conv1.weight" not in sd and "encoder.conv1.weight" in sd:
+        enc, dec = "encoder", "decoder"  # bare WhisperModel state dict
+    el, dl = dims.n_audio_layer, dims.n_text_layer
+    ep, dp = f"{enc}.layers", f"{dec}.layers"
+
+    params = {
+        "encoder": {
+            "conv1": {"w": jnp.asarray(a(f"{enc}.conv1.weight"), dtype),
+                      "b": jnp.asarray(a(f"{enc}.conv1.bias"), dtype)},
+            "conv2": {"w": jnp.asarray(a(f"{enc}.conv2.weight"), dtype),
+                      "b": jnp.asarray(a(f"{enc}.conv2.bias"), dtype)},
+            "pos_emb": jnp.asarray(a(f"{enc}.embed_positions.weight"), dtype),
+            "blocks": {
+                "ln1": stack_ln(ep, el, "self_attn_layer_norm"),
+                "attn": {
+                    "q": stack_dense(ep, el, "self_attn.q_proj", True),
+                    "k": stack_dense(ep, el, "self_attn.k_proj", False),
+                    "v": stack_dense(ep, el, "self_attn.v_proj", True),
+                    "o": stack_dense(ep, el, "self_attn.out_proj", True),
+                },
+                "ln2": stack_ln(ep, el, "final_layer_norm"),
+                "mlp": {
+                    "fc1": stack_dense(ep, el, "fc1", True),
+                    "fc2": stack_dense(ep, el, "fc2", True),
+                },
+            },
+            "ln_post": {
+                "scale": jnp.asarray(a(f"{enc}.layer_norm.weight"), dtype),
+                "bias": jnp.asarray(a(f"{enc}.layer_norm.bias"), dtype),
+            },
+        },
+        "decoder": {
+            "tok_emb": jnp.asarray(a(f"{dec}.embed_tokens.weight"), dtype),
+            "pos_emb": jnp.asarray(a(f"{dec}.embed_positions.weight"), dtype),
+            "blocks": {
+                "ln1": stack_ln(dp, dl, "self_attn_layer_norm"),
+                "attn": {
+                    "q": stack_dense(dp, dl, "self_attn.q_proj", True),
+                    "k": stack_dense(dp, dl, "self_attn.k_proj", False),
+                    "v": stack_dense(dp, dl, "self_attn.v_proj", True),
+                    "o": stack_dense(dp, dl, "self_attn.out_proj", True),
+                },
+                "ln_cross": stack_ln(dp, dl, "encoder_attn_layer_norm"),
+                "cross": {
+                    "q": stack_dense(dp, dl, "encoder_attn.q_proj", True),
+                    "k": stack_dense(dp, dl, "encoder_attn.k_proj", False),
+                    "v": stack_dense(dp, dl, "encoder_attn.v_proj", True),
+                    "o": stack_dense(dp, dl, "encoder_attn.out_proj", True),
+                },
+                "ln2": stack_ln(dp, dl, "final_layer_norm"),
+                "mlp": {
+                    "fc1": stack_dense(dp, dl, "fc1", True),
+                    "fc2": stack_dense(dp, dl, "fc2", True),
+                },
+            },
+            "ln": {
+                "scale": jnp.asarray(a(f"{dec}.layer_norm.weight"), dtype),
+                "bias": jnp.asarray(a(f"{dec}.layer_norm.bias"), dtype),
+            },
+        },
+    }
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+
+def _conv1d_shifted(p: Dict[str, Any], x: jax.Array, stride: int) -> jax.Array:
+    """K=3, pad=1 conv1d as shifted matmuls (NCH lax.conv measured ~450 ms /
+    200x off roofline at Whisper shapes on TPU — git history round 1).
+
+    x (B, T, Cin), weights torch-layout (Cout, Cin, K) -> (B, T//stride, Cout).
+    """
+    w, b = p["w"], p["b"]
+    K = w.shape[2]
+    pad = (K - 1) // 2
+    B, T, _ = x.shape
+    t_out = T // stride
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)))
+    y = None
+    for k in range(K):
+        xk = jax.lax.slice(
+            xp, (0, k, 0),
+            (B, k + stride * (t_out - 1) + 1, xp.shape[2]),
+            (1, stride, 1),
+        )
+        wk = w[:, :, k].T.astype(x.dtype)  # (Cin, Cout)
+        yk = jnp.dot(xk, wk)
+        y = yk if y is None else y + yk
+    return y + b.astype(y.dtype)
+
+
+def _attention_xla(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    """(B, H, T, dh) full attention; logits/softmax in f32."""
+    dh = q.shape[-1]
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q * (dh ** -0.5), k,
+                        preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
+def _flash_attention_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
+                            interpret: bool = False) -> jax.Array:
+    """Bidirectional flash attention for the encoder (Pallas TPU kernel).
+
+    Grid (B, H, q-blocks): each instance streams one head's FULL K/V slab
+    (T_pad x dh ~ 192 KB bf16 at Whisper sizes) plus one q block through
+    VMEM and writes the attended block — the (B, H, T, T) f32 logits tensor
+    never exists in HBM. Keys beyond the real length are masked (T=1500
+    pads to 1536 for the 128-lane tile).
+    """
+    from jax.experimental import pallas as pl
+
+    B, H, T, dh = q.shape
+    bq = int(os.environ.get("ARIES_FLASH_BQ", "768"))
+    Tp = ((T + 127) // 128) * 128
+    bq = min(bq, Tp)
+    while Tp % bq:
+        bq //= 2
+    scale = dh ** -0.5
+
+    if Tp != T:
+        padw = ((0, 0), (0, 0), (0, Tp - T), (0, 0))
+        q = jnp.pad(q, padw)
+        k = jnp.pad(k, padw)
+        v = jnp.pad(v, padw)
+
+    def kernel(q_ref, k_ref, v_ref, o_ref):
+        qb = q_ref[0, 0].astype(jnp.float32) * scale  # (bq, dh)
+        kb = k_ref[0, 0]                              # (Tp, dh)
+        logits = jax.lax.dot_general(
+            qb, kb.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (bq, Tp)
+        if Tp != T:  # mask padded keys
+            key_idx = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            logits = jnp.where(key_idx < T, logits, float(np.finfo(np.float32).min))
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o_ref[0, 0] = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, H, Tp, dh), q.dtype),
+        grid=(B, H, Tp // bq),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, dh), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, Tp, dh), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, Tp, dh), lambda b, h, i: (b, h, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bq, dh), lambda b, h, i: (b, h, i, 0)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H * Tp * Tp * dh * 2,
+            bytes_accessed=B * H * Tp * dh * 2 * 4,
+            transcendentals=B * H * Tp * Tp,
+        ),
+        interpret=interpret,
+    )(q, k, v)
+    return out[:, :, :T] if Tp != T else out
+
+
+def _split_heads(x: jax.Array, n_head: int) -> jax.Array:
+    B, T, d = x.shape
+    return x.reshape(B, T, n_head, d // n_head).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jax.Array) -> jax.Array:
+    B, H, T, dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(B, T, H * dh)
+
+
+@functools.partial(jax.jit, static_argnames=("dims",))
+def encode(params: Dict[str, Any], mel: jax.Array, dims: WhisperDims
+           ) -> jax.Array:
+    """mel (B, n_mels, 2*n_audio_ctx) -> encoded audio (B, n_audio_ctx, D).
+
+    Conv stem (gelu(conv1 s1) -> gelu(conv2 s2)) + sinusoidal positions +
+    pre-LN transformer under lax.scan + final LayerNorm — parity with HF's
+    WhisperEncoder (tests/test_whisper_model.py::test_encoder_parity).
+    """
+    enc = params["encoder"]
+    if mel.ndim == 2:
+        mel = mel[None]
+    x = mel.transpose(0, 2, 1)  # (B, T, n_mels)
+    x = gelu(_conv1d_shifted(enc["conv1"], x, stride=1))
+    x = gelu(_conv1d_shifted(enc["conv2"], x, stride=2))
+    x = x + enc["pos_emb"][: x.shape[1]].astype(x.dtype)
+
+    n_head = dims.n_audio_head
+    use_flash = jax.default_backend() == "tpu" and dims.n_audio_ctx >= 256
+
+    def block(x, p):
+        h = layer_norm(p["ln1"], x)
+        q = _split_heads(dense(p["attn"]["q"], h), n_head)
+        k = _split_heads(dense(p["attn"]["k"], h), n_head)
+        v = _split_heads(dense(p["attn"]["v"], h), n_head)
+        att = (_flash_attention_pallas(q, k, v) if use_flash
+               else _attention_xla(q, k, v))
+        x = x + dense(p["attn"]["o"], _merge_heads(att).astype(x.dtype))
+        h = layer_norm(p["ln2"], x)
+        x = x + dense(p["mlp"]["fc2"], gelu(dense(p["mlp"]["fc1"], h)))
+        return x, None
+
+    x, _ = jax.lax.scan(block, x, enc["blocks"])
+    return layer_norm(enc["ln_post"], x)
+
+
+# ---------------------------------------------------------------------------
+# Decoder — teacher-forced full forward
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("dims", "return_cross_qk"))
+def decoder_forward(
+    params: Dict[str, Any],
+    tokens: jax.Array,   # (B, S) int32
+    xa: jax.Array,       # (B, Ta, D)
+    dims: WhisperDims,
+    return_cross_qk: bool = False,
+):
+    """Teacher-forced decoder. Returns logits (B, S, n_vocab) f32 — and, with
+    ``return_cross_qk``, the scaled cross-attention logits
+    (L, B, H, S, Ta) that feed the DTW word aligner (align/word_align.py;
+    faster-whisper's word_timestamps machinery, SURVEY §2.3 N2)."""
+    dec = params["decoder"]
+    B, S = tokens.shape
+    n_head = dims.n_text_head
+    dh = dims.n_text_state // n_head
+    emb = dec["tok_emb"]
+    x = emb[jnp.maximum(tokens, 0)] + dec["pos_emb"][:S]
+    x = x.astype(xa.dtype)
+
+    causal = jnp.tril(jnp.ones((S, S), bool))
+    neg = float(np.finfo(np.float32).min)
+
+    def block(x, p):
+        h = layer_norm(p["ln1"], x)
+        q = _split_heads(dense(p["attn"]["q"], h), n_head)
+        k = _split_heads(dense(p["attn"]["k"], h), n_head)
+        v = _split_heads(dense(p["attn"]["v"], h), n_head)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q * (dh ** -0.5), k,
+                            preferred_element_type=jnp.float32)
+        logits = jnp.where(causal[None, None], logits, neg)
+        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        att = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        x = x + dense(p["attn"]["o"], _merge_heads(att).astype(x.dtype))
+
+        h = layer_norm(p["ln_cross"], x)
+        q = _split_heads(dense(p["cross"]["q"], h), n_head)
+        ck = _split_heads(dense(p["cross"]["k"], xa), n_head)
+        cv = _split_heads(dense(p["cross"]["v"], xa), n_head)
+        cqk = jnp.einsum("bhqd,bhkd->bhqk", q * (dh ** -0.5), ck,
+                         preferred_element_type=jnp.float32)
+        probs = jax.nn.softmax(cqk, axis=-1).astype(cv.dtype)
+        att = jnp.einsum("bhqk,bhkd->bhqd", probs, cv)
+        x = x + dense(p["cross"]["o"], _merge_heads(att).astype(x.dtype))
+
+        h = layer_norm(p["ln2"], x)
+        x = x + dense(p["mlp"]["fc2"], gelu(dense(p["mlp"]["fc1"], h)))
+        return x, (cqk if return_cross_qk else None)
+
+    x, cqks = jax.lax.scan(block, x, dec["blocks"])
+    x = layer_norm(dec["ln"], x)
+    logits = jnp.dot(x, emb.T.astype(x.dtype),
+                     preferred_element_type=jnp.float32)
+    if return_cross_qk:
+        return logits, cqks
+    return logits
+
+
+# ---------------------------------------------------------------------------
+# Decoder — KV-cached incremental stepping
+# ---------------------------------------------------------------------------
+
+
+def init_kv_cache(dims: WhisperDims, batch: int, dtype=jnp.float32,
+                  max_len: Optional[int] = None) -> Dict[str, jax.Array]:
+    """Self-attention K/V cache, TIME-MINOR layout (L, B, H, dh, T).
+
+    dh=64-minor buffers pad 2x against the TPU's 128-lane tile — doubling
+    both HBM footprint and the per-step stream; T-minor pads ~1536/1500
+    (round-2 measurement: +29% end-to-end decode throughput)."""
+    T = max_len if max_len is not None else dims.n_text_ctx
+    H = dims.n_text_head
+    dh = dims.n_text_state // H
+    L = dims.n_text_layer
+    return {"k": jnp.zeros((L, batch, H, dh, T), dtype),
+            "v": jnp.zeros((L, batch, H, dh, T), dtype)}
+
+
+def precompute_cross_kv(params: Dict[str, Any], xa: jax.Array,
+                        dims: WhisperDims) -> Dict[str, jax.Array]:
+    """Cross-attention K/V for every layer, time-minor (L, B, H, dh, Ta).
+
+    Computed once per window (CTranslate2 does the same inside its encoder
+    step); the decode loop then only streams them."""
+    H = dims.n_text_head
+    dh = dims.n_text_state // H
+    B, T, _ = xa.shape
+
+    def one(_, cp):
+        k = dense(cp["k"], xa).reshape(B, T, H, dh).transpose(0, 2, 3, 1)
+        v = dense(cp["v"], xa).reshape(B, T, H, dh).transpose(0, 2, 3, 1)
+        return None, (k, v)
+
+    _, (K, V) = jax.lax.scan(one, None, params["decoder"]["blocks"]["cross"])
+    return {"k": K, "v": V}
+
+
+def precompute_cross_kv_int8(params: Dict[str, Any], xa: jax.Array,
+                             dims: WhisperDims) -> Dict[str, jax.Array]:
+    """int8 cross K/V with per-position scales (ops/pallas_cross_attn.py
+    layout contract): k8/v8 (L, B, H, dh, Ta) int8, ks/vs (L, B, H, 1, Ta)
+    f32 — ks already folds 1/sqrt(dh) so the kernel applies no extra scale.
+    Halves the dominant decode-step HBM stream vs bf16 K/V."""
+    from whisper_aries_tpu.ops.pallas_cross_attn import quantize_kv_per_position
+
+    H = dims.n_text_head
+    dh = dims.n_text_state // H
+    B, T, _ = xa.shape
+    rsq = 1.0 / np.sqrt(dh)
+
+    def one(_, cp):
+        k = dense(cp["k"], xa).reshape(B, T, H, dh).transpose(0, 2, 1, 3)
+        v = dense(cp["v"], xa).reshape(B, T, H, dh).transpose(0, 2, 1, 3)
+        k8, ks = quantize_kv_per_position(k)   # (B,H,T,dh), (B,H,1,T)
+        v8, vs = quantize_kv_per_position(v)
+        return None, (jnp.swapaxes(k8, -1, -2), (ks * rsq).astype(jnp.float32),
+                      jnp.swapaxes(v8, -1, -2), vs.astype(jnp.float32))
+
+    _, (K8, KS, V8, VS) = jax.lax.scan(
+        one, None, params["decoder"]["blocks"]["cross"]
+    )
+    return {"k8": K8, "ks": KS, "v8": V8, "vs": VS}
+
+
+def _cross_attention_step(cp: Dict[str, Any], h: jax.Array,
+                          kv: Dict[str, jax.Array], n_head: int
+                          ) -> jax.Array:
+    """Grouped cross-attention for one decode step/prefill.
+
+    h (B_rows, S, D) where B_rows = Bw * G_beams; the per-window beams (and
+    the S positions — cross attention has no causal structure) fold into
+    the query group axis, so each window's K/V streams from HBM once."""
+    B_rows, S, D = h.shape
+    dh = D // n_head
+    q = dense(cp["q"], h)
+    kref = kv["k8"] if "k8" in kv else kv["k"]
+    Bw = kref.shape[0]
+    G = (B_rows // Bw) * S
+    # rows are window-major (beams contiguous per window): (Bw, G, H, dh)
+    q4 = q.reshape(Bw, G, n_head, dh).transpose(0, 2, 1, 3)
+    if "k8" in kv:
+        from whisper_aries_tpu.ops.pallas_cross_attn import (
+            cross_attention_q8_auto,
+        )
+
+        att = cross_attention_q8_auto(
+            q4, kv["k8"], kv["ks"], kv["v8"], kv["vs"]
+        )  # (Bw, H, G, dh) f32 — ks folds the 1/sqrt(dh)
+    else:
+        logits = jnp.einsum("bhgd,bhdt->bhgt", q4 * (dh ** -0.5), kv["k"],
+                            preferred_element_type=jnp.float32)
+        probs = jax.nn.softmax(logits, axis=-1).astype(kv["v"].dtype)
+        att = jnp.einsum("bhgt,bhdt->bhgd", probs, kv["v"])
+    out = att.transpose(0, 2, 1, 3).reshape(B_rows, S, D).astype(h.dtype)
+    return dense(cp["o"], out)
+
+
+@functools.partial(jax.jit, static_argnames=("dims",))
+def decoder_step(
+    params: Dict[str, Any],
+    tokens: jax.Array,             # (B, S) int32; -1 = left padding
+    pos,                           # scalar int32: buffer index of tokens[:,0]
+    cache: Dict[str, jax.Array],   # {"k","v"} (L, B, H, dh, Tmax)
+    cross_kv: Dict[str, jax.Array],
+    dims: WhisperDims,
+    valid_start: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """One KV-cached decoder call (prefill S>1 or step S=1).
+
+    ``valid_start``: index of the first REAL token when the prompt buffer is
+    left-padded with -1 to a static width — cache positions before it are
+    masked out of self-attention and positional embeddings shift by it, so
+    the padded decode is bit-identical to the unpadded one (single compiled
+    program for all prompt lengths; tests/test_decode.py
+    ::test_left_padded_prompt_exact_parity).
+
+    Returns (logits (B, S, n_vocab) f32, updated cache).
+    """
+    dec = params["decoder"]
+    B, S = tokens.shape
+    n_head = dims.n_text_head
+    dh = dims.n_text_state // n_head
+    Tmax = cache["k"].shape[-1]
+    pos = jnp.asarray(pos, jnp.int32)
+    vs = (jnp.asarray(valid_start, jnp.int32) if valid_start is not None
+          else jnp.int32(0))
+
+    emb = dec["tok_emb"]
+    pos_idx = jnp.clip(pos + jnp.arange(S, dtype=jnp.int32) - vs, 0,
+                       dims.n_text_ctx - 1)
+    x = emb[jnp.maximum(tokens, 0)] + dec["pos_emb"][pos_idx]
+    x = x.astype(cache["k"].dtype)
+
+    q_pos = pos + jnp.arange(S, dtype=jnp.int32)        # (S,)
+    key_idx = jnp.arange(Tmax, dtype=jnp.int32)          # (Tmax,)
+    mask = (key_idx[None, :] <= q_pos[:, None]) & (key_idx[None, :] >= vs)
+    neg = float(np.finfo(np.float32).min)
+
+    # The layer loop is UNROLLED with static layer indices: static slices of
+    # the stacked weights/caches fuse into their consuming dots with no
+    # copies, and the (1, B, H, dh, S) cache-slab writes update the carried
+    # buffers in place. (A lax.scan variant was measured 2-4x slower and
+    # +1 cache of peak HBM: scan ys reallocate the whole cache per step and
+    # dynamic per-layer reads materialize full-layer copies — 1.7 GB of
+    # HBM->HBM traffic per decode step at large-v3 batch 40.)
+    blocks = params["decoder"]["blocks"]
+    ck, cv = cache["k"], cache["v"]
+
+    def layer_slice(tree, l):
+        return jax.tree.map(lambda a: a[l], tree)
+
+    L = dims.n_text_layer
+    for l in range(L):
+        p = layer_slice(blocks, l)
+        kv_l = layer_slice(cross_kv, l)
+        h = layer_norm(p["ln1"], x)
+        q = _split_heads(dense(p["attn"]["q"], h), n_head)  # (B, H, S, dh)
+        k = dense(p["attn"]["k"], h).reshape(B, S, n_head, dh)
+        v = dense(p["attn"]["v"], h).reshape(B, S, n_head, dh)
+        # write time-minor (B, H, dh, S) slabs at [l, .., pos:pos+S]
+        ck = jax.lax.dynamic_update_slice(
+            ck, k.transpose(0, 2, 3, 1)[None], (l, 0, 0, 0, pos))
+        cv = jax.lax.dynamic_update_slice(
+            cv, v.transpose(0, 2, 3, 1)[None], (l, 0, 0, 0, pos))
+        logits = jnp.einsum("bhsd,bhdt->bhst", q * (dh ** -0.5), ck[l],
+                            preferred_element_type=jnp.float32)
+        logits = jnp.where(mask[None, None], logits, neg)
+        probs = jax.nn.softmax(logits, axis=-1).astype(cv.dtype)
+        att = jnp.einsum("bhst,bhdt->bhsd", probs, cv[l])
+        x = x + dense(p["attn"]["o"], _merge_heads(att).astype(x.dtype))
+
+        h = layer_norm(p["ln_cross"], x)
+        x = x + _cross_attention_step(p["cross"], h, kv_l, n_head)
+
+        h = layer_norm(p["ln2"], x)
+        x = x + dense(p["mlp"]["fc2"], gelu(dense(p["mlp"]["fc1"], h)))
+    new_k, new_v = ck, cv
+    x = layer_norm(dec["ln"], x)
+    logits = jnp.dot(x, emb.T.astype(x.dtype),
+                     preferred_element_type=jnp.float32)
+    return logits, {"k": new_k, "v": new_v}
