@@ -69,8 +69,7 @@ def build_suppress_mask(n_vocab: int, suppress_ids: Sequence[int]) -> np.ndarray
 class LoopState(NamedTuple):
     tokens: jax.Array        # (B, L) int32 token buffer (prompt + samples)
     pos: jax.Array           # scalar int32 — next position to fill
-    cache_k: jax.Array
-    cache_v: jax.Array
+    cache: Any               # self-attn KV cache pytree (bf16 or int8+scales)
     sum_logprob: jax.Array   # (B,)
     finished: jax.Array      # (B,) bool
     last_tok: jax.Array      # (B,) int32
@@ -231,7 +230,8 @@ def greedy_decode(
     L = P + sample_len
     cross_kv = (W.precompute_cross_kv_int8(params, xa, dims) if kv_int8
                 else W.precompute_cross_kv(params, xa, dims))
-    cache = W.init_kv_cache(dims, B, dtype=xa.dtype, max_len=L)
+    cache = W.init_kv_cache(dims, B, dtype=xa.dtype, max_len=L,
+                            int8=kv_int8)
 
     # Prefill the prompt.
     logits_p, cache = W.decoder_step(
@@ -252,8 +252,7 @@ def greedy_decode(
     state = LoopState(
         tokens=tokens,
         pos=jnp.int32(P),
-        cache_k=cache["k"],
-        cache_v=cache["v"],
+        cache=cache,
         sum_logprob=jnp.zeros((B,), jnp.float32),
         finished=jnp.zeros((B,), bool),
         last_tok=prompt[:, -1].astype(jnp.int32),
@@ -332,12 +331,12 @@ def greedy_decode(
             params,
             jax.lax.dynamic_slice(state.tokens, (0, state.pos - 1), (B, 1)),
             state.pos - 1,
-            {"k": state.cache_k, "v": state.cache_v},
+            state.cache,
             cross_kv,
             dims,
             valid_start=prompt_start,
         )
-        state = state._replace(cache_k=cache["k"], cache_v=cache["v"])
+        state = state._replace(cache=cache)
         return step(state, logits[:, 0])
 
     state = jax.lax.while_loop(cond, body, state)
@@ -363,8 +362,7 @@ def greedy_decode(
 class BeamState(NamedTuple):
     tokens: jax.Array        # (B, K, L) — live beams only
     pos: jax.Array
-    cache_k: jax.Array       # (Lyr, B*K, H, T, dh)
-    cache_v: jax.Array
+    cache: Any               # self-attn KV cache pytree, (Lyr, B*K, ...) leaves
     sum_logprob: jax.Array   # (B, K)
     last_tok: jax.Array      # (B, K)
     penult_tok: jax.Array
@@ -426,7 +424,8 @@ def beam_search_decode(
     # additionally halves the per-step stream (Pallas fused dequant attn).
     cross_kv = (W.precompute_cross_kv_int8(params, xa, dims) if kv_int8
                 else W.precompute_cross_kv(params, xa, dims))
-    cache = W.init_kv_cache(dims, B * K, dtype=xa.dtype, max_len=L)
+    cache = W.init_kv_cache(dims, B * K, dtype=xa.dtype, max_len=L,
+                            int8=kv_int8)
 
     prompt_k = jnp.repeat(prompt, K, axis=0)
     logits_p, cache = W.decoder_step(
@@ -452,8 +451,7 @@ def beam_search_decode(
     state = BeamState(
         tokens=tokens,
         pos=jnp.int32(P),
-        cache_k=cache["k"],
-        cache_v=cache["v"],
+        cache=cache,
         sum_logprob=init_scores,
         last_tok=jnp.tile(prompt[:, -1:].astype(jnp.int32), (1, K)),
         penult_tok=jnp.full((B, K), -1, jnp.int32),
@@ -537,20 +535,30 @@ def beam_search_decode(
             k_rows = jnp.arange(K)[None, :]
             present = present.at[b_rows, k_rows, next_tok].set(True)
 
-        # Reorder the KV cache: flat index b*K + live_src. The barrier
-        # sequences the two gathers so their outputs are never live
-        # together — the K-gather transient dies before the V-gather runs,
-        # shaving ~0.5x cache off peak HBM (the beam batch limiter).
+        # Reorder the KV cache: flat index b*K + live_src. Barriers
+        # SEQUENCE the per-buffer gathers so no two gather outputs are
+        # live together — each transient dies before the next gather
+        # runs, shaving ~1x cache buffer off peak HBM (the beam batch
+        # limiter). Works for both cache layouts (bf16 k/v, int8 quad).
         flat_src = (jnp.arange(B)[:, None] * K + live_src).reshape(-1)
-        cache_k = jnp.take(state.cache_k, flat_src, axis=1)
-        cache_k, old_v, flat_src = jax.lax.optimization_barrier(
-            (cache_k, state.cache_v, flat_src)
-        )
-        cache_v = jnp.take(old_v, flat_src, axis=1)
+        new_cache: Dict[str, jax.Array] = {}
+        pending = sorted(state.cache.keys())
+        prev_key = None
+        src = flat_src
+        old = dict(state.cache)
+        for key in pending:
+            if prev_key is not None:
+                done, nxt, src = jax.lax.optimization_barrier(
+                    (new_cache[prev_key], old[key], src)
+                )
+                new_cache[prev_key] = done
+                old[key] = nxt
+            new_cache[key] = jnp.take(old[key], src, axis=1)
+            prev_key = key
 
         return BeamState(
             tokens=tokens, pos=state.pos + 1,
-            cache_k=cache_k, cache_v=cache_v,
+            cache=new_cache,
             sum_logprob=live_score,
             last_tok=next_tok,
             penult_tok=last,
@@ -570,10 +578,10 @@ def beam_search_decode(
         ).reshape(B * K, 1)
         logits, cache = W.decoder_step(
             params, tok_in, state.pos - 1,
-            {"k": state.cache_k, "v": state.cache_v}, cross_kv, dims,
+            state.cache, cross_kv, dims,
             valid_start=prompt_start,
         )
-        state = state._replace(cache_k=cache["k"], cache_v=cache["v"])
+        state = state._replace(cache=cache)
         return expand(state, logits[:, 0])
 
     state = jax.lax.while_loop(cond, body, state)

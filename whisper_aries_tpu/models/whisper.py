@@ -513,18 +513,44 @@ def decoder_forward(
 
 
 def init_kv_cache(dims: WhisperDims, batch: int, dtype=jnp.float32,
-                  max_len: Optional[int] = None) -> Dict[str, jax.Array]:
+                  max_len: Optional[int] = None, int8: bool = False
+                  ) -> Dict[str, jax.Array]:
     """Self-attention K/V cache, TIME-MINOR layout (L, B, H, dh, T).
 
     dh=64-minor buffers pad 2x against the TPU's 128-lane tile — doubling
     both HBM footprint and the per-step stream; T-minor pads ~1536/1500
-    (round-2 measurement: +29% end-to-end decode throughput)."""
+    (round-2 measurement: +29% end-to-end decode throughput).
+
+    ``int8=True`` stores quantize-on-write int8 values with per-position
+    f32 scales (k scales fold 1/sqrt(dh)) — halving the per-step cache
+    read, the cache HBM footprint, AND the beam reorder-gather traffic
+    (the window-batch limiter). Attention runs through
+    ops/pallas_self_attn.py on TPU."""
     T = max_len if max_len is not None else dims.n_text_ctx
     H = dims.n_text_head
     dh = dims.n_text_state // H
     L = dims.n_text_layer
+    if int8:
+        return {"k8": jnp.zeros((L, batch, H, dh, T), jnp.int8),
+                "ks": jnp.zeros((L, batch, H, 1, T), jnp.float32),
+                "v8": jnp.zeros((L, batch, H, dh, T), jnp.int8),
+                "vs": jnp.zeros((L, batch, H, 1, T), jnp.float32)}
     return {"k": jnp.zeros((L, batch, H, dh, T), dtype),
             "v": jnp.zeros((L, batch, H, dh, T), dtype)}
+
+
+def _quant_slab(x: jax.Array, fold: float = 1.0
+                ) -> Tuple[jax.Array, jax.Array]:
+    """(B, S, H, dh) slab -> time-minor int8 (B, H, dh, S) + scales
+    (B, H, 1, S) f32 (multiplied by ``fold``, e.g. 1/sqrt(dh) for K)."""
+    xf = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=-1)               # (B, S, H)
+    scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(xf / scale[..., None]), -127, 127
+                 ).astype(jnp.int8)
+    q = q.transpose(0, 2, 3, 1)                          # (B, H, dh, S)
+    s = (scale * fold).transpose(0, 2, 1)[:, :, None, :]  # (B, H, 1, S)
+    return q, s.astype(jnp.float32)
 
 
 def precompute_cross_kv(params: Dict[str, Any], xa: jax.Array,
@@ -631,7 +657,8 @@ def decoder_step(
     B, S = tokens.shape
     n_head = dims.n_text_head
     dh = dims.n_text_state // n_head
-    Tmax = cache["k"].shape[-1]
+    int8_cache = "k8" in cache
+    Tmax = (cache["k8"] if int8_cache else cache["k"]).shape[-1]
     pos = jnp.asarray(pos, jnp.int32)
     vs = (jnp.asarray(valid_start, jnp.int32) if valid_start is not None
           else jnp.int32(0))
@@ -640,7 +667,6 @@ def decoder_step(
     pos_idx = jnp.clip(pos + jnp.arange(S, dtype=jnp.int32) - vs, 0,
                        dims.n_text_ctx - 1)
     x = emb[jnp.maximum(tokens, 0)] + dec["pos_emb"][pos_idx]
-    x = x.astype(cache["k"].dtype)
 
     q_pos = pos + jnp.arange(S, dtype=jnp.int32)        # (S,)
     key_idx = jnp.arange(Tmax, dtype=jnp.int32)          # (Tmax,)
@@ -655,12 +681,18 @@ def decoder_step(
     # dynamic per-layer reads materialize full-layer copies — 1.7 GB of
     # HBM->HBM traffic per decode step at large-v3 batch 40.)
     blocks = params["decoder"]["blocks"]
-    ck, cv = cache["k"], cache["v"]
+    new_cache = dict(cache)
+    maskf = jnp.where(mask, 0.0, neg).astype(jnp.float32)[None, None]
 
     def layer_slice(tree, l):
         return jax.tree.map(lambda a: a[l], tree)
 
+    def write_slab(key, slab, l):
+        new_cache[key] = jax.lax.dynamic_update_slice(
+            new_cache[key], slab[None], (l, 0, 0, 0, pos))
+
     L = dims.n_text_layer
+    rsq = 1.0 / np.sqrt(dh)
     for l in range(L):
         p = layer_slice(blocks, l)
         kv_l = layer_slice(cross_kv, l)
@@ -668,16 +700,37 @@ def decoder_step(
         q = _split_heads(dense(p["attn"]["q"], h), n_head)  # (B, H, S, dh)
         k = dense(p["attn"]["k"], h).reshape(B, S, n_head, dh)
         v = dense(p["attn"]["v"], h).reshape(B, S, n_head, dh)
-        # write time-minor (B, H, dh, S) slabs at [l, .., pos:pos+S]
-        ck = jax.lax.dynamic_update_slice(
-            ck, k.transpose(0, 2, 3, 1)[None], (l, 0, 0, 0, pos))
-        cv = jax.lax.dynamic_update_slice(
-            cv, v.transpose(0, 2, 3, 1)[None], (l, 0, 0, 0, pos))
-        logits = jnp.einsum("bhsd,bhdt->bhst", q * (dh ** -0.5), ck[l],
-                            preferred_element_type=jnp.float32)
-        logits = jnp.where(mask[None, None], logits, neg)
-        probs = jax.nn.softmax(logits, axis=-1).astype(cv.dtype)
-        att = jnp.einsum("bhst,bhdt->bhsd", probs, cv[l])
+        if int8_cache:
+            k8s, kss = _quant_slab(k, fold=rsq)
+            v8s, vss = _quant_slab(v)
+            for key, slab in (("k8", k8s), ("ks", kss),
+                              ("v8", v8s), ("vs", vss)):
+                write_slab(key, slab, l)
+            args = (q, new_cache["k8"][l], new_cache["ks"][l],
+                    new_cache["v8"][l], new_cache["vs"][l], maskf)
+            if S == 1:
+                from whisper_aries_tpu.ops.pallas_self_attn import (
+                    self_attention_q8_auto,
+                )
+
+                att = self_attention_q8_auto(*args)      # (B, H, 1, dh)
+            else:  # prefill: once per window, XLA path handles (S, T) masks
+                from whisper_aries_tpu.ops.pallas_self_attn import (
+                    self_attention_q8_reference,
+                )
+
+                att = self_attention_q8_reference(*args)
+        else:
+            # write time-minor (B, H, dh, S) slabs at [l, .., pos:pos+S]
+            write_slab("k", k.transpose(0, 2, 3, 1), l)
+            write_slab("v", v.transpose(0, 2, 3, 1), l)
+            logits = jnp.einsum(
+                "bhsd,bhdt->bhst", q * (dh ** -0.5), new_cache["k"][l],
+                preferred_element_type=jnp.float32)
+            logits = logits + maskf
+            probs = jax.nn.softmax(logits, axis=-1).astype(
+                new_cache["v"].dtype)
+            att = jnp.einsum("bhst,bhdt->bhsd", probs, new_cache["v"][l])
         x = x + dense(p["attn"]["o"], _merge_heads(att).astype(x.dtype))
 
         h = layer_norm(p["ln_cross"], x)
@@ -685,8 +738,7 @@ def decoder_step(
 
         h = layer_norm(p["ln2"], x)
         x = x + dense(p["mlp"]["fc2"], gelu(dense(p["mlp"]["fc1"], h)))
-    new_k, new_v = ck, cv
     x = layer_norm(dec["ln"], x)
     logits = jnp.dot(x, emb.T.astype(x.dtype),
                      preferred_element_type=jnp.float32)
-    return logits, {"k": new_k, "v": new_v}
+    return logits, new_cache

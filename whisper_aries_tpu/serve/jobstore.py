@@ -149,6 +149,34 @@ class JobStore:
             )
         return jobs[:limit]
 
+    def cleanup(self, max_age_s: float = 7 * 24 * 3600.0,
+                now: Optional[datetime] = None) -> int:
+        """Age-based GC: drop completed/failed jobs older than ``max_age_s``
+        (measured from completion time). Queued/running jobs are never
+        collected. Returns the number of jobs removed.
+
+        The reference's pickle store grows forever (api_server.py:54-75);
+        the server calls this periodically (serve/server.py) with
+        ``ARIES_JOB_TTL_S`` controlling the horizon."""
+        now = now or datetime.now()
+        removed = 0
+        with self._lock:
+            for jid in list(self._jobs):
+                job = self._jobs[jid]
+                if job.status not in ("completed", "failed"):
+                    continue
+                stamp = job.completed_at or job.created_at
+                try:
+                    age = (now - datetime.fromisoformat(stamp)).total_seconds()
+                except Exception:
+                    continue
+                if age > max_age_s:
+                    del self._jobs[jid]
+                    removed += 1
+            if removed:
+                self._save_locked()
+        return removed
+
     def stats(self) -> Dict[str, Any]:
         """Success-rate aggregation (reference: api_server.py:331-345)."""
         with self._lock:

@@ -271,8 +271,32 @@ def create_app(
     async def options_handler(request):
         return web.Response(headers=CORS_HEADERS)
 
+    async def _job_gc(app):
+        """Periodic age-based job GC (jobstore.cleanup): completed/failed
+        jobs older than ARIES_JOB_TTL_S (default 7 days) are dropped so the
+        store doesn't grow forever (the reference's pickle store did)."""
+        import asyncio
+
+        ttl = float(os.environ.get("ARIES_JOB_TTL_S", str(7 * 24 * 3600)))
+        interval = min(3600.0, max(60.0, ttl / 24))
+
+        async def loop():
+            while True:
+                await asyncio.sleep(interval)
+                try:
+                    n = store.cleanup(max_age_s=ttl)
+                    if n:
+                        log.info("job GC: removed %d expired job(s)", n)
+                except Exception as e:  # GC must never kill the server
+                    log.warning("job GC failed: %s", e)
+
+        task = asyncio.ensure_future(loop())
+        yield
+        task.cancel()
+
     app = web.Application(client_max_size=cfg.server.max_upload_mb * 1024 * 1024)
     app["job_store"] = store
+    app.cleanup_ctx.append(_job_gc)
     app.router.add_get("/", root)
     app.router.add_post("/analyze/", analyze)
     app.router.add_get("/status/{job_id}", status)
