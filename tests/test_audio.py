@@ -411,3 +411,91 @@ def test_ogg_garbage_bytes_error(tmp_path):
     p.write_bytes(b"OggS....but not really a stream" * 50)
     with pytest.raises(AudioError):
         load_audio(str(p))
+
+
+# ---------------------------------------------------------------------------
+# M4A/AAC + video-container ingestion (native/ariesav.cpp over the system
+# libavformat/libavcodec — reference reached these only through the ffmpeg
+# binary, utils.py:96-130)
+# ---------------------------------------------------------------------------
+
+
+def _av_ready():
+    from whisper_aries_tpu.audio import _native
+
+    return _native.native_available() and _native.av_available()
+
+
+def test_m4a_roundtrip_native(tmp_path):
+    """Encode with the native AAC encoder (test-only export), decode through
+    load_audio — .m4a ingestion with no ffmpeg binary on PATH."""
+    from whisper_aries_tpu.audio import _native
+    from whisper_aries_tpu.audio.decode import load_audio
+
+    if not _av_ready():
+        pytest.skip("native libav path unavailable")
+    sr = 16000
+    t = np.arange(sr * 3) / sr
+    x = (0.5 * np.sin(2 * np.pi * 440 * t)
+         * (0.6 + 0.4 * np.sin(2 * np.pi * 2 * t))).astype(np.float32)
+    data = _native.encode_m4a_native(x, sr)
+    assert data[4:8] == b"ftyp"  # mp4 family container
+    p = tmp_path / "tone.m4a"
+    p.write_bytes(data)
+    y = load_audio(str(p))
+    # AAC pads to frame boundaries and has encoder delay; allow a lag search
+    n = len(x) - 4096
+    best = max(
+        float(np.dot(y[lag:lag + n], x[:n])
+              / (np.linalg.norm(y[lag:lag + n]) * np.linalg.norm(x[:n]) + 1e-9))
+        for lag in range(0, 4096, 64)
+    )
+    assert best > 0.97, best
+
+
+def test_m4a_441k_resampled(tmp_path):
+    from whisper_aries_tpu.audio import _native
+    from whisper_aries_tpu.audio.decode import load_audio
+
+    if not _av_ready():
+        pytest.skip("native libav path unavailable")
+    sr = 44100
+    t = np.arange(sr * 2) / sr
+    x = (0.4 * np.sin(2 * np.pi * 523.25 * t)).astype(np.float32)
+    p = tmp_path / "note.m4a"
+    p.write_bytes(_native.encode_m4a_native(x, sr))
+    y = load_audio(str(p))
+    f = np.fft.rfftfreq(len(y), 1 / 16000)
+    dom = f[np.argmax(np.abs(np.fft.rfft(y)))]
+    assert abs(dom - 523.25) < 5.0, dom
+
+
+def test_mp4_video_container_audio_track(tmp_path):
+    """The reference pipes video files through ffmpeg (utils.py:96-130);
+    the native libav demuxer extracts the audio track directly."""
+    from whisper_aries_tpu.audio import _native
+    from whisper_aries_tpu.audio.decode import load_audio
+
+    if not _av_ready():
+        pytest.skip("native libav path unavailable")
+    sr = 16000
+    t = np.arange(sr * 2) / sr
+    x = (0.4 * np.sin(2 * np.pi * 330 * t)).astype(np.float32)
+    p = tmp_path / "clip.mp4"  # same mp4 mux, video-extension dispatch
+    p.write_bytes(_native.encode_m4a_native(x, sr))
+    y = load_audio(str(p))
+    f = np.fft.rfftfreq(len(y), 1 / 16000)
+    dom = f[np.argmax(np.abs(np.fft.rfft(y)))]
+    assert abs(dom - 330.0) < 5.0, dom
+
+
+def test_m4a_garbage_bytes_error(tmp_path):
+    from whisper_aries_tpu.audio.decode import load_audio
+    from whisper_aries_tpu.errors import AudioError
+
+    if not _av_ready():
+        pytest.skip("native libav path unavailable")
+    p = tmp_path / "junk.m4a"
+    p.write_bytes(b"\x00\x00\x00 ftypM4A but not really" * 100)
+    with pytest.raises(AudioError):
+        load_audio(str(p))

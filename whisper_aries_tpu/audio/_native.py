@@ -291,6 +291,92 @@ def decode_ogg_native(data: bytes) -> Tuple[np.ndarray, int]:
     return arr, int(sr.value)
 
 
+def av_available() -> bool:
+    """True when the native shim was built with ffmpeg headers and the system
+    libavformat/libavcodec/libavutil resolve at runtime (native/ariesav.cpp)."""
+    lib = load_library()
+    if lib is None:
+        return False
+    if not hasattr(lib, "_av_configured"):
+        try:
+            _configure_av(lib)
+        except AttributeError:  # shim built without ffmpeg headers
+            return False
+    return bool(lib.aries_av_available())
+
+
+def _configure_av(lib) -> None:
+    lib.aries_av_available.restype = ctypes.c_int32
+    lib.aries_av_available.argtypes = []
+    lib.aries_decode_av.restype = ctypes.c_int32
+    lib.aries_decode_av.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.aries_encode_m4a.restype = ctypes.c_int32
+    lib.aries_encode_m4a.argtypes = [
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte)),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib._av_configured = True
+
+
+def decode_av_native(data: bytes) -> Tuple[np.ndarray, int]:
+    """Decode any libavformat container (m4a/aac/wma + audio tracks of
+    mp4/mkv/webm/avi/mov) to (mono float32, sample_rate) via the native shim
+    over the system ffmpeg libraries (native/ariesav.cpp)."""
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native ariesaudio library unavailable")
+    if not hasattr(lib, "_av_configured"):
+        _configure_av(lib)
+    out = ctypes.POINTER(ctypes.c_float)()
+    out_len = ctypes.c_int64()
+    sr = ctypes.c_int32()
+    status = lib.aries_decode_av(
+        data, len(data), ctypes.byref(out), ctypes.byref(out_len),
+        ctypes.byref(sr)
+    )
+    if status != 0:
+        msg = {-2: "system ffmpeg libraries not found",
+               -3: "demux/decode error"}.get(status, f"status {status}")
+        raise ValueError(f"AV decode failed: {msg}")
+    try:
+        arr = np.ctypeslib.as_array(out, shape=(out_len.value,)).copy()
+    finally:
+        lib.aries_free(out)
+    return arr, int(sr.value)
+
+
+def encode_m4a_native(audio: np.ndarray, sample_rate: int) -> bytes:
+    """Test-vector M4A/AAC encoder (native/ariesav.cpp over the system
+    libavcodec); used by the test suite only."""
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native ariesaudio library unavailable")
+    if not hasattr(lib, "_av_configured"):
+        _configure_av(lib)
+    x = np.ascontiguousarray(np.clip(audio, -1.0, 1.0), dtype=np.float32)
+    out = ctypes.POINTER(ctypes.c_ubyte)()
+    out_len = ctypes.c_int64()
+    status = lib.aries_encode_m4a(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(x),
+        sample_rate, ctypes.byref(out), ctypes.byref(out_len)
+    )
+    if status != 0:
+        raise ValueError(f"M4A encode failed: status {status}")
+    try:
+        return bytes(bytearray(out[: out_len.value]))
+    finally:
+        lib.aries_free(out)
+
+
 def encode_ogg_native(audio: np.ndarray, sample_rate: int,
                       quality: float = 0.4) -> bytes:
     """Test-vector Ogg/Vorbis encoder (native/ariesogg.cpp over

@@ -207,6 +207,22 @@ def load_audio(path: str, sample_rate: int = SAMPLE_RATE) -> np.ndarray:
                     raise AudioError(f"OGG decode failed for {path}: {e}") from e
             # fall through to ffmpeg extraction below
         if ext != ".wav":
+            # native libavformat/libavcodec path (native/ariesav.cpp): m4a,
+            # aac, wma, opus, and the audio track of video containers — the
+            # formats the reference could only reach through the ffmpeg
+            # binary (utils.py:96-130) or librosa/audioread
+            # (final_optimized_transcriber.py:105-112)
+            from whisper_aries_tpu.audio import _native
+
+            if _native.native_available() and _native.av_available():
+                try:
+                    audio, sr = _native.decode_av_native(p.read_bytes())
+                    if sr != sample_rate:
+                        audio = resample(audio, sr, sample_rate)
+                    return audio
+                except ValueError:
+                    pass  # fall through to ffmpeg extraction below
+        if ext != ".wav":
             from whisper_aries_tpu.utils.media import extract_audio_if_needed
             import shutil as _shutil
 
