@@ -181,6 +181,11 @@ def main() -> int:
     kv_int8 = os.environ.get("ARIES_BENCH_KV", kv_default) == "int8"
     if kv_int8:
         log("cross-attention K/V quantized to int8 (Pallas fused attn)")
+    # self-attention cache int8 (ARIES_BENCH_SELFKV=int8) halves the beam
+    # cache HBM but costs step latency — off by default (see ROADMAP.md)
+    self_kv_int8 = os.environ.get("ARIES_BENCH_SELFKV", "bf16") == "int8"
+    if self_kv_int8:
+        log("self-attention KV cache quantized to int8 (quantize-on-write)")
 
     def step():
         mel = log_mel_spectrogram(audio_j, n_mels=dims.n_mels)
@@ -189,7 +194,7 @@ def main() -> int:
             out = G.beam_search_decode(
                 params, xa, prompt_j, dims, ids, suppress, jnp.int32(0),
                 beam_size=beam, sample_len=n_tokens, with_timestamps=True,
-                kv_int8=kv_int8,
+                kv_int8=kv_int8, self_kv_int8=self_kv_int8,
             )
         else:
             import jax as _jax
@@ -198,6 +203,7 @@ def main() -> int:
                 params, xa, prompt_j, dims, ids, suppress, jnp.int32(0),
                 jnp.float32(0.0), _jax.random.PRNGKey(0),
                 sample_len=n_tokens, with_timestamps=True, kv_int8=kv_int8,
+                self_kv_int8=self_kv_int8,
             )
         return out["tokens"]
 

@@ -449,3 +449,67 @@ def test_resume_decode_options_change_discards_journal(tiny_engine, tmp_path):
         AriesTranscriber._decode_batch = real
     assert res["success"]
     assert calls["n"] > 0  # stale journal discarded -> real decodes happened
+
+
+def _bucket_engine(tiny_engine):
+    from whisper_aries_tpu.config import load_config
+
+    cfg = load_config()
+    cfg.vad.backend = "energy"  # deterministic short windows for this test
+    return AriesTranscriber(
+        model_size="tiny-test", _params=tiny_engine.params,
+        _dims=tiny_engine.dims, _tokenizer=tiny_engine.tokenizer,
+        windows_per_device=1, audio_ctx="bucket", config=cfg,
+    )
+
+
+@pytest.fixture()
+def sparse_speech_wav(tmp_path_factory):
+    """Two well-separated short bursts (gap > the planner's 3 s bridge) so
+    VAD planning yields two short windows."""
+    rng = np.random.default_rng(1)
+    sr = 16000
+    n = int(sr * 24.0)
+    t = np.arange(n) / sr
+    x = 0.002 * rng.standard_normal(n).astype(np.float32)
+    for s, e in [(1.0, 5.0), (13.0, 17.0)]:
+        m = (t >= s) & (t < e)
+        x[m] += (0.3 * np.sin(2 * np.pi * 280 * t[m]) *
+                 (0.6 + 0.4 * np.sin(2 * np.pi * 3 * t[m]))).astype(np.float32)
+    p = tmp_path_factory.mktemp("audio") / "sparse.wav"
+    write_wav(str(p), x, sr)
+    return str(p)
+
+
+def test_audio_ctx_bucket_short_windows(tiny_engine, sparse_speech_wav,
+                                        tmp_path):
+    """audio_ctx="bucket": batches made entirely of short VAD windows are
+    gathered/encoded at the 16 s context (whisper.cpp audio_ctx-style);
+    output contract is unchanged and segments stay inside the file."""
+    eng = _bucket_engine(tiny_engine)
+    res = eng.transcribe_file(
+        sparse_speech_wav, language="en", output_formats=("json",),
+        output_dir=str(tmp_path), beam_size=1, temperature=(0.0,),
+        max_new_tokens=8,
+    )
+    assert res["success"]
+    # the speech bursts are ~4 s each with a >3 s gap -> every planned
+    # window is short, so the 16 s gather program must have been compiled
+    assert eng.SHORT_WINDOW_SAMPLES in eng._gather_fns
+    for s in res["segments"]:
+        assert 0.0 <= s["start"] <= s["end"] <= 24.5
+
+
+def test_audio_ctx_bucket_long_windows_stay_full(tiny_engine,
+                                                 sparse_speech_wav):
+    """Windows longer than the bucket threshold keep the trained 30 s
+    context even when bucketing is enabled (vad_filter=False tiles the
+    24 s file into one >16 s window)."""
+    eng = _bucket_engine(tiny_engine)
+    res = eng.transcribe_file(
+        sparse_speech_wav, language="en", output_formats=(), vad_filter=False,
+        beam_size=1, temperature=(0.0,), max_new_tokens=8,
+    )
+    assert res["success"]
+    assert eng.SHORT_WINDOW_SAMPLES not in eng._gather_fns
+    assert eng.WINDOW_SAMPLES in eng._gather_fns

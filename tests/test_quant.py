@@ -236,3 +236,44 @@ def test_decode_with_kv_int8_close_to_bf16():
         sample_len=8, with_timestamps=False, suppress_blank=False,
     )
     assert np.asarray(beam["tokens"]).shape == (2, 9)
+
+
+def test_decode_with_self_kv_int8_close_to_bf16():
+    """Full decode with the int8 SELF-attention cache (quantize-on-write,
+    ops/pallas_self_attn.py — the HBM-capacity escape hatch, split from the
+    cross-KV knob): same greedy tokens as the bf16 cache on a tiny model."""
+    from whisper_aries_tpu.decoding import generate as G
+
+    dims = W.WhisperDims(
+        n_mels=80, n_audio_ctx=60, n_audio_state=64, n_audio_head=2,
+        n_audio_layer=2, n_vocab=128, n_text_ctx=24, n_text_state=64,
+        n_text_head=2, n_text_layer=2,
+    )
+    params = W.init_params(dims, key=jax.random.PRNGKey(13))
+    rng = np.random.default_rng(13)
+    mel = jnp.asarray(rng.standard_normal((2, 80, 120)).astype(np.float32))
+    xa = W.encode(params, mel, dims)
+    ids = G.DecodeSpecialIds(
+        eot=1, sot=2, no_speech=3, no_timestamps=4, timestamp_begin=120,
+        blank=5, n_vocab=128, max_initial_timestamp_index=5,
+    )
+    kwargs = dict(sample_len=8, with_timestamps=False, suppress_blank=False)
+    full = G.greedy_decode(
+        params, xa, jnp.full((2, 1), 2, jnp.int32), dims, ids,
+        jnp.zeros((128,)), jnp.int32(0), jnp.float32(0.0),
+        jax.random.PRNGKey(0), **kwargs,
+    )
+    q8 = G.greedy_decode(
+        params, xa, jnp.full((2, 1), 2, jnp.int32), dims, ids,
+        jnp.zeros((128,)), jnp.int32(0), jnp.float32(0.0),
+        jax.random.PRNGKey(0), self_kv_int8=True, **kwargs,
+    )
+    assert np.asarray(full["tokens"]).tolist() == np.asarray(q8["tokens"]).tolist()
+
+    beam = G.beam_search_decode(
+        params, xa, jnp.full((2, 1), 2, jnp.int32), dims, ids,
+        jnp.zeros((128,)), jnp.int32(0), beam_size=3, kv_int8=True,
+        self_kv_int8=True, sample_len=8, with_timestamps=False,
+        suppress_blank=False,
+    )
+    assert np.asarray(beam["tokens"]).shape == (2, 9)

@@ -56,6 +56,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--hotwords", default=None,
                    help="bias vocabulary via <|startofprev|> context "
                         "(ignored when --initial-prompt is set)")
+    p.add_argument("--audio-ctx", default=None, choices=["full", "bucket"],
+                   help="encoder context policy: 'bucket' encodes batches "
+                        "of short (<=16s) VAD windows at a 16s context "
+                        "(~2x less encoder/cross-KV work on sparse speech; "
+                        "deviates from Whisper's trained 30s padding)")
     p.add_argument("--model-cache", default="./models")
     p.add_argument("--resume", default=None, metavar="JOURNAL",
                    help="per-window resume journal path; rerunning after a "
@@ -91,6 +96,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         num_workers=args.workers,
         cache_dir=args.model_cache,
         allow_random=args.allow_random,
+        audio_ctx=args.audio_ctx,
     )
     temperature = None
     if args.temperature is not None:

@@ -81,9 +81,21 @@ class DecodeConfig:
     #: cross-attention KV cache storage: "auto" (int8 on TPU via the fused
     #: Pallas dequant-attention kernel, bf16 elsewhere), "int8", or "bf16".
     kv_cache_dtype: str = "auto"
+    #: SELF-attention KV cache storage: "bf16" (default — fastest measured)
+    #: or "int8" (quantize-on-write; halves the beam-cache HBM footprint at
+    #: a per-step latency cost — an HBM-capacity escape hatch, not a
+    #: throughput win; see ROADMAP.md).
+    self_kv_cache_dtype: str = "bf16"
     #: log-mel frontend: "auto" (fused Pallas kernel on TPU, XLA FFT
     #: elsewhere), "pallas", or "xla".
     mel_backend: str = "auto"
+    #: encoder audio-context policy: "full" pads every window to 30 s
+    #: (Whisper's training-time contract, exact faster-whisper semantics);
+    #: "bucket" encodes batches made entirely of short (<=16 s) VAD windows
+    #: at a 16 s context — ~2x less encoder compute and cross-KV streaming
+    #: for sparse-speech files, at the (whisper.cpp audio_ctx-style) cost of
+    #: deviating from the model's trained 30 s padding.
+    audio_ctx: str = "full"
 
 
 @dataclass

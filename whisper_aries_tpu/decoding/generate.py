@@ -190,7 +190,7 @@ def _apply_filters(
     jax.jit,
     static_argnames=("dims", "ids", "sample_len", "with_timestamps",
                      "prompt_len", "suppress_blank", "kv_int8",
-                     "no_repeat_ngram_size"),
+                     "self_kv_int8", "no_repeat_ngram_size"),
 )
 def greedy_decode(
     params: Dict[str, Any],
@@ -207,6 +207,7 @@ def greedy_decode(
     prompt_len: Optional[int] = None,
     suppress_blank: bool = True,
     kv_int8: bool = False,
+    self_kv_int8: bool = False,
     repetition_penalty: Optional[jax.Array] = None,
     no_repeat_ngram_size: int = 0,
     prompt_start: Optional[jax.Array] = None,
@@ -230,8 +231,12 @@ def greedy_decode(
     L = P + sample_len
     cross_kv = (W.precompute_cross_kv_int8(params, xa, dims) if kv_int8
                 else W.precompute_cross_kv(params, xa, dims))
+    # self cache int8 is a separate (HBM-capacity) knob: it halves the beam
+    # cache footprint but quantize-on-write costs step latency — measured
+    # 6.5x slower end to end at batch 40 (ROADMAP.md), so throughput configs
+    # keep it off
     cache = W.init_kv_cache(dims, B, dtype=xa.dtype, max_len=L,
-                            int8=kv_int8)
+                            int8=self_kv_int8)
 
     # Prefill the prompt.
     logits_p, cache = W.decoder_step(
@@ -377,7 +382,8 @@ class BeamState(NamedTuple):
     jax.jit,
     static_argnames=("dims", "ids", "beam_size", "sample_len",
                      "with_timestamps", "length_penalty", "suppress_blank",
-                     "kv_int8", "patience", "no_repeat_ngram_size"),
+                     "kv_int8", "self_kv_int8", "patience",
+                     "no_repeat_ngram_size"),
 )
 def beam_search_decode(
     params: Dict[str, Any],
@@ -393,6 +399,7 @@ def beam_search_decode(
     length_penalty: float = 1.0,
     suppress_blank: bool = True,
     kv_int8: bool = False,
+    self_kv_int8: bool = False,
     patience: float = 1.0,
     repetition_penalty: Optional[jax.Array] = None,
     no_repeat_ngram_size: int = 0,
@@ -425,7 +432,7 @@ def beam_search_decode(
     cross_kv = (W.precompute_cross_kv_int8(params, xa, dims) if kv_int8
                 else W.precompute_cross_kv(params, xa, dims))
     cache = W.init_kv_cache(dims, B * K, dtype=xa.dtype, max_len=L,
-                            int8=kv_int8)
+                            int8=self_kv_int8)
 
     prompt_k = jnp.repeat(prompt, K, axis=0)
     logits_p, cache = W.decoder_step(

@@ -29,6 +29,9 @@ from typing import Any, Dict, Optional, Tuple
 import numpy as np
 
 FRAME = 512  # samples per probability frame (Silero v4 hop)
+# Absolute silence gate for the (level-invariant) learned scorer: frames
+# quieter than this RMS (~-56 dBFS) are never speech.
+SILENCE_RMS_FLOOR = 1.5e-3
 
 
 @dataclass(frozen=True)
@@ -143,7 +146,15 @@ def make_nn_speech_scorer(params: Dict[str, Any],
         padded = np.zeros((n_chunks * _CHUNK,), np.float32)
         padded[: len(a)] = a
         probs = np.asarray(fwd(jnp.asarray(padded.reshape(n_chunks, _CHUNK))))
-        return probs.reshape(-1)[:n_frames].astype(np.float32)
+        probs = probs.reshape(-1)[:n_frames].astype(np.float32)
+        # The net is level-invariant (per-chunk RMS normalisation), so a
+        # digitally-silent/noise-floor file is out of distribution — gate
+        # with an absolute per-frame floor (~-56 dBFS; Silero similarly
+        # never fires on near-digital silence).
+        frame_rms = np.sqrt(
+            (a.reshape(n_frames, FRAME).astype(np.float64) ** 2).mean(axis=1)
+        ).astype(np.float32)
+        return np.where(frame_rms > SILENCE_RMS_FLOOR, probs, 0.0)
 
     return scorer
 

@@ -29,6 +29,19 @@ import jax
 import jax.numpy as jnp
 
 
+def _row_block(n: int, dh: int, t: int, budget: int = 2 << 20) -> int:
+    """Largest divisor of ``n`` whose int8 K slab (rows x dh x t) stays
+    under ``budget`` bytes — keeps per-program work large (a (B, H) grid of
+    one-head programs measured 6.5x slower end to end: 128k program
+    launches per decode step swamped the actual 2-4 us of DMA each)."""
+    cap = max(1, budget // max(1, dh * t))
+    best = 1
+    for d in range(1, n + 1):
+        if n % d == 0 and d <= cap:
+            best = d
+    return best
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def self_attention_q8_step(q: jax.Array, k8: jax.Array, ks: jax.Array,
                            v8: jax.Array, vs: jax.Array, mask: jax.Array,
@@ -37,45 +50,52 @@ def self_attention_q8_step(q: jax.Array, k8: jax.Array, ks: jax.Array,
 
     B, H, G, dh = q.shape
     T = k8.shape[3]
+    # (B, H) merge into one row axis (layout-preserving reshapes); the grid
+    # blocks over rows so each program streams a multi-megabyte K/V slab
+    N = B * H
+    BN = _row_block(N, dh, T)
+    q2 = q.reshape(N, G * dh)          # G == 1 at decode steps
+    k2 = k8.reshape(N, dh, T)
+    v2 = v8.reshape(N, dh, T)
+    ks2 = ks.reshape(N, T)
+    vs2 = vs.reshape(N, T)
+    m2 = mask.reshape(1, T)
 
     def kernel(q_ref, k_ref, ks_ref, v_ref, vs_ref, m_ref, out_ref):
-        qb = q_ref[0, 0].astype(jnp.float32)          # (G, dh)
-        kf = k_ref[0, 0].astype(jnp.float32)          # (dh, T)
-        raw = jax.lax.dot_general(
-            qb, kf, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                             # (G, T)
-        logits = raw * ks_ref[0, 0] + m_ref[0, 0]     # scales fold 1/sqrt(dh)
+        qb = q_ref[...].astype(jnp.float32)           # (BN, dh)
+        kf = k_ref[...].astype(jnp.float32)           # (BN, dh, T)
+        # per-row dot over dh as broadcast-multiply + sublane reduction
+        # (one (1, dh) x (dh, T) matmul per row would unroll BN MXU calls)
+        logits = jnp.sum(qb[:, :, None] * kf, axis=1)  # (BN, T)
+        logits = logits * ks_ref[...] + m_ref[...]     # scales fold 1/sqrt(dh)
         m = jnp.max(logits, axis=-1, keepdims=True)
         p = jnp.exp(logits - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
-        pv = p * vs_ref[0, 0]
-        vf = v_ref[0, 0].astype(jnp.float32)          # (dh, T)
-        out_ref[0, 0] = jax.lax.dot_general(
-            pv, vf, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        pv = p * vs_ref[...]                           # (BN, T)
+        vf = v_ref[...].astype(jnp.float32)            # (BN, dh, T)
+        out_ref[...] = jnp.sum(pv[:, None, :] * vf, axis=2)  # (BN, dh)
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((B, H, G, dh), jnp.float32),
-        grid=(B, H),
+        out_shape=jax.ShapeDtypeStruct((N, dh), jnp.float32),
+        grid=(N // BN,),
         in_specs=[
-            pl.BlockSpec((1, 1, G, dh), lambda b, h: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, dh, T), lambda b, h: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, 1, T), lambda b, h: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, dh, T), lambda b, h: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, 1, T), lambda b, h: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, 1, T), lambda b, h: (0, 0, 0, 0)),
+            pl.BlockSpec((BN, G * dh), lambda n: (n, 0)),
+            pl.BlockSpec((BN, dh, T), lambda n: (n, 0, 0)),
+            pl.BlockSpec((BN, T), lambda n: (n, 0)),
+            pl.BlockSpec((BN, dh, T), lambda n: (n, 0, 0)),
+            pl.BlockSpec((BN, T), lambda n: (n, 0)),
+            pl.BlockSpec((1, T), lambda n: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, G, dh), lambda b, h: (b, h, 0, 0)),
+        out_specs=pl.BlockSpec((BN, dh), lambda n: (n, 0)),
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * H * G * T * dh * 2,
-            bytes_accessed=B * H * (2 * T * dh + 2 * 4 * T + G * dh * 6),
-            transcendentals=B * H * G * T,
+            flops=2 * N * G * T * dh * 2,
+            bytes_accessed=N * (2 * T * dh + 2 * 4 * T + G * dh * 8),
+            transcendentals=N * G * T,
         ),
         interpret=interpret,
-    )(q, k8, ks, v8, vs, mask)
+    )(q2, k2, ks2, v2, vs2, m2)
+    return out.reshape(B, H, G, dh)
 
 
 def self_attention_q8_reference(q, k8, ks, v8, vs, mask):

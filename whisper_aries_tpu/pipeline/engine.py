@@ -197,6 +197,7 @@ class AriesTranscriber:
         windows_per_device: Optional[int] = None,
         kv_cache_dtype: Optional[str] = None,  # "auto" | "int8" | "bf16"
         mel_backend: Optional[str] = None,     # "auto" | "pallas" | "xla"
+        audio_ctx: Optional[str] = None,       # "full" | "bucket"
         _params=None,
         _dims=None,
         _tokenizer=None,
@@ -264,8 +265,17 @@ class AriesTranscriber:
         # the dominant decode-step HBM stream; "auto" enables it on TPU.
         kvd = kv_cache_dtype or self.config.decode.kv_cache_dtype
         self.kv_int8 = kvd == "int8" or (kvd == "auto" and on_tpu)
+        # self-attention cache: int8 is an HBM-capacity escape hatch (halves
+        # the beam cache) that costs step latency — off unless asked for
+        self.self_kv_int8 = self.config.decode.self_kv_cache_dtype == "int8"
         melb = mel_backend or self.config.decode.mel_backend
         self.use_pallas_mel = melb == "pallas" or (melb == "auto" and on_tpu)
+        # opt-in short-window encoder bucketing (whisper.cpp audio_ctx
+        # style): batches made entirely of <=16 s VAD windows encode at a
+        # 16 s context instead of the trained 30 s padding
+        self.audio_ctx_bucket = (
+            (audio_ctx or self.config.decode.audio_ctx) == "bucket"
+        )
         self._speech_scorer = self._make_speech_scorer()
 
     def _make_speech_scorer(self):
@@ -311,6 +321,10 @@ class AriesTranscriber:
     # ------------------------------------------------------------------
 
     WINDOW_SAMPLES = 480_000  # 30 s @ 16 kHz
+    # short-bucket window (audio_ctx="bucket"): 16 s keeps the mel frame
+    # count (1600) divisible by the Pallas mel kernel's 200-frame grid block
+    SHORT_WINDOW_SAMPLES = 256_000  # 16 s @ 16 kHz
+    SHORT_WINDOW_S = 16.0
 
     def _upload_audio(self, audio: np.ndarray) -> jax.Array:
         # 16-bit wire fidelity matches the reference exactly: its pipeline
@@ -322,12 +336,17 @@ class AriesTranscriber:
         return jax.device_put(a16)
 
     def _gather_windows(self, audio_dev: jax.Array, starts: np.ndarray,
-                        lengths: np.ndarray) -> jax.Array:
-        """(B,) sample starts/lengths -> (B, WINDOW_SAMPLES) float32 windows
-        gathered on device, zeroed past each window's length, sharded on the
-        mesh data axis."""
+                        lengths: np.ndarray,
+                        win: Optional[int] = None) -> jax.Array:
+        """(B,) sample starts/lengths -> (B, win) float32 windows gathered
+        on device, zeroed past each window's length, sharded on the mesh
+        data axis. ``win`` defaults to the full 30 s WINDOW_SAMPLES; the
+        short bucket passes SHORT_WINDOW_SAMPLES."""
+        win = win or self.WINDOW_SAMPLES
         if not hasattr(self, "_gather_fns"):
-            WIN = self.WINDOW_SAMPLES
+            self._gather_fns = {}
+        if win not in self._gather_fns:
+            WIN = win
 
             def gather(audio16, starts_j, lengths_j):
                 def one(s, l):
@@ -337,28 +356,29 @@ class AriesTranscriber:
 
                 return jax.vmap(one)(starts_j, lengths_j)
 
-            self._gather_fns = {
+            self._gather_fns[win] = {
                 # batches divisible by the mesh shard on the data axis;
                 # odd sizes (B=1 language probe / sequential) replicate
                 True: jax.jit(gather, out_shardings=batch_sharding(self.mesh, 2)),
                 False: jax.jit(gather),
             }
         n_dev = int(np.prod(self.mesh.devices.shape))
-        fn = self._gather_fns[len(starts) % n_dev == 0]
+        fn = self._gather_fns[win][len(starts) % n_dev == 0]
         return fn(
             audio_dev, jnp.asarray(starts, jnp.int32),
             jnp.asarray(lengths, jnp.int32),
         )
 
-    def _window_starts_lengths(self, windows: Sequence[Window], idx, B: int):
+    def _window_starts_lengths(self, windows: Sequence[Window], idx, B: int,
+                               win: Optional[int] = None):
         """Padded (B,) start/length sample arrays for a window subset."""
+        win = win or self.WINDOW_SAMPLES
         sr = 16_000
         starts = np.zeros((B,), np.int32)
         lengths = np.zeros((B,), np.int32)
         for k, i in enumerate(idx):
             starts[k] = int(round(windows[i].start * sr))
-            lengths[k] = min(self.WINDOW_SAMPLES,
-                             int(round(windows[i].duration * sr)))
+            lengths[k] = min(win, int(round(windows[i].duration * sr)))
         return starts, lengths
 
     # ------------------------------------------------------------------
@@ -453,7 +473,7 @@ class AriesTranscriber:
                 sample_len=sample_len, length_penalty=length_penalty,
                 repetition_penalty=rep, patience=float(patience or 1.0),
                 no_repeat_ngram_size=ngram, kv_int8=self.kv_int8,
-                prompt_start=ps,
+                self_kv_int8=self.self_kv_int8, prompt_start=ps,
             )
         else:
             out = G.greedy_decode(
@@ -462,7 +482,7 @@ class AriesTranscriber:
                 jnp.float32(temperature), jax.random.PRNGKey(seed),
                 sample_len=sample_len, repetition_penalty=rep,
                 no_repeat_ngram_size=ngram, kv_int8=self.kv_int8,
-                prompt_start=ps,
+                self_kv_int8=self.self_kv_int8, prompt_start=ps,
             )
         return {k: np.asarray(v) for k, v in out.items()
                 if k in ("tokens", "n_sampled", "sum_logprob", "avg_logprob",
@@ -601,6 +621,7 @@ class AriesTranscriber:
                 opts_sig = json.dumps([
                     prompt_ids, prefix_ids, list(temps), repetition_penalty,
                     ngram, patience, length_penalty, condition_on_previous_text,
+                    self.audio_ctx_bucket,
                 ])
                 journal = ResumeJournal(
                     resume_path,
@@ -721,6 +742,12 @@ class AriesTranscriber:
             if wid not in skip_ids:
                 all_segments.extend(segs)
         pending = [i for i in range(N) if i not in done and i not in skip_ids]
+        if self.audio_ctx_bucket:
+            # group short windows together so whole batches qualify for the
+            # 16 s encoder bucket (stable within each group; the final
+            # segment sort restores time order)
+            pending.sort(key=lambda i: (
+                windows[i].duration > self.SHORT_WINDOW_S, i))
         monitor = PerformanceMonitor(
             total_audio_s=sum(windows[i].duration for i in pending)
         )
@@ -740,10 +767,16 @@ class AriesTranscriber:
                 # mesh's data axis) from the uploaded int16 file audio;
                 # inside the try so HBM OOM anywhere in gather/mel/encode/
                 # decode triggers the halve-and-retry ladder
+                win = (self.SHORT_WINDOW_SAMPLES
+                       if self.audio_ctx_bucket and all(
+                           windows[i].duration <= self.SHORT_WINDOW_S
+                           for i in batch_idx)
+                       else self.WINDOW_SAMPLES)
                 starts, lens = self._window_starts_lengths(
-                    windows, batch_idx, B
+                    windows, batch_idx, B, win=win
                 )
-                chunk_j = self._gather_windows(audio_dev, starts, lens)
+                chunk_j = self._gather_windows(audio_dev, starts, lens,
+                                               win=win)
                 mel = self._mel(chunk_j)
                 xa = self._encode_batch(mel)
                 out = self._decode_batch(

@@ -360,6 +360,38 @@ def _emb_val_metrics(params, seed: int, n_spk: int = 10, n_utt: int = 6
 # ---------------------------------------------------------------------------
 
 
+def _save_verified(path: str, params) -> None:
+    """save_params + byte-level read-back check.
+
+    Guards against the failure that corrupted the round-2 shipped weights:
+    saving TPU-resident params through the axon remote tunnel fetched a
+    STALE buffer for some leaves (head.w came back at its init value while
+    every other leaf was trained), so the checkpoint silently diverged from
+    the validated in-memory model. Fetch everything to host explicitly,
+    save, reload, and require exact equality.
+    """
+    import jax
+
+    host = jax.tree_util.tree_map(lambda a: np.asarray(a), params)
+    # second fetch; a racy stale read would disagree between fetches
+    host2 = jax.tree_util.tree_map(lambda a: np.asarray(a), params)
+    for a, b in zip(jax.tree_util.tree_leaves(host),
+                    jax.tree_util.tree_leaves(host2)):
+        if not np.array_equal(a, b):
+            raise RuntimeError(
+                f"unstable device->host fetch while saving {path}; "
+                "refusing to write a corrupt checkpoint"
+            )
+    save_params(path, host)
+    from whisper_aries_tpu.utils.params_io import load_params_into
+
+    back = load_params_into(host, path)
+    for a, b in zip(jax.tree_util.tree_leaves(host),
+                    jax.tree_util.tree_leaves(back)):
+        if not np.array_equal(np.asarray(a), np.asarray(b)):
+            raise RuntimeError(f"checkpoint read-back mismatch for {path}")
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(
         description="Train the VAD / diarization nets on synthetic speech"
@@ -382,17 +414,17 @@ def main(argv=None) -> int:
     all_metrics: Dict[str, Dict[str, float]] = {}
     if args.target in ("vad", "all"):
         params, m = train_vad(steps=args.steps or 600, seed=args.seed)
-        save_params(f"{out}/vad.safetensors", params)
+        _save_verified(f"{out}/vad.safetensors", params)
         all_metrics["vad"] = m
     if args.target in ("segmentation", "all"):
         params, m = train_segmentation(steps=args.steps or 800,
                                        seed=args.seed + 1)
-        save_params(f"{out}/segmentation.safetensors", params)
+        _save_verified(f"{out}/segmentation.safetensors", params)
         all_metrics["segmentation"] = m
     if args.target in ("embedding", "all"):
         params, m = train_embedding(steps=args.steps or 700,
                                     seed=args.seed + 2)
-        save_params(f"{out}/embedding.safetensors", params)
+        _save_verified(f"{out}/embedding.safetensors", params)
         all_metrics["embedding"] = m
 
     mpath = Path(out) / "TRAINING.json"
