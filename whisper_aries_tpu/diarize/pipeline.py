@@ -352,15 +352,22 @@ class DiarizationPipeline:
 
     @staticmethod
     def _merge_turns(subsegs: Sequence[Tuple[float, float]],
-                     labels: np.ndarray) -> List[Dict[str, Any]]:
+                     labels: np.ndarray,
+                     min_duration_off: float = 0.5) -> List[Dict[str, Any]]:
         """Overlapping same-label subsegments merge into turns; at label
-        changes the boundary is the midpoint of the overlap."""
+        changes the boundary is the midpoint of the overlap.
+
+        ``min_duration_off``: same-speaker turns separated by a shorter
+        silence are bridged into one turn (pyannote's segmentation
+        min_duration_off knob — intra-turn pauses are not speaker
+        changes)."""
         order = np.argsort([s for s, _ in subsegs], kind="stable")
         turns: List[Dict[str, Any]] = []
         for idx in order:
             s, e = subsegs[idx]
             lab = f"SPEAKER_{int(labels[idx]):02d}"
-            if turns and turns[-1]["speaker"] == lab and s <= turns[-1]["end"] + 1e-6:
+            if (turns and turns[-1]["speaker"] == lab
+                    and s <= turns[-1]["end"] + min_duration_off):
                 turns[-1]["end"] = max(turns[-1]["end"], e)
             elif turns and s < turns[-1]["end"]:
                 mid = (s + turns[-1]["end"]) / 2.0

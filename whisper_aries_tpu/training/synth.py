@@ -218,7 +218,12 @@ def diarization_window(rng: np.random.Generator, dur_s: float = 10.0,
             seg, gate = synth_utterance(rng, voices[cur],
                                         (i1 - i0) / SR + 1e-4)
             audio[i0:i1] += seg[: i1 - i0]
-            act[i0:i1, cur] = gate[: i1 - i0]
+            # pyannote-convention TURN-level activity: the speaker is
+            # active across their whole turn, inter-syllable dips
+            # included. (Labelling with the syllable envelope `gate`
+            # trained a net whose output flickered at ~3 Hz inside every
+            # utterance, fragmenting pipeline turns to 0.3 s shards.)
+            act[i0:i1, cur] = 1.0
         # overlap: next speaker may start before this turn ends
         if K > 1 and rng.uniform() < 0.3:
             t = t + turn * rng.uniform(0.6, 0.95)
