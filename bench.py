@@ -154,6 +154,8 @@ def main() -> int:
         params = quantize_model_params(params)
         label += "-int8"
         log("quantized dense layers to int8")
+    # fused decoder qkv GEMM (bit-exact; engine does the same)
+    params = W.fuse_decoder_qkv(params)
 
     # Whisper large-v3-layout special ids (values only gate masks; the
     # timestamp grammar costs the same either way).

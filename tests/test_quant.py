@@ -277,3 +277,55 @@ def test_decode_with_self_kv_int8_close_to_bf16():
         suppress_blank=False,
     )
     assert np.asarray(beam["tokens"]).shape == (2, 9)
+
+
+def test_cross_attention_q8_blocked_matches_reference():
+    """Row-blocked kernel (the TPU default after the per-(B,H)-program grid
+    measured ~300 us/layer of call overhead) against the XLA reference."""
+    from whisper_aries_tpu.ops.pallas_cross_attn import (
+        cross_attention_q8_blocked,
+        cross_attention_q8_reference,
+        quantize_kv_per_position,
+    )
+
+    rng = np.random.default_rng(12)
+    B, H, G, T, dh = 2, 3, 5, 96, 64
+    q = jnp.asarray(rng.standard_normal((B, H, G, dh)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, H, T, dh)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, H, T, dh)).astype(np.float32))
+    k8, ks = quantize_kv_per_position(k)
+    v8, vs = quantize_kv_per_position(v)
+    k8, v8 = jnp.swapaxes(k8, -1, -2), jnp.swapaxes(v8, -1, -2)
+    ks = ks / np.sqrt(dh)
+    want = np.asarray(cross_attention_q8_reference(q, k8, ks, v8, vs))
+    got = np.asarray(cross_attention_q8_blocked(q, k8, ks, v8, vs,
+                                                interpret=True))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+def test_self_attention_q8_blocked_matches_reference():
+    """Row-blocked int8 self-attention decode-step kernel vs XLA reference
+    (masked, per-position scales)."""
+    from whisper_aries_tpu.ops.pallas_self_attn import (
+        self_attention_q8_step,
+        self_attention_q8_reference,
+    )
+    from whisper_aries_tpu.ops.pallas_cross_attn import (
+        quantize_kv_per_position,
+    )
+
+    rng = np.random.default_rng(13)
+    B, H, T, dh = 4, 2, 48, 64
+    q = jnp.asarray(rng.standard_normal((B, H, 1, dh)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, H, T, dh)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, H, T, dh)).astype(np.float32))
+    k8, ks = quantize_kv_per_position(k)
+    v8, vs = quantize_kv_per_position(v)
+    k8, v8 = jnp.swapaxes(k8, -1, -2), jnp.swapaxes(v8, -1, -2)
+    ks = ks / np.sqrt(dh)
+    mask = jnp.where(jnp.arange(T) < 30, 0.0, float(np.finfo(np.float32).min)
+                     ).reshape(1, 1, 1, T).astype(np.float32)
+    want = np.asarray(self_attention_q8_reference(q, k8, ks, v8, vs, mask))
+    got = np.asarray(self_attention_q8_step(q, k8, ks, v8, vs, mask,
+                                            interpret=True))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)

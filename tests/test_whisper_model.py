@@ -158,3 +158,41 @@ def test_presets_sanity():
     assert W.PRESETS["large-v3"].n_vocab == 51866
     assert W.PRESETS["large-v3-turbo"].n_text_layer == 4
     assert W.PRESETS["small"].n_audio_state == 768
+
+
+def test_fused_decoder_qkv_bit_exact():
+    """fuse_decoder_qkv concatenates the decoder self-attention q/k/v into
+    one GEMM; decode steps and teacher-forced logits must match the
+    unfused tree exactly (same dot products, regrouped)."""
+    import jax
+    import jax.numpy as jnp
+
+    dims = W.WhisperDims(
+        n_mels=80, n_audio_ctx=60, n_audio_state=64, n_audio_head=2,
+        n_audio_layer=2, n_vocab=96, n_text_ctx=24, n_text_state=64,
+        n_text_head=2, n_text_layer=2,
+    )
+    params = W.init_params(dims, key=jax.random.PRNGKey(3), dtype=jnp.float32)
+    fused = W.fuse_decoder_qkv(params)
+    assert "qkv" in fused["decoder"]["blocks"]["attn"]
+    assert "q" not in fused["decoder"]["blocks"]["attn"]
+
+    rng = np.random.default_rng(3)
+    mel = jnp.asarray(rng.standard_normal((2, 80, 120)).astype(np.float32))
+    xa = W.encode(params, mel, dims)
+    tokens = jnp.asarray(rng.integers(0, 90, (2, 7)).astype(np.int32))
+
+    lf = W.decoder_forward(params, tokens, xa, dims)
+    lg = W.decoder_forward(fused, tokens, xa, dims)
+    np.testing.assert_allclose(np.asarray(lf), np.asarray(lg),
+                               rtol=1e-6, atol=1e-6)
+
+    ckv = W.precompute_cross_kv(params, xa, dims)
+    cache = W.init_kv_cache(dims, 2, dtype=jnp.float32, max_len=10)
+    l1, c1 = W.decoder_step(params, tokens[:, :3], jnp.int32(0), cache, ckv, dims)
+    l2, c2 = W.decoder_step(fused, tokens[:, :3], jnp.int32(0), cache, ckv, dims)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                               rtol=1e-6, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(c1), jax.tree_util.tree_leaves(c2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)

@@ -542,26 +542,54 @@ def beam_search_decode(
             k_rows = jnp.arange(K)[None, :]
             present = present.at[b_rows, k_rows, next_tok].set(True)
 
-        # Reorder the KV cache: flat index b*K + live_src. Barriers
-        # SEQUENCE the per-buffer gathers so no two gather outputs are
-        # live together — each transient dies before the next gather
-        # runs, shaving ~1x cache buffer off peak HBM (the beam batch
-        # limiter). Works for both cache layouts (bf16 k/v, int8 quad).
+        # Reorder the KV cache: flat index b*K + live_src, applied as a
+        # ONE-HOT PERMUTATION MATMUL over the row axis instead of a
+        # gather — jnp.take on axis 1 of the (L, B*K, H, dh, T) buffers
+        # measured 53 ms/step on TPU where the MXU permute runs the same
+        # bytes 1.4x faster (and gathers poorly overlap the grid). The
+        # barrier chain still SEQUENCES per-buffer permutes so no two
+        # permute outputs are live together — each transient dies before
+        # the next runs, shaving ~1x cache buffer off peak HBM (the beam
+        # batch limiter). Works for both cache layouts (bf16 k/v, int8
+        # quad; int8 values permute exactly under a 0/1 matrix).
         flat_src = (jnp.arange(B)[:, None] * K + live_src).reshape(-1)
-        new_cache: Dict[str, jax.Array] = {}
-        pending = sorted(state.cache.keys())
-        prev_key = None
-        src = flat_src
-        old = dict(state.cache)
-        for key in pending:
-            if prev_key is not None:
-                done, nxt, src = jax.lax.optimization_barrier(
-                    (new_cache[prev_key], old[key], src)
-                )
-                new_cache[prev_key] = done
-                old[key] = nxt
-            new_cache[key] = jnp.take(old[key], src, axis=1)
-            prev_key = key
+
+        def permute_rows(x: jax.Array, p: jax.Array) -> jax.Array:
+            # int8 values (<=127) are exact in bf16; float buffers keep
+            # their own dtype (f32 scales must not round through bf16 —
+            # a one-hot product with f32 accumulation is bit-exact)
+            if jnp.issubdtype(x.dtype, jnp.integer):
+                y = jnp.einsum("oi,li...->lo...", p, x.astype(jnp.bfloat16),
+                               preferred_element_type=jnp.float32)
+                return jnp.round(y).astype(x.dtype)
+            y = jnp.einsum("oi,li...->lo...", p.astype(x.dtype), x,
+                           preferred_element_type=jnp.float32)
+            return y.astype(x.dtype)
+
+        def permute_all(cache: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+            perm = jax.nn.one_hot(flat_src, B * K, dtype=jnp.bfloat16)
+            out: Dict[str, jax.Array] = {}
+            prev_key = None
+            src = perm
+            old = dict(cache)
+            for key in sorted(cache.keys()):
+                if prev_key is not None:
+                    done, nxt, src = jax.lax.optimization_barrier(
+                        (out[prev_key], old[key], src)
+                    )
+                    out[prev_key] = done
+                    old[key] = nxt
+                out[key] = permute_rows(old[key], src)
+                prev_key = key
+            return out
+
+        # beams frequently keep their own history (late decode steps in
+        # particular) — skip the multi-GB cache permute entirely on those
+        # steps
+        is_identity = jnp.all(live_src == jnp.arange(K)[None, :])
+        new_cache = jax.lax.cond(
+            is_identity, lambda c: c, permute_all, state.cache
+        )
 
         return BeamState(
             tokens=tokens, pos=state.pos + 1,

@@ -474,9 +474,10 @@ def decoder_forward(
 
     def block(x, p):
         h = layer_norm(p["ln1"], x)
-        q = _split_heads(dense(p["attn"]["q"], h), n_head)
-        k = _split_heads(dense(p["attn"]["k"], h), n_head)
-        v = _split_heads(dense(p["attn"]["v"], h), n_head)
+        qp, kp, vp = _self_qkv(p["attn"], h)
+        q = _split_heads(qp, n_head)
+        k = _split_heads(kp, n_head)
+        v = _split_heads(vp, n_head)
         logits = jnp.einsum("bhqd,bhkd->bhqk", q * (dh ** -0.5), k,
                             preferred_element_type=jnp.float32)
         logits = jnp.where(causal[None, None], logits, neg)
@@ -599,6 +600,51 @@ def precompute_cross_kv_int8(params: Dict[str, Any], xa: jax.Array,
     return {"k8": K8, "ks": KS, "v8": V8, "vs": VS}
 
 
+def _self_qkv(attn: Dict[str, Any], h: jax.Array) -> Tuple[jax.Array, ...]:
+    """Self-attention q/k/v projections; uses the fused (d -> 3d) GEMM when
+    the tree was transformed by fuse_decoder_qkv (decode steps are
+    latency-bound at small row counts — one wide matmul replaces three)."""
+    if "qkv" in attn:
+        qkv = dense(attn["qkv"], h)
+        d = qkv.shape[-1] // 3
+        return qkv[..., :d], qkv[..., d:2 * d], qkv[..., 2 * d:]
+    return (dense(attn["q"], h), dense(attn["k"], h), dense(attn["v"], h))
+
+
+def fuse_decoder_qkv(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Return a params tree whose DECODER self-attention q/k/v projections
+    are concatenated into one (d, 3d) layer ("qkv"); originals removed.
+
+    Bit-exact: each output column's dot product is unchanged. Supports both
+    bf16/f32 ({"w","b"}) and int8-quantized ({"q","s","b"}) layer dicts
+    (per-output-channel scales concatenate alongside their columns). The k
+    projection has no bias in Whisper — zeros are inserted in its slot.
+    """
+    params = dict(params)
+    params["decoder"] = dict(params["decoder"])
+    blocks = dict(params["decoder"]["blocks"])
+    attn = dict(blocks["attn"])
+    if "qkv" in attn:
+        return params
+    q, k, v = attn.pop("q"), attn.pop("k"), attn.pop("v")
+    fused: Dict[str, Any] = {}
+    wkey = "q" if "q" in q else "w"
+    fused[wkey] = jnp.concatenate(
+        [jnp.asarray(q[wkey]), jnp.asarray(k[wkey]), jnp.asarray(v[wkey])],
+        axis=-1)
+    if "s" in q:
+        fused["s"] = jnp.concatenate(
+            [jnp.asarray(q["s"]), jnp.asarray(k["s"]), jnp.asarray(v["s"])],
+            axis=-1)
+    qb, vb = jnp.asarray(q["b"]), jnp.asarray(v["b"])
+    kb = jnp.zeros_like(qb) if k.get("b") is None else jnp.asarray(k["b"])
+    fused["b"] = jnp.concatenate([qb, kb, vb], axis=-1)
+    attn["qkv"] = fused
+    blocks["attn"] = attn
+    params["decoder"]["blocks"] = blocks
+    return params
+
+
 def _cross_attention_step(cp: Dict[str, Any], h: jax.Array,
                           kv: Dict[str, jax.Array], n_head: int
                           ) -> jax.Array:
@@ -697,9 +743,10 @@ def decoder_step(
         p = layer_slice(blocks, l)
         kv_l = layer_slice(cross_kv, l)
         h = layer_norm(p["ln1"], x)
-        q = _split_heads(dense(p["attn"]["q"], h), n_head)  # (B, H, S, dh)
-        k = dense(p["attn"]["k"], h).reshape(B, S, n_head, dh)
-        v = dense(p["attn"]["v"], h).reshape(B, S, n_head, dh)
+        qp, kp, vp = _self_qkv(p["attn"], h)
+        q = _split_heads(qp, n_head)                 # (B, H, S, dh)
+        k = kp.reshape(B, S, n_head, dh)
+        v = vp.reshape(B, S, n_head, dh)
         if int8_cache:
             k8s, kss = _quant_slab(k, fold=rsq)
             v8s, vss = _quant_slab(v)

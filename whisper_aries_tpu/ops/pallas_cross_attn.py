@@ -95,10 +95,95 @@ def cross_attention_q8(q: jax.Array, k8: jax.Array, ks: jax.Array,
     )(q, k8, ks, v8, vs)
 
 
+def _row_block(n: int, dh: int, t: int, vmem_budget: int = 12 << 20) -> int:
+    """Largest divisor of ``n`` rows per program under the TPU's 16 MB
+    scoped-VMEM limit. Per row the kernel holds ~12 bytes/element of the
+    (dh, t) slab: double-buffered int8 K+V in (4 B/elem) plus f32
+    dequantized K+V temps (8 B/elem). Mosaic requires the block's
+    second-minor dim divisible by 8 (or the full dim)."""
+    cap = max(1, vmem_budget // max(1, dh * t * 12))
+    if n <= cap:
+        return n
+    best = 1
+    for d in range(1, n + 1):
+        if n % d == 0 and d <= cap and (d % 8 == 0 or d == n):
+            best = d
+    return best
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def cross_attention_q8_blocked(q: jax.Array, k8: jax.Array, ks: jax.Array,
+                               v8: jax.Array, vs: jax.Array,
+                               interpret: bool = False) -> jax.Array:
+    """Row-blocked fused int8 cross-attention: (B, H) merge into one row
+    axis and each program streams a multi-megabyte K/V slab (layout
+    contract as module docstring). The G beam queries of a row share its
+    K/V; per-row dots run as broadcast-multiply + sublane reductions (a
+    per-row (G, dh) x (dh, T) matmul would unroll one MXU call per row)."""
+    from jax.experimental import pallas as pl
+
+    B, H, G, dh = q.shape
+    T = k8.shape[3]
+    N = B * H
+    BN = _row_block(N, dh, T)
+    q2 = q.reshape(N, G, dh)
+    k2 = k8.reshape(N, dh, T)
+    v2 = v8.reshape(N, dh, T)
+    ks2 = ks.reshape(N, T)
+    vs2 = vs.reshape(N, T)
+
+    def kernel(q_ref, k_ref, ks_ref, v_ref, vs_ref, out_ref):
+        kf = k_ref[...].astype(jnp.float32)            # (BN, dh, T)
+        vf = v_ref[...].astype(jnp.float32)
+        ksb = ks_ref[...]                              # (BN, T)
+        vsb = vs_ref[...]
+        qb = q_ref[...].astype(jnp.float32)            # (BN, G, dh)
+        for g in range(G):                             # G static (beams)
+            qg = jax.lax.slice_in_dim(qb, g, g + 1, axis=1)  # (BN, 1, dh)
+            qg = jnp.swapaxes(qg, 1, 2)                # (BN, dh, 1)
+            logits = jnp.sum(qg * kf, axis=1)          # (BN, T)
+            logits = logits * ksb                      # ks folds 1/sqrt(dh)
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            p = jnp.exp(logits - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            pv = p * vsb                               # (BN, T)
+            og = jnp.sum(pv[:, None, :] * vf, axis=2)  # (BN, dh)
+            out_ref[:, g, :] = og
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((N, G, dh), jnp.float32),
+        grid=(N // BN,),
+        in_specs=[
+            pl.BlockSpec((BN, G, dh), lambda n: (n, 0, 0)),
+            pl.BlockSpec((BN, dh, T), lambda n: (n, 0, 0)),
+            pl.BlockSpec((BN, T), lambda n: (n, 0)),
+            pl.BlockSpec((BN, dh, T), lambda n: (n, 0, 0)),
+            pl.BlockSpec((BN, T), lambda n: (n, 0)),
+        ],
+        out_specs=pl.BlockSpec((BN, G, dh), lambda n: (n, 0, 0)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * G * T * dh * 2,
+            bytes_accessed=N * (2 * T * dh + 2 * 4 * T + G * dh * 8),
+            transcendentals=N * G * T,
+        ),
+        interpret=interpret,
+    )(q2, k2, ks2, v2, vs2)
+    return out.reshape(B, H, G, dh)
+
+
 def cross_attention_q8_auto(q, k8, ks, v8, vs):
-    """Kernel on TPU, XLA reference elsewhere (tests/CPU)."""
-    if jax.default_backend() == "tpu":
-        return cross_attention_q8(q, k8, ks, v8, vs)
+    """Dispatch: the XLA einsum reference everywhere.
+
+    Measured at decode shapes (B=20, H=20, G=5, T=1500, 100x amortized in
+    one program on the v5e): XLA int8 einsum 0.34 ms/call — XLA fuses the
+    int8->f32 dequant into the dot and streams half the bf16 bytes —
+    vs 0.50 ms for the (B, H)-grid Pallas kernel and 0.75 ms for a
+    row-blocked Pallas variant (16 MB scoped-VMEM limit forces small row
+    blocks; VPU broadcast-reduce wastes the MXU). All are
+    overhead-dominated, so the fewest-fixed-costs path wins; the kernels
+    above are kept for documentation/benchmarking.
+    """
     return cross_attention_q8_reference(q, k8, ks, v8, vs)
 
 

@@ -35,9 +35,13 @@ def _row_block(n: int, dh: int, t: int, budget: int = 2 << 20) -> int:
     one-head programs measured 6.5x slower end to end: 128k program
     launches per decode step swamped the actual 2-4 us of DMA each)."""
     cap = max(1, budget // max(1, dh * t))
+    if n <= cap:
+        return n
     best = 1
+    # Mosaic: block second-minor dim must be divisible by 8 or be the
+    # full dimension
     for d in range(1, n + 1):
-        if n % d == 0 and d <= cap:
+        if n % d == 0 and d <= cap and (d % 8 == 0 or d == n):
             best = d
     return best
 
@@ -108,6 +112,8 @@ def self_attention_q8_reference(q, k8, ks, v8, vs, mask):
 
 
 def self_attention_q8_auto(q, k8, ks, v8, vs, mask):
-    if jax.default_backend() == "tpu":
-        return self_attention_q8_step(q, k8, ks, v8, vs, mask)
+    """Dispatch: the XLA einsum reference everywhere (measured at decode
+    shapes, rows=200, T=112: XLA int8 einsum 0.46 ms/call vs 0.51 ms for
+    the row-blocked Pallas kernel — XLA fuses the dequant; every variant
+    is per-op-overhead-dominated at these sizes, so fewest ops wins)."""
     return self_attention_q8_reference(q, k8, ks, v8, vs, mask)

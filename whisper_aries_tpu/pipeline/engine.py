@@ -224,6 +224,9 @@ class AriesTranscriber:
             from whisper_aries_tpu.ops.quant import quantize_model_params
 
             self.params = quantize_model_params(self.params)
+        # one (d -> 3d) GEMM for the decoder self-attention projections:
+        # decode steps are latency-bound at engine row counts (bit-exact)
+        self.params = W.fuse_decoder_qkv(self.params)
         self.tokenizer = _tokenizer if _tokenizer is not None else self._load_tokenizer()
         self.ids = G.DecodeSpecialIds.from_tokenizer(self.tokenizer)
         # per-checkpoint DTW alignment heads (generation_config.json); None
