@@ -50,7 +50,7 @@ def engine_mode() -> int:
     n_tokens = int(os.environ.get("ARIES_BENCH_TOKENS", "100"))
     beam = int(os.environ.get("ARIES_BENCH_BEAM", "5"))
     reps = int(os.environ.get("ARIES_BENCH_REPS", "2"))
-    minutes = float(os.environ.get("ARIES_BENCH_MINUTES", "18"))  # 36 windows
+    minutes = float(os.environ.get("ARIES_BENCH_MINUTES", "12"))  # 24 windows
     # = one full auto-sized batch at large-v3 beam 5 (parallel/mesh.py)
     import jax
 
@@ -121,7 +121,7 @@ def main() -> int:
 
     backend = jax.default_backend()
     model_name = os.environ.get("ARIES_BENCH_MODEL", "large-v3")
-    batch = int(os.environ.get("ARIES_BENCH_BATCH", "40"))
+    batch = int(os.environ.get("ARIES_BENCH_BATCH", "24"))
     n_tokens = int(os.environ.get("ARIES_BENCH_TOKENS", "100"))
     beam = int(os.environ.get("ARIES_BENCH_BEAM", "5"))
     reps = int(os.environ.get("ARIES_BENCH_REPS", "3"))
@@ -177,12 +177,12 @@ def main() -> int:
     prompt_j = jnp.asarray(prompt)
 
     # int8 cross-KV is the engine's TPU default (kv_cache_dtype="auto");
-    # the transposed layout + sequenced cache-reorder gathers make batch 40
-    # the HBM sweet spot (367x measured vs 207x for bf16 KV at batch 20).
+    # XLA fuses the dequant into the attention dots (ops/pallas_cross_attn
+    # dispatch notes). Batch 24 measured as the throughput knee.
     kv_default = "int8" if backend == "tpu" else "bf16"
     kv_int8 = os.environ.get("ARIES_BENCH_KV", kv_default) == "int8"
     if kv_int8:
-        log("cross-attention K/V quantized to int8 (Pallas fused attn)")
+        log("cross-attention K/V quantized to int8")
     # self-attention cache int8 (ARIES_BENCH_SELFKV=int8) halves the beam
     # cache HBM but costs step latency — off by default (see ROADMAP.md)
     self_kv_int8 = os.environ.get("ARIES_BENCH_SELFKV", "bf16") == "int8"

@@ -125,7 +125,7 @@ def auto_windows_per_device(
     )
     # 36 leaves headroom over the measured batch-40 ceiling for the engine
     # path's extra buffers (device-side window gather, Pallas mel)
-    anchor_windows = 36.0 * (hbm_bytes / (16 * 1024**3))
+    anchor_windows = 24.0 * (hbm_bytes / (16 * 1024**3))
     n = anchor_windows * anchor_cost / max(cost, 1)
     # round to a multiple of 4: friendlier XLA tiles, and window counts
     # (files tile into whole windows) pad less often against odd batches
