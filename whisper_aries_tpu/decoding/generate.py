@@ -585,11 +585,17 @@ def beam_search_decode(
 
         # beams frequently keep their own history (late decode steps in
         # particular) — skip the multi-GB cache permute entirely on those
-        # steps
-        is_identity = jnp.all(live_src == jnp.arange(K)[None, :])
-        new_cache = jax.lax.cond(
-            is_identity, lambda c: c, permute_all, state.cache
-        )
+        # steps. ARIES_BEAM_REORDER=always disables the skip (A/B debug
+        # knob, read at trace time).
+        import os as _os
+
+        if _os.environ.get("ARIES_BEAM_REORDER") == "always":
+            new_cache = permute_all(state.cache)
+        else:
+            is_identity = jnp.all(live_src == jnp.arange(K)[None, :])
+            new_cache = jax.lax.cond(
+                is_identity, lambda c: c, permute_all, state.cache
+            )
 
         return BeamState(
             tokens=tokens, pos=state.pos + 1,

@@ -151,7 +151,7 @@ class DiarizationPipeline:
         import jax.numpy as jnp
 
         from whisper_aries_tpu.models.diarize_nets import (
-            powerset_to_multilabel,
+            powerset_decode,
             segmentation_forward,
         )
 
@@ -173,7 +173,10 @@ class DiarizationPipeline:
             t += hop
         batch = np.stack(mels)  # (B, 80, 1000)
         logp = segmentation_forward(self.seg_params, jnp.asarray(batch))
-        return powerset_to_multilabel(np.asarray(logp)), starts
+        # hard powerset-argmax decode (pyannote 3.1 semantics): binary
+        # activity — commits to the best class even when probability mass
+        # is split across classes sharing a speaker
+        return powerset_decode(np.asarray(logp)), starts
 
     def _neural_active_regions(self, wav: np.ndarray,
                                threshold: float = 0.5,

@@ -152,6 +152,22 @@ def powerset_to_multilabel(logp) -> np.ndarray:
     return probs @ members
 
 
+def powerset_decode(logp) -> np.ndarray:
+    """(..., 7) class log-probs -> (..., 3) BINARY per-speaker activity:
+    hard argmax over the powerset classes, then the winning class's
+    members are active — pyannote 3.1's actual decoding rule. Where the
+    soft marginal sum leaves every speaker below 0.5 (probability mass
+    split across classes that share a speaker), the argmax still commits
+    to the best class."""
+    logp = np.asarray(logp)
+    members = np.zeros((len(POWERSET), 3), np.float32)
+    for ci, ms in enumerate(POWERSET):
+        for m in ms:
+            members[ci, m] = 1.0
+    cls = np.argmax(logp, axis=-1)
+    return members[cls]
+
+
 # ---------------------------------------------------------------------------
 # Embedding
 # ---------------------------------------------------------------------------

@@ -39,6 +39,22 @@ class Voice:
 
 
 def random_voice(rng: np.random.Generator) -> Voice:
+    if rng.uniform() < 0.25:
+        # broad-resonance family: wide bandwidths approximate plain
+        # harmonic-stack timbres (tonal/sung voices, far-field speech) —
+        # keeps the nets from overfitting the narrow-formant family
+        f1 = rng.uniform(300.0, 1200.0)
+        f2 = rng.uniform(max(f1 + 300, 1000.0), 3000.0)
+        f3 = rng.uniform(max(f2 + 300, 2600.0), 3800.0)
+        return Voice(
+            f0=float(rng.uniform(70.0, 350.0)),
+            formants=(float(f1), float(f2), float(f3)),
+            bandwidths=(float(rng.uniform(200, 700)),
+                        float(rng.uniform(200, 700)),
+                        float(rng.uniform(240, 800))),
+            tilt=float(rng.uniform(0.4, 2.2)),
+            breathiness=float(rng.uniform(0.0, 0.1)),
+        )
     f1 = rng.uniform(300.0, 900.0)
     f2 = rng.uniform(max(f1 + 300, 1000.0), 2600.0)
     f3 = rng.uniform(max(f2 + 300, 2600.0), 3800.0)
@@ -119,7 +135,18 @@ def synth_utterance(rng: np.random.Generator, voice: Voice, dur_s: float,
         voiced += amp * np.sin(k * phase)
     voiced /= max(np.abs(voiced).max(), 1e-6)
 
-    gate = _syllable_gate(rng, n, speech_rate)
+    if rng.uniform() < 0.25:
+        # smooth amplitude modulation with no inter-syllable gaps
+        # (continuous/tonal speech; the two-speaker pipeline tests use
+        # exactly this envelope shape) — the whole span counts as active
+        f_am = rng.uniform(1.0, 4.0)
+        gate = (0.55 + 0.45 * np.sin(
+            2 * np.pi * f_am * t + rng.uniform(0, 2 * np.pi)
+        )).astype(np.float32)
+        act = np.ones(n, np.float32)
+    else:
+        gate = _syllable_gate(rng, n, speech_rate)
+        act = (gate > 0.5).astype(np.float32)
     # some syllables are unvoiced fricatives (high-band noise)
     fric = _spectral_noise(rng, n, 2500.0, 7800.0) * 0.35
     fric_sel = (np.interp(
@@ -129,7 +156,7 @@ def synth_utterance(rng: np.random.Generator, voice: Voice, dur_s: float,
     speech = gate * ((1 - fric_sel) * (voiced + asp) + fric_sel * fric)
     level = rng.uniform(0.08, 0.3)
     speech = speech * level
-    return speech.astype(np.float32), (gate > 0.5).astype(np.float32)
+    return speech.astype(np.float32), act
 
 
 def synth_noise(rng: np.random.Generator, n: int,
