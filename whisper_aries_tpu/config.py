@@ -92,9 +92,11 @@ class DecodeConfig:
     #: encoder audio-context policy: "full" pads every window to 30 s
     #: (Whisper's training-time contract, exact faster-whisper semantics);
     #: "bucket" encodes batches made entirely of short (<=16 s) VAD windows
-    #: at a 16 s context — ~2x less encoder compute and cross-KV streaming
-    #: for sparse-speech files, at the (whisper.cpp audio_ctx-style) cost of
-    #: deviating from the model's trained 30 s padding.
+    #: at a 16 s context (whisper.cpp audio_ctx-style) — measured ~14%
+    #: faster per short-window batch on the v5e (4.00 vs 4.63 s at batch
+    #: 24 x beam 5; the op-bound decode dominates, so halving encoder +
+    #: cross-KV work moves the total less than their FLOP share), at the
+    #: cost of deviating from the model's trained 30 s padding.
     audio_ctx: str = "full"
 
 

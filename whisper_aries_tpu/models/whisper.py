@@ -349,9 +349,15 @@ def _flash_attention_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
     B, H, T, dh = q.shape
     bq = int(os.environ.get("ARIES_FLASH_BQ", "768"))
     Tp = ((T + 127) // 128) * 128
-    bq = min(bq, Tp)
-    while Tp % bq:
-        bq //= 2
+    # largest multiple-of-8 divisor of Tp under the cap (plain halving
+    # from the cap never reaches a divisor when Tp has an odd factor —
+    # e.g. Tp=896 for the 16 s audio-ctx bucket collapsed to bq=1, which
+    # Mosaic rejects)
+    cap = min(bq, Tp)
+    bq = 8
+    for d in range(8, cap + 1, 8):
+        if Tp % d == 0:
+            bq = d
     scale = dh ** -0.5
 
     if Tp != T:
