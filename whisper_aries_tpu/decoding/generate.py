@@ -232,9 +232,9 @@ def greedy_decode(
     cross_kv = (W.precompute_cross_kv_int8(params, xa, dims) if kv_int8
                 else W.precompute_cross_kv(params, xa, dims))
     # self cache int8 is a separate (HBM-capacity) knob: it halves the beam
-    # cache footprint but quantize-on-write costs step latency — measured
-    # 6.5x slower end to end at batch 40 (ROADMAP.md), so throughput configs
-    # keep it off
+    # cache footprint but quantize-on-write adds per-step ops — batch 40
+    # int8-self measured 107x vs 155x for batch 24 bf16-self (ROADMAP.md),
+    # so throughput configs keep it off
     cache = W.init_kv_cache(dims, B, dtype=xa.dtype, max_len=L,
                             int8=self_kv_int8)
 
