@@ -152,20 +152,23 @@ def powerset_to_multilabel(logp) -> np.ndarray:
     return probs @ members
 
 
-def powerset_decode(logp) -> np.ndarray:
-    """(..., 7) class log-probs -> (..., 3) BINARY per-speaker activity:
-    hard argmax over the powerset classes, then the winning class's
-    members are active — pyannote 3.1's actual decoding rule. Where the
-    soft marginal sum leaves every speaker below 0.5 (probability mass
-    split across classes that share a speaker), the argmax still commits
-    to the best class."""
+def powerset_decode(logp, marginal_floor: float = 0.4) -> np.ndarray:
+    """(..., 7) class log-probs -> (..., 3) BINARY per-speaker activity.
+
+    Hard argmax over the powerset classes (pyannote 3.1's decoding rule:
+    the winning class's members are active), UNIONed with the summed
+    marginal probability exceeding ``marginal_floor`` — recall insurance
+    for frames where the net splits mass across several classes sharing
+    a speaker yet the empty class narrowly wins the argmax."""
     logp = np.asarray(logp)
     members = np.zeros((len(POWERSET), 3), np.float32)
     for ci, ms in enumerate(POWERSET):
         for m in ms:
             members[ci, m] = 1.0
     cls = np.argmax(logp, axis=-1)
-    return members[cls]
+    hard = members[cls]
+    marginals = np.exp(logp) @ members
+    return np.maximum(hard, (marginals > marginal_floor).astype(np.float32))
 
 
 # ---------------------------------------------------------------------------

@@ -39,22 +39,6 @@ class Voice:
 
 
 def random_voice(rng: np.random.Generator) -> Voice:
-    if rng.uniform() < 0.25:
-        # broad-resonance family: wide bandwidths approximate plain
-        # harmonic-stack timbres (tonal/sung voices, far-field speech) —
-        # keeps the nets from overfitting the narrow-formant family
-        f1 = rng.uniform(300.0, 1200.0)
-        f2 = rng.uniform(max(f1 + 300, 1000.0), 3000.0)
-        f3 = rng.uniform(max(f2 + 300, 2600.0), 3800.0)
-        return Voice(
-            f0=float(rng.uniform(70.0, 350.0)),
-            formants=(float(f1), float(f2), float(f3)),
-            bandwidths=(float(rng.uniform(200, 700)),
-                        float(rng.uniform(200, 700)),
-                        float(rng.uniform(240, 800))),
-            tilt=float(rng.uniform(0.4, 2.2)),
-            breathiness=float(rng.uniform(0.0, 0.1)),
-        )
     f1 = rng.uniform(300.0, 900.0)
     f2 = rng.uniform(max(f1 + 300, 1000.0), 2600.0)
     f3 = rng.uniform(max(f2 + 300, 2600.0), 3800.0)
@@ -65,6 +49,21 @@ def random_voice(rng: np.random.Generator) -> Voice:
                     float(rng.uniform(100, 240))),
         tilt=float(rng.uniform(0.8, 1.6)),
         breathiness=float(rng.uniform(0.01, 0.08)),
+    )
+
+
+def perturb_voice(rng: np.random.Generator, base: Voice) -> Voice:
+    """A distinct-but-similar speaker: small multiplicative jitters of the
+    base voice's parameters (hard negatives for embedding training)."""
+    return Voice(
+        f0=float(base.f0 * rng.uniform(0.85, 1.18)),
+        formants=tuple(float(f * rng.uniform(0.93, 1.08))
+                       for f in base.formants),
+        bandwidths=tuple(float(b * rng.uniform(0.8, 1.25))
+                         for b in base.bandwidths),
+        tilt=float(np.clip(base.tilt + rng.uniform(-0.25, 0.25), 0.3, 2.4)),
+        breathiness=float(np.clip(
+            base.breathiness + rng.uniform(-0.02, 0.02), 0.0, 0.12)),
     )
 
 
@@ -135,18 +134,8 @@ def synth_utterance(rng: np.random.Generator, voice: Voice, dur_s: float,
         voiced += amp * np.sin(k * phase)
     voiced /= max(np.abs(voiced).max(), 1e-6)
 
-    if rng.uniform() < 0.25:
-        # smooth amplitude modulation with no inter-syllable gaps
-        # (continuous/tonal speech; the two-speaker pipeline tests use
-        # exactly this envelope shape) — the whole span counts as active
-        f_am = rng.uniform(1.0, 4.0)
-        gate = (0.55 + 0.45 * np.sin(
-            2 * np.pi * f_am * t + rng.uniform(0, 2 * np.pi)
-        )).astype(np.float32)
-        act = np.ones(n, np.float32)
-    else:
-        gate = _syllable_gate(rng, n, speech_rate)
-        act = (gate > 0.5).astype(np.float32)
+    gate = _syllable_gate(rng, n, speech_rate)
+    act = (gate > 0.5).astype(np.float32)
     # some syllables are unvoiced fricatives (high-band noise)
     fric = _spectral_noise(rng, n, 2500.0, 7800.0) * 0.35
     fric_sel = (np.interp(
@@ -296,7 +285,20 @@ def embedding_batch(rng: np.random.Generator, n_speakers: int, n_utt: int,
     ``dur_s`` the same way.
     """
     if voices is None:
-        voices = [random_voice(rng) for _ in range(n_speakers)]
+        # ~half the batches contain HARD-NEGATIVE clusters: groups of
+        # voices derived from one base by small f0/formant perturbations
+        # (distinct speakers with close timbres). Independent sampling
+        # alone yields mostly easy negatives, and the embedding net then
+        # fails to separate real close-voice pairs at clustering time.
+        voices = []
+        while len(voices) < n_speakers:
+            if rng.uniform() < 0.5 and n_speakers - len(voices) >= 2:
+                base = random_voice(rng)
+                k = int(min(rng.integers(2, 4), n_speakers - len(voices)))
+                for _ in range(k):
+                    voices.append(perturb_voice(rng, base))
+            else:
+                voices.append(random_voice(rng))
     n = int(dur_s * SR)
     rows = []
     for v in voices:
