@@ -128,19 +128,11 @@ def synth_speaker(f0, formant, spans, total_s, seed):
     return x
 
 
-@pytest.mark.xfail(
-    reason="known gap: this test's harmonic-stack voice with a gapless "
-           "smooth-AM envelope is outside the synthetic training corpus; "
-           "the segmentation net's local-channel assignment flickers "
-           "mid-utterance on it, fragmenting turn coverage. The gated "
-           "quality bar is tests/test_training.py::"
-           "test_shipped_diarization_weights_beat_melstats (green); "
-           "closing this needs corpus diversification + retraining "
-           "without destabilising the gate (attempted this round: "
-           "widening the corpus regressed the gate; reverted).",
-    strict=False,
-)
 def test_diarization_two_speakers():
+    # NOTE: this out-of-corpus voice (harmonic stack, gapless smooth-AM
+    # envelope) is the hardest case in the suite — it needed the
+    # union-with-marginal-floor powerset decode for full turn coverage
+    # (the hard argmax alone fragmented turns on channel flicker).
     a = synth_speaker(110, 500, [(0.5, 4.0), (8.0, 11.5)], 16.0, seed=1)
     b = synth_speaker(280, 2400, [(4.5, 7.5), (12.0, 15.5)], 16.0, seed=2)
     wav = a + b
