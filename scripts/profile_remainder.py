@@ -1,6 +1,9 @@
 #!/usr/bin/env python
 """Decompose the per-batch rep time outside the decode loop.
 
+Params are passed as jit ARGUMENTS — closure-captured jax Arrays become
+compile-time constants (4 GB uploads, 10-25 min remote compiles).
+
 ROADMAP's measured anatomy (3.13 s/rep at batch 40 = encoder ~1.0 s +
 decode ~0.6-0.9 s + ~1.2 s "remainder") lumps prefill, cross-KV
 precompute/quantization, mel, and dispatch into the remainder. This probe
@@ -58,13 +61,13 @@ _mel_raw = log_mel_pallas if use_pallas else log_mel_spectrogram
 mel_fn = jax.jit(lambda a: _mel_raw(a, n_mels=dims.n_mels))
 mel = timeit("mel (pallas)" if use_pallas else "mel (xla)", mel_fn, audio)
 
-enc = jax.jit(lambda m: W.encode(params, m.astype(dtype), dims))
-xa = timeit("encode", enc, mel)
+enc = jax.jit(lambda p, m: W.encode(p, m.astype(dtype), dims))
+xa = timeit("encode", enc, params, mel)
 
-ckv_i8 = jax.jit(lambda a: W.precompute_cross_kv_int8(params, a, dims))
-ckv_bf = jax.jit(lambda a: W.precompute_cross_kv(params, a, dims))
-kv8 = timeit("precompute_cross_kv_int8", ckv_i8, xa)
-_ = timeit("precompute_cross_kv (bf16)", ckv_bf, xa)
+ckv_i8 = jax.jit(lambda p, a: W.precompute_cross_kv_int8(p, a, dims))
+ckv_bf = jax.jit(lambda p, a: W.precompute_cross_kv(p, a, dims))
+kv8 = timeit("precompute_cross_kv_int8", ckv_i8, params, xa)
+_ = timeit("precompute_cross_kv (bf16)", ckv_bf, params, xa)
 
 sp_langs = dims.n_vocab - 51766
 base = dims.n_vocab - sp_langs - 1509
@@ -82,17 +85,17 @@ cache = W.init_kv_cache(dims, B * BEAM, dtype=dtype,
                         max_len=TOK + prompt.shape[1] + 8,
                         int8=os.environ.get("ARIES_PROF_SELFKV") == "int8")
 pk = jnp.repeat(prompt, BEAM, axis=0)
-prefill = jax.jit(lambda c, kv: W.decoder_step(
-    params, pk, jnp.int32(0), c, kv, dims))
-_ = timeit("prefill (beam rows)", prefill, cache, kv8)
+prefill = jax.jit(lambda p, c, kv: W.decoder_step(
+    p, pk, jnp.int32(0), c, kv, dims))
+_ = timeit("prefill (beam rows)", prefill, params, cache, kv8)
 
-beam_fn = jax.jit(lambda a: G.beam_search_decode(
-    params, a, prompt, dims, ids, suppress, jnp.int32(0), beam_size=BEAM,
-    sample_len=TOK, with_timestamps=True, kv_int8=True))
-out = timeit(f"beam_search_decode tok={TOK}", beam_fn, xa, reps=3)
+beam_fn = lambda p, a: G.beam_search_decode(
+    p, a, prompt, dims, ids, suppress, jnp.int32(0), beam_size=BEAM,
+    sample_len=TOK, with_timestamps=True, kv_int8=True)
+out = timeit(f"beam_search_decode tok={TOK}", beam_fn, params, xa, reps=3)
 print("n_sampled mean:", float(fetch(out["n_sampled"]).mean()), flush=True)
 
-short = jax.jit(lambda a: G.beam_search_decode(
-    params, a, prompt, dims, ids, suppress, jnp.int32(0), beam_size=BEAM,
-    sample_len=8, with_timestamps=True, kv_int8=True))
-_ = timeit("beam_search_decode tok=8", short, xa, reps=3)
+short = lambda p, a: G.beam_search_decode(
+    p, a, prompt, dims, ids, suppress, jnp.int32(0), beam_size=BEAM,
+    sample_len=8, with_timestamps=True, kv_int8=True)
+_ = timeit("beam_search_decode tok=8", short, params, xa, reps=3)

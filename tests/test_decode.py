@@ -515,3 +515,36 @@ def test_left_padded_prompt_beam_parity(tiny_pair):
         np.asarray(base["sum_logprob"]), np.asarray(padded["sum_logprob"]),
         rtol=1e-4, atol=1e-5,
     )
+
+
+def test_beam_cache_permute_matches_gather():
+    """The beam reorder's one-hot permutation matmul must reproduce
+    jnp.take exactly for every cache dtype (bf16/f32 values, int8+f32
+    scales) — int8 magnitudes <=127 are exact in bf16, f32 buffers
+    permute in f32 with f32 accumulation."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    B, K = 3, 5
+    src = jnp.asarray(rng.integers(0, B * K, (B * K,)).astype(np.int32))
+    perm = jax.nn.one_hot(src, B * K, dtype=jnp.bfloat16)
+
+    def permute_rows(x, p):
+        if jnp.issubdtype(x.dtype, jnp.integer):
+            y = jnp.einsum("oi,li...->lo...", p, x.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+            return jnp.round(y).astype(x.dtype)
+        y = jnp.einsum("oi,li...->lo...", p.astype(x.dtype), x,
+                       preferred_element_type=jnp.float32)
+        return y.astype(x.dtype)
+
+    for arr in (
+        jnp.asarray(rng.integers(-127, 128, (4, B * K, 2, 8, 6)).astype(np.int8)),
+        jnp.asarray(rng.standard_normal((4, B * K, 2, 1, 6)).astype(np.float32)),
+        jnp.asarray(rng.standard_normal((4, B * K, 2, 8, 6))).astype(jnp.bfloat16),
+    ):
+        want = jnp.take(arr, src, axis=1)
+        got = permute_rows(arr, perm)
+        assert got.dtype == arr.dtype
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
