@@ -568,6 +568,12 @@ def beam_search_decode(
 
         def permute_all(cache: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
             perm = jax.nn.one_hot(flat_src, B * K, dtype=jnp.bfloat16)
+            import os as _os2
+
+            if _os2.environ.get("ARIES_BEAM_REORDER") == "nobarrier":
+                # A/B knob: unsequenced permutes overlap better but keep
+                # every buffer's transient live at once (higher peak HBM)
+                return {k: permute_rows(v, perm) for k, v in cache.items()}
             out: Dict[str, jax.Array] = {}
             prev_key = None
             src = perm
