@@ -264,17 +264,28 @@ bool accumulate_mono(const AvApi& m, const AVFrame* f,
   const int bps = m.bytes_per_sample(fmt);
   if (bps <= 0) return false;
   const float inv_ch = 1.0f / static_cast<float>(ch);
+  // Planarity comes from the sample format itself, and planes are read via
+  // extended_data: AVFrame::data has only AV_NUM_DATA_POINTERS (8) slots,
+  // so a planar frame with >8 channels (multichannel Opus/PCM in an
+  // uploaded mkv/webm) only has valid plane pointers in extended_data —
+  // indexing data[c] there reads past the array.
+  const bool planar_fmt =
+      fmt == AV_SAMPLE_FMT_FLTP || fmt == AV_SAMPLE_FMT_DBLP ||
+      fmt == AV_SAMPLE_FMT_S16P || fmt == AV_SAMPLE_FMT_S32P ||
+      fmt == AV_SAMPLE_FMT_U8P;
+  if (f->extended_data == nullptr) return false;
 
   auto sample = [&](int c, int i) -> float {
     const uint8_t* base;
     size_t off;
-    if (f->data[1] != nullptr || ch == 1) {  // planar (or trivially mono)
-      base = f->data[c];
+    if (planar_fmt) {  // one plane per channel
+      base = f->extended_data[c];
       off = static_cast<size_t>(i) * bps;
-    } else {  // interleaved in data[0]
-      base = f->data[0];
+    } else {  // interleaved in plane 0
+      base = f->extended_data[0];
       off = (static_cast<size_t>(i) * ch + c) * bps;
     }
+    if (base == nullptr) return 0.0f;
     switch (fmt) {
       case AV_SAMPLE_FMT_FLT:
       case AV_SAMPLE_FMT_FLTP: {
@@ -308,7 +319,6 @@ bool accumulate_mono(const AvApi& m, const AVFrame* f,
     }
   };
 
-  const bool planar = (f->data[1] != nullptr || ch == 1);
   // reject unknown formats up front (sample() would return silence)
   switch (fmt) {
     case AV_SAMPLE_FMT_FLT: case AV_SAMPLE_FMT_FLTP:
@@ -320,7 +330,6 @@ bool accumulate_mono(const AvApi& m, const AVFrame* f,
     default:
       return false;
   }
-  (void)planar;
   acc.reserve(acc.size() + static_cast<size_t>(n));
   for (int i = 0; i < n; ++i) {
     float s = 0.0f;

@@ -383,7 +383,7 @@ class BeamState(NamedTuple):
     static_argnames=("dims", "ids", "beam_size", "sample_len",
                      "with_timestamps", "length_penalty", "suppress_blank",
                      "kv_int8", "self_kv_int8", "patience",
-                     "no_repeat_ngram_size"),
+                     "no_repeat_ngram_size", "beam_reorder"),
 )
 def beam_search_decode(
     params: Dict[str, Any],
@@ -404,6 +404,7 @@ def beam_search_decode(
     repetition_penalty: Optional[jax.Array] = None,
     no_repeat_ngram_size: int = 0,
     prompt_start: Optional[jax.Array] = None,
+    beam_reorder: Optional[str] = None,
 ) -> Dict[str, jax.Array]:
     """Batched beam search, beams flattened into the batch axis.
 
@@ -418,7 +419,18 @@ def beam_search_decode(
 
     ``repetition_penalty`` tracks per-beam produced-token presence;
     ``no_repeat_ngram_size`` bans n-gram repeats inside each beam.
+
+    ``beam_reorder`` (static; A/B debug knob): None/"default" skips the
+    cache permute on identity steps via lax.cond, "always" permutes every
+    step, "nobarrier" drops the per-buffer sequencing barriers. When None,
+    the ARIES_BEAM_REORDER env var is consulted ONCE at trace time (the jit
+    cache keys on the static arg, not the env) — callers who want the knob
+    live must read the env themselves and pass it here (engine does).
     """
+    if beam_reorder is None:
+        import os as _os_knob
+
+        beam_reorder = _os_knob.environ.get("ARIES_BEAM_REORDER", "default")
     B, P = prompt.shape
     K = beam_size
     L = P + sample_len
@@ -568,9 +580,7 @@ def beam_search_decode(
 
         def permute_all(cache: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
             perm = jax.nn.one_hot(flat_src, B * K, dtype=jnp.bfloat16)
-            import os as _os2
-
-            if _os2.environ.get("ARIES_BEAM_REORDER") == "nobarrier":
+            if beam_reorder == "nobarrier":
                 # A/B knob: unsequenced permutes overlap better but keep
                 # every buffer's transient live at once (higher peak HBM)
                 return {k: permute_rows(v, perm) for k, v in cache.items()}
@@ -591,11 +601,8 @@ def beam_search_decode(
 
         # beams frequently keep their own history (late decode steps in
         # particular) — skip the multi-GB cache permute entirely on those
-        # steps. ARIES_BEAM_REORDER=always disables the skip (A/B debug
-        # knob, read at trace time).
-        import os as _os
-
-        if _os.environ.get("ARIES_BEAM_REORDER") == "always":
+        # steps. beam_reorder="always" disables the skip (A/B debug knob).
+        if beam_reorder == "always":
             new_cache = permute_all(state.cache)
         else:
             is_identity = jnp.all(live_src == jnp.arange(K)[None, :])

@@ -87,13 +87,20 @@ def _conv1d(x, p, stride: int = 1, dilation: int = 1):
     return y + jnp.asarray(p["b"])[None, :, None]
 
 
-def vad_forward(params: Dict[str, Any], audio, dims: Optional[VadDims] = None
-                ):
+def vad_forward(params: Dict[str, Any], audio, dims: Optional[VadDims] = None,
+                valid_len=None):
     """audio (B, T) or (T,) float32 -> speech probabilities (B, T // 512).
 
     The waveform is RMS-normalised per example (robust to recording level;
     the classifier learns spectral/temporal structure, not absolute
     energy), striding 512x down through the stem, then classified per frame.
+
+    ``valid_len`` ((B,) int, optional): number of REAL samples per example
+    when the tail is zero-padded to a fixed chunk shape. The RMS is then
+    computed over the real samples only — zeros contribute nothing to the
+    sum, so dividing by the padded length would over-amplify a short tail
+    (e.g. 2 s of audio in a 19.2 s chunk gets ~3x extra gain) and skew the
+    tail-frame probabilities vs training-shaped input.
     """
     import jax
     import jax.numpy as jnp
@@ -104,7 +111,11 @@ def vad_forward(params: Dict[str, Any], audio, dims: Optional[VadDims] = None
         x = x[None]
     T = (x.shape[1] // FRAME) * FRAME
     x = x[:, :T]
-    rms = jnp.sqrt(jnp.mean(x * x, axis=1, keepdims=True))
+    denom = (jnp.minimum(jnp.asarray(valid_len, jnp.float32), T)[:, None]
+             if valid_len is not None
+             else jnp.float32(T))
+    rms = jnp.sqrt(jnp.sum(x * x, axis=1, keepdims=True)
+                   / jnp.maximum(denom, 1.0))
     x = x / jnp.maximum(rms, 1e-3)
     h = x[:, None, :]  # (B, 1, T)
     for p in params["stem"]:
@@ -134,7 +145,7 @@ def make_nn_speech_scorer(params: Dict[str, Any],
     import jax.numpy as jnp
 
     dims = dims or VadDims()
-    fwd = jax.jit(lambda a: vad_forward(params, a, dims))
+    fwd = jax.jit(lambda a, v: vad_forward(params, a, dims, valid_len=v))
 
     def scorer(audio: np.ndarray) -> np.ndarray:
         a = np.asarray(audio, np.float32)
@@ -145,7 +156,13 @@ def make_nn_speech_scorer(params: Dict[str, Any],
         n_chunks = int(np.ceil(len(a) / _CHUNK))
         padded = np.zeros((n_chunks * _CHUNK,), np.float32)
         padded[: len(a)] = a
-        probs = np.asarray(fwd(jnp.asarray(padded.reshape(n_chunks, _CHUNK))))
+        # the final chunk is zero-padded: pass each chunk's real-sample
+        # count so RMS normalisation ignores the padding
+        valid = np.full((n_chunks,), _CHUNK, np.int32)
+        if n_chunks:
+            valid[-1] = len(a) - (n_chunks - 1) * _CHUNK
+        probs = np.asarray(fwd(jnp.asarray(padded.reshape(n_chunks, _CHUNK)),
+                               jnp.asarray(valid)))
         probs = probs.reshape(-1)[:n_frames].astype(np.float32)
         # The net is level-invariant (per-chunk RMS normalisation), so a
         # digitally-silent/noise-floor file is out of distribution — gate

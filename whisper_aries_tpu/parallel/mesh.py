@@ -123,8 +123,10 @@ def auto_windows_per_device(
         + 2 * 2 * dims.n_text_layer * beam_size * dims.n_text_head
         * cache_len * dh * 2
     )
-    # 36 leaves headroom over the measured batch-40 ceiling for the engine
-    # path's extra buffers (device-side window gather, Pallas mel)
+    # 24 is the measured THROUGHPUT knee, not the HBM ceiling: the batch
+    # sweep is non-monotonic (16->88x, 24->155x, 26->87x — ROADMAP.md) and
+    # something in the XLA schedule flips above 24, so auto-sizing anchors
+    # at the knee rather than at capacity (bf16 self-cache OOMs near 40)
     anchor_windows = 24.0 * (hbm_bytes / (16 * 1024**3))
     n = anchor_windows * anchor_cost / max(cost, 1)
     # round to a multiple of 4: friendlier XLA tiles, and window counts

@@ -470,6 +470,8 @@ class AriesTranscriber:
         # compiled program; prompt_start marks the first real token.
         ps = jnp.int32(prompt_start) if prompt_start else None
         if beam_size > 1 and temperature == 0.0:
+            import os as _os
+
             out = G.beam_search_decode(
                 self.params, xa, prompt_j, self.dims, self.ids,
                 self.suppress_mask, sot_index, beam_size=beam_size,
@@ -477,6 +479,10 @@ class AriesTranscriber:
                 repetition_penalty=rep, patience=float(patience or 1.0),
                 no_repeat_ngram_size=ngram, kv_int8=self.kv_int8,
                 self_kv_int8=self.self_kv_int8, prompt_start=ps,
+                # read at CALL time and passed as a static arg so flipping
+                # the A/B knob mid-process retraces instead of silently
+                # hitting the stale jit cache entry
+                beam_reorder=_os.environ.get("ARIES_BEAM_REORDER", "default"),
             )
         else:
             out = G.greedy_decode(
