@@ -72,6 +72,28 @@ def test_pallas_kernel_matches_xla_fallback():
     assert np.abs(got - ideal).max() / scale < 0.03
 
 
+def test_outscale_matches_weight_side_dequant():
+    """(x @ q) * s == x @ (q * s) up to bf16 GEMM rounding — the output-
+    side dequant (default impl) must agree with the weight-side reference
+    AND beat/match its distance to the f32 ideal (int8 values are exact in
+    bf16, so outscale sees the unrounded quantized weight)."""
+    from whisper_aries_tpu.ops.quant import _quant_matmul_outscale
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((6, 320)).astype(np.float32))
+    w = rng.standard_normal((320, 144)).astype(np.float32) * \
+        np.exp(rng.standard_normal(144))[None, :]  # wide per-channel range
+    q, s = quantize_int8(w)
+    got = np.asarray(_quant_matmul_outscale(x, q, s))
+    ideal = np.asarray(x) @ np.asarray(dequantize_int8(q, s))
+    denom = np.abs(ideal).max(axis=0, keepdims=True) + 1e-9
+    # bf16 activation rounding only (~2^-8 relative per element)
+    assert (np.abs(got - ideal) / denom).max() < 0.02
+    # env-selected default path goes through outscale and matches
+    got2 = np.asarray(quant_matmul(x, q, s))
+    assert np.allclose(got2, got.astype(np.float32), atol=np.abs(ideal).max() * 0.02)
+
+
 def test_dense_dispatches_on_quantized_params():
     rng = np.random.default_rng(4)
     x = jnp.asarray(rng.standard_normal((2, 64)).astype(np.float32))

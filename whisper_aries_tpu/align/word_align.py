@@ -27,9 +27,55 @@ log = logging.getLogger(__name__)
 FRAME_S = 0.02  # one encoder position = 20 ms
 
 
+def _dtw_native(cost: np.ndarray) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """C implementation of the DTW recurrence (native/ariesdtw.cpp) —
+    ~1000x the pure-Python loop at word-alignment scale. None when the
+    native library isn't built (callers fall back to Python)."""
+    import ctypes
+
+    from whisper_aries_tpu.audio._native import load_library
+
+    lib = load_library()
+    if lib is None or not hasattr(lib, "aries_dtw"):
+        return None
+    if not getattr(lib, "_dtw_configured", False):
+        lib.aries_dtw.restype = ctypes.c_int32
+        lib.aries_dtw.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib._dtw_configured = True
+    n, m = cost.shape
+    c = np.ascontiguousarray(cost, dtype=np.float64)
+    ti = np.empty((n + m,), np.int32)
+    tj = np.empty((n + m,), np.int32)
+    k = lib.aries_dtw(
+        c.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        np.int32(n), np.int32(m),
+        ti.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        tj.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if k < 0:
+        return None
+    # the C backtrace writes the path reversed
+    return ti[:k][::-1].copy(), tj[:k][::-1].copy()
+
+
 def dtw_path(cost: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """Monotonic DTW through cost (N_text, N_audio); returns aligned index
-    arrays (text_indices, time_indices) along the optimal path."""
+    arrays (text_indices, time_indices) along the optimal path.
+
+    Dispatches to the C kernel when the native library is built (the pure-
+    Python O(N*M) loop is ~336k iterations per 30 s window at 224 tokens x
+    1500 frames); both paths produce identical output (parity-tested)."""
+    native = _dtw_native(cost)
+    if native is not None:
+        return native
+    return _dtw_path_py(cost)
+
+
+def _dtw_path_py(cost: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Reference pure-numpy DTW (fallback + parity oracle for the C path)."""
     n, m = cost.shape
     D = np.full((n + 1, m + 1), np.inf, dtype=np.float64)
     D[0, 0] = 0.0
@@ -163,6 +209,56 @@ def split_tokens_into_words(
     return words, groups
 
 
+#: faster-whisper / openai-whisper default punctuation sets
+PREPEND_PUNCTUATIONS = "\"'“¿([{-"
+APPEND_PUNCTUATIONS = "\"'.。,，!！?？:：”)]}、"
+
+
+def merge_punctuations(
+    words: List[Dict[str, Any]],
+    groups: List[List[int]],
+    prepended: str = PREPEND_PUNCTUATIONS,
+    appended: str = APPEND_PUNCTUATIONS,
+) -> Tuple[List[Dict[str, Any]], List[List[int]]]:
+    """Merge punctuation-only words into their neighbours in place.
+
+    openai/whisper timing.py merge_punctuations semantics (exposed by the
+    reference whitelist's prepend_punctuations/append_punctuations,
+    final_optimized_transcriber.py:317-318): a word that is a leading
+    punctuation mark (" ¿" etc.) prepends onto the FOLLOWING word; a
+    trailing punctuation mark (".", ",", "?" ...) appends onto the
+    PRECEDING word. Timing/probability fields of the surviving word are
+    kept (matching openai, which only merges text and tokens). Returns the
+    filtered (words, token_groups) with emptied entries dropped.
+    """
+    # prepended: scan right-to-left
+    i, j = len(words) - 2, len(words) - 1
+    while i >= 0:
+        prev_w, next_w = words[i], words[j]
+        if prev_w["word"].startswith(" ") and prev_w["word"].strip() in prepended:
+            next_w["word"] = prev_w["word"] + next_w["word"]
+            groups[j] = groups[i] + groups[j]
+            prev_w["word"] = ""
+            groups[i] = []
+        else:
+            j = i
+        i -= 1
+    # appended: scan left-to-right
+    i, j = 0, 1
+    while j < len(words):
+        prev_w, next_w = words[i], words[j]
+        if not prev_w["word"].endswith(" ") and next_w["word"] in appended:
+            prev_w["word"] = prev_w["word"] + next_w["word"]
+            groups[i] = groups[i] + groups[j]
+            next_w["word"] = ""
+            groups[j] = []
+        else:
+            i = j
+        j += 1
+    keep = [k for k in range(len(words)) if words[k]["word"]]
+    return [words[k] for k in keep], [groups[k] for k in keep]
+
+
 def find_word_alignments(
     tokens: Sequence[int],
     cross_qk: np.ndarray,  # (L, H, T_text, T_audio) for this sequence
@@ -171,10 +267,16 @@ def find_word_alignments(
     token_probs: Optional[np.ndarray] = None,
     alignment_layers: Optional[Sequence[int]] = None,
     alignment_heads: Optional[Sequence[Tuple[int, int]]] = None,
-) -> List[Dict[str, Any]]:
+    prepend_punctuations: Optional[str] = None,
+    append_punctuations: Optional[str] = None,
+    return_groups: bool = False,
+):
     """Words with times for one decoded sequence (token list incl specials).
 
-    ``cross_qk`` rows must correspond 1:1 with ``tokens``.
+    ``cross_qk`` rows must correspond 1:1 with ``tokens``. When punctuation
+    strings are given, punctuation-only words merge into their neighbours
+    (merge_punctuations). ``return_groups`` additionally returns the
+    per-word token-id groups (post-merge) for segment distribution.
     """
     times = attention_to_token_times(cross_qk, n_frames, alignment_layers,
                                      alignment_heads)
@@ -190,6 +292,7 @@ def find_word_alignments(
         [int(tokens[i]) for i in text_idx], tokenizer
     )
     out: List[Dict[str, Any]] = []
+    out_groups: List[List[int]] = []
     pos = 0
     for word, group in zip(words, groups):
         idxs = text_idx[pos : pos + len(group)]
@@ -211,7 +314,37 @@ def find_word_alignments(
             "end": round(end, 3),
             "probability": round(prob, 4),
         })
+        out_groups.append(list(idxs))  # flat-token positions, not ids
+    if prepend_punctuations is not None or append_punctuations is not None:
+        out, out_groups = merge_punctuations(
+            out, out_groups,
+            prepend_punctuations if prepend_punctuations is not None
+            else PREPEND_PUNCTUATIONS,
+            append_punctuations if append_punctuations is not None
+            else APPEND_PUNCTUATIONS,
+        )
+    if return_groups:
+        return out, out_groups
     return out
+
+
+def _alignment_head_onehot(
+    dims, alignment_heads: Optional[Sequence[Tuple[int, int]]]
+) -> Tuple[np.ndarray, int]:
+    """(L, N_sel, H) one-hot selectors for W.alignment_forward.
+
+    Uses the per-checkpoint (layer, head) pairs when available, else the
+    openai/whisper fallback (all heads of the top half of the layers).
+    """
+    L, H = dims.n_text_layer, dims.n_text_head
+    pairs = [(l, h) for l, h in (alignment_heads or [])
+             if 0 <= l < L and 0 <= h < H]
+    if not pairs:
+        pairs = [(l, h) for l in range(L // 2, L) for h in range(H)]
+    sel = np.zeros((L, len(pairs), H), np.float32)
+    for i, (l, h) in enumerate(pairs):
+        sel[l, i, h] = 1.0
+    return sel, len(pairs)
 
 
 def add_word_timestamps(
@@ -220,12 +353,21 @@ def add_word_timestamps(
     audio: np.ndarray,
     windows,
     language: Optional[str] = None,
+    prepend_punctuations: Optional[str] = None,
+    append_punctuations: Optional[str] = None,
 ) -> None:
     """Attach ``words`` to every segment in place.
 
-    Groups segments by window (chunk_id), teacher-forces the decoder over
-    each window's token sequence with cross-attention capture, and
-    distributes DTW word times (rebased by the window start).
+    Groups segments by window, teacher-forces the decoder over ALL windows'
+    token sequences in batched device calls (tokens eot-padded to one
+    bucketed static width; windows sub-batched so the selected-heads
+    accumulator stays bounded), and distributes DTW word times (rebased by
+    each window's start). Only the alignment heads' attention maps leave
+    the device (W.alignment_forward) — the full (L, B, H, S, Ta) tensor of
+    the naive per-window path never exists.
+
+    Punctuation-only tokens merge into neighbouring words per
+    prepend_punctuations/append_punctuations (faster-whisper semantics).
     """
     import jax.numpy as jnp
 
@@ -239,9 +381,10 @@ def add_word_timestamps(
             seg.get("window_id", seg.get("chunk_id", 0)), []
         ).append(seg)
 
+    # (win_id, segs, flat_tokens, seg_spans) for windows with any tokens
+    work: List[Tuple[int, List[Dict[str, Any]], List[int],
+                     List[Tuple[int, int]]]] = []
     for win_id, segs in by_window.items():
-        window = windows[win_id]
-        # token sequence: timestamped tokens of all segments in order
         flat_tokens: List[int] = []
         seg_spans: List[Tuple[int, int]] = []
         for seg in segs:
@@ -252,56 +395,78 @@ def add_word_timestamps(
             start = len(flat_tokens)
             flat_tokens.extend(int(t) for t in toks)
             seg_spans.append((start, len(flat_tokens)))
-        if not flat_tokens:
-            continue
+        if flat_tokens:
+            work.append((win_id, segs, flat_tokens, seg_spans))
+    if not work:
+        return
 
-        batch = windows_to_batch(audio, [window])
-        mel = log_mel_spectrogram(jnp.asarray(batch), n_mels=engine.dims.n_mels)
+    dims = engine.dims
+    sp = engine.tokenizer.specials
+    sel_onehot, n_sel = _alignment_head_onehot(
+        dims, getattr(engine, "alignment_heads", None)
+    )
+    sel_j = jnp.asarray(sel_onehot)
+
+    # one static token width per file: bucket to a multiple of 32 so close
+    # file lengths share compiled programs (a fresh jit costs 40-90 s on
+    # the TPU tunnel)
+    S_pad = max(32, int(np.ceil(max(len(w[2]) for w in work) / 32)) * 32)
+    Ta = dims.n_audio_ctx
+    # sub-batch so the (N_sel, B, S, Ta) f32 accumulator stays ~<=1.5 GB
+    B_max = max(1, int(1.5e9 // (n_sel * S_pad * Ta * 4)))
+    B_max = min(B_max, getattr(engine, "batch_size", B_max) or B_max)
+
+    for lo in range(0, len(work), B_max):
+        sub = work[lo : lo + B_max]
+        B = len(sub)
+        batch = windows_to_batch(audio, [windows[w[0]] for w in sub])
+        toks_np = np.full((B, S_pad), sp.eot, np.int32)
+        for b, (_, _, flat_tokens, _) in enumerate(sub):
+            toks_np[b, : len(flat_tokens)] = flat_tokens
+        mel = log_mel_spectrogram(jnp.asarray(batch), n_mels=dims.n_mels)
         xa = W.encode(engine.params, mel.astype(engine.activation_dtype),
-                      engine.dims)
-        toks_j = jnp.asarray(np.asarray(flat_tokens, np.int32)[None])
-        logits, cqk = W.decoder_forward(
-            engine.params, toks_j, xa, engine.dims, return_cross_qk=True
+                      dims)
+        sel_qk, token_probs = W.alignment_forward(
+            engine.params, jnp.asarray(toks_np), xa, sel_j, dims
         )
-        # token_probs[i] = p(token_i | tokens_<i): shift logits by one
-        lp = np.asarray(logits)[0]
-        probs = np.ones(len(flat_tokens))
-        sm = np.exp(lp - lp.max(axis=-1, keepdims=True))
-        sm = sm / sm.sum(axis=-1, keepdims=True)
-        for i in range(1, len(flat_tokens)):
-            probs[i] = sm[i - 1, flat_tokens[i]]
+        sel_qk = np.asarray(sel_qk)          # (N_sel, B, S_pad, Ta)
+        token_probs = np.asarray(token_probs)  # (B, S_pad)
 
-        cqk_np = np.asarray(cqk)[:, 0]  # (L, H, T_text, T_audio)
-        n_frames = int(round(min(window.duration, 30.0) / FRAME_S))
-        words = find_word_alignments(
-            flat_tokens, cqk_np, engine.tokenizer, max(n_frames, 1),
-            token_probs=probs,
-            alignment_heads=getattr(engine, "alignment_heads", None),
-        )
-        # distribute words into segments by token span coverage
-        token_word: List[int] = []
-        for wi, (_, group_sz) in enumerate(
-            zip(words, [len(g) for g in
-                        split_tokens_into_words(
-                            [t for t in flat_tokens
-                             if t < engine.tokenizer.specials.eot],
-                            engine.tokenizer)[1]])
-        ):
-            token_word.extend([wi] * group_sz)
-
-        text_positions = [i for i, t in enumerate(flat_tokens)
-                          if t < engine.tokenizer.specials.eot]
-        pos_to_word = dict(zip(text_positions, token_word))
-        for seg, (s0, s1) in zip(segs, seg_spans):
-            wset = sorted({pos_to_word[i] for i in range(s0, s1)
-                           if i in pos_to_word})
-            seg_words = []
-            for wi in wset:
-                w = dict(words[wi])
-                w["start"] = round(w["start"] + window.start, 3)
-                w["end"] = round(w["end"] + window.start, 3)
-                seg_words.append(w)
-            seg["words"] = seg_words
-            if seg_words:
-                seg["start"] = min(seg["start"], seg_words[0]["start"])
-                seg["end"] = max(seg["end"], seg_words[-1]["end"])
+        for b, (win_id, segs, flat_tokens, seg_spans) in enumerate(sub):
+            window = windows[win_id]
+            S_b = len(flat_tokens)
+            n_frames = int(round(min(window.duration, 30.0) / FRAME_S))
+            # (1, N_sel, S_b, Ta) with alignment_layers=[0]: the heads were
+            # already selected on device, so "layer 0 / all heads" is
+            # exactly the chosen pair set
+            cqk_b = sel_qk[:, b, :S_b][None]
+            words, groups = find_word_alignments(
+                flat_tokens, cqk_b, engine.tokenizer, max(n_frames, 1),
+                token_probs=token_probs[b, :S_b],
+                alignment_layers=[0],
+                prepend_punctuations=(
+                    prepend_punctuations if prepend_punctuations is not None
+                    else PREPEND_PUNCTUATIONS),
+                append_punctuations=(
+                    append_punctuations if append_punctuations is not None
+                    else APPEND_PUNCTUATIONS),
+                return_groups=True,
+            )
+            # groups hold flat-token POSITIONS (post punctuation merge)
+            pos_to_word: Dict[int, int] = {}
+            for wi, g in enumerate(groups):
+                for p in g:
+                    pos_to_word[p] = wi
+            for seg, (s0, s1) in zip(segs, seg_spans):
+                wset = sorted({pos_to_word[i] for i in range(s0, s1)
+                               if i in pos_to_word})
+                seg_words = []
+                for wi in wset:
+                    w = dict(words[wi])
+                    w["start"] = round(w["start"] + window.start, 3)
+                    w["end"] = round(w["end"] + window.start, 3)
+                    seg_words.append(w)
+                seg["words"] = seg_words
+                if seg_words:
+                    seg["start"] = min(seg["start"], seg_words[0]["start"])
+                    seg["end"] = max(seg["end"], seg_words[-1]["end"])

@@ -78,6 +78,24 @@ class DecodeConfig:
     max_new_tokens: int = 224
     suppress_blank: bool = True
     suppress_tokens: tuple = (-1,)  # -1 => model's default non-speech set
+    #: decode without timestamp tokens (faster-whisper without_timestamps):
+    #: each window becomes one segment spanning the window.
+    without_timestamps: bool = False
+    #: latest time (seconds) the FIRST timestamp of a window may take
+    #: (openai-whisper/faster-whisper max_initial_timestamp).
+    max_initial_timestamp: float = 1.0
+    #: with condition_on_previous_text: drop the accumulated text context
+    #: whenever a window's accepted decode used a temperature ABOVE this
+    #: (faster-whisper prompt_reset_on_temperature).
+    prompt_reset_on_temperature: float = 0.5
+    #: re-detect the spoken language for every window and decode each with
+    #: its own language token (faster-whisper multilingual).
+    multilingual: bool = False
+    #: punctuation merged into the FOLLOWING word during word-timestamp
+    #: assembly (faster-whisper prepend_punctuations).
+    prepend_punctuations: str = "\"'“¿([{-"
+    #: punctuation merged into the PRECEDING word (append_punctuations).
+    append_punctuations: str = "\"'.。,，!！?？:：”)]}、"
     #: cross-attention KV cache storage: "auto" (int8 on TPU via the fused
     #: Pallas dequant-attention kernel, bf16 elsewhere), "int8", or "bf16".
     kv_cache_dtype: str = "auto"

@@ -678,6 +678,27 @@ def beam_search_decode(
 
 
 @functools.partial(jax.jit, static_argnames=("dims", "sot", "lang0", "n_lang"))
+def detect_language_batched(
+    params: Dict[str, Any], xa: jax.Array, dims: W.WhisperDims,
+    sot: int, lang0: int, n_lang: int,
+) -> jax.Array:
+    """(B, n_lang) language probabilities for EVERY window in the batch
+    (faster-whisper's ``multilingual`` per-window detection).
+
+    Uses the teacher-forced decoder_forward on the single <|sot|> token —
+    cross-attention reads ``xa`` directly, so no per-layer cross-K/V cache
+    is materialised (a bf16 cross-KV precompute at engine batch sizes is
+    a multi-GB transient the decode path immediately rebuilds as int8)."""
+    B = xa.shape[0]
+    prompt = jnp.full((B, 1), sot, jnp.int32)
+    logits = W.decoder_forward(params, prompt, xa, dims)
+    lang_logits = jax.lax.dynamic_slice_in_dim(
+        logits[:, 0], lang0, n_lang, axis=1
+    )
+    return jax.nn.softmax(lang_logits, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("dims", "sot", "lang0", "n_lang"))
 def detect_language_logits(
     params: Dict[str, Any], xa: jax.Array, dims: W.WhisperDims,
     sot: int, lang0: int, n_lang: int,

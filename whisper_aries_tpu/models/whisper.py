@@ -514,6 +514,91 @@ def decoder_forward(
     return logits
 
 
+@functools.partial(jax.jit, static_argnames=("dims",))
+def alignment_forward(
+    params: Dict[str, Any],
+    tokens: jax.Array,       # (B, S) int32, eot-padded past each window
+    xa: jax.Array,           # (B, Ta, D)
+    head_onehot: jax.Array,  # (L, N_sel, H) f32 one-hot head selectors
+    dims: WhisperDims,
+) -> Tuple[jax.Array, jax.Array]:
+    """Teacher-forced pass returning ONLY the alignment heads' cross-
+    attention logits plus per-position token probabilities.
+
+    The batched word-timestamp pass (align/word_align.py;
+    faster-whisper's word_timestamps machinery, SURVEY §2.3 N2) only needs
+    ~10 published (layer, head) attention maps — materialising the full
+    (L, B, H, S, Ta) scan output is a multi-GB tensor at engine batch
+    sizes. Here ``head_onehot[l]`` projects layer l's (B, H, S, Ta) logits
+    onto the selected pairs inside the scan body, so the carry holds just
+    (N_sel, B, S, Ta) and per-layer logits stay transient.
+
+    Returns:
+      sel_qk (N_sel, B, S, Ta) f32 — scaled cross-attention logits for
+        each selected (layer, head) pair, bit-identical to the matching
+        slice of ``decoder_forward(..., return_cross_qk=True)``;
+      token_probs (B, S) f32 — p(token_i | tokens_<i); position 0 is 1.0.
+    """
+    dec = params["decoder"]
+    B, S = tokens.shape
+    n_head = dims.n_text_head
+    dh = dims.n_text_state // n_head
+    emb = dec["tok_emb"]
+    x = emb[jnp.maximum(tokens, 0)] + dec["pos_emb"][:S]
+    x = x.astype(xa.dtype)
+
+    causal = jnp.tril(jnp.ones((S, S), bool))
+    neg = float(np.finfo(np.float32).min)
+    N_sel = head_onehot.shape[1]
+    acc0 = jnp.zeros((N_sel, B, S, xa.shape[1]), jnp.float32)
+
+    def block(carry, inp):
+        x, acc = carry
+        p, sel = inp
+        h = layer_norm(p["ln1"], x)
+        qp, kp, vp = _self_qkv(p["attn"], h)
+        q = _split_heads(qp, n_head)
+        k = _split_heads(kp, n_head)
+        v = _split_heads(vp, n_head)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q * (dh ** -0.5), k,
+                            preferred_element_type=jnp.float32)
+        logits = jnp.where(causal[None, None], logits, neg)
+        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        att = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        x = x + dense(p["attn"]["o"], _merge_heads(att).astype(x.dtype))
+
+        h = layer_norm(p["ln_cross"], x)
+        q = _split_heads(dense(p["cross"]["q"], h), n_head)
+        ck = _split_heads(dense(p["cross"]["k"], xa), n_head)
+        cv = _split_heads(dense(p["cross"]["v"], xa), n_head)
+        cqk = jnp.einsum("bhqd,bhkd->bhqk", q * (dh ** -0.5), ck,
+                         preferred_element_type=jnp.float32)
+        acc = acc + jnp.einsum("nh,bhqk->nbqk", sel, cqk)
+        probs = jax.nn.softmax(cqk, axis=-1).astype(cv.dtype)
+        att = jnp.einsum("bhqk,bhkd->bhqd", probs, cv)
+        x = x + dense(p["cross"]["o"], _merge_heads(att).astype(x.dtype))
+
+        h = layer_norm(p["ln2"], x)
+        x = x + dense(p["mlp"]["fc2"], gelu(dense(p["mlp"]["fc1"], h)))
+        return (x, acc), None
+
+    (x, sel_qk), _ = jax.lax.scan(
+        block, (x, acc0), (dec["blocks"], head_onehot)
+    )
+    x = layer_norm(dec["ln"], x)
+    logits = jnp.dot(x, emb.T.astype(x.dtype),
+                     preferred_element_type=jnp.float32)
+    # token_probs[i] = softmax(logits[i-1])[tokens[i]]; position 0 -> 1.0
+    lp = jax.nn.log_softmax(logits, axis=-1)
+    nxt = jnp.take_along_axis(
+        lp[:, :-1], tokens[:, 1:, None].astype(jnp.int32), axis=2
+    )[..., 0]
+    token_probs = jnp.concatenate(
+        [jnp.ones((B, 1), jnp.float32), jnp.exp(nxt)], axis=1
+    )
+    return sel_qk, token_probs
+
+
 # ---------------------------------------------------------------------------
 # Decoder — KV-cached incremental stepping
 # ---------------------------------------------------------------------------

@@ -126,6 +126,28 @@ def _quant_matmul_xla(x: jax.Array, q: jax.Array, s: jax.Array) -> jax.Array:
     return jnp.dot(x, w, preferred_element_type=jnp.float32)
 
 
+def _quant_matmul_outscale(x: jax.Array, q: jax.Array,
+                           s: jax.Array) -> jax.Array:
+    """Dequant moved to the OUTPUT side: per-output-channel scales commute
+    with the contraction, ``x @ (q * s[None, :]) == (x @ q) * s[None, :]``,
+    so the scale multiply touches the (M, N) result instead of the (K, N)
+    weight — ~K/M times less dequant work at decode shapes (M = batch x
+    beam ~ 1e2 rows, K = 1280..5120), and XLA fuses it into the dot's
+    f32 epilogue next to the bias add instead of emitting a separate
+    (K, N)-sized convert+multiply (the op-count tax that made int8 SLOWER
+    than bf16 in the round-2 bench, ROADMAP "int8 weights 127.7x vs
+    155x").
+
+    Numerics are BETTER than weight-side dequant: int8 values in
+    [-127, 127] are exact in bf16 (8 mantissa bits), so the bf16 GEMM sees
+    the unrounded quantized weight, and the scale is applied in f32 —
+    weight-side dequant rounds q*s to bf16 first.
+    """
+    y = jnp.dot(x.astype(jnp.bfloat16), q.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+    return y * s[None, :]
+
+
 def _quant_matmul_int8io(x: jax.Array, q: jax.Array, s: jax.Array
                          ) -> jax.Array:
     """True int8 MXU path: dynamic per-row activation quantization, then a
@@ -148,30 +170,32 @@ def _quant_matmul_int8io(x: jax.Array, q: jax.Array, s: jax.Array
 def quant_matmul(x: jax.Array, q: jax.Array, s: jax.Array) -> jax.Array:
     """(..., K) @ int8 (K, N) with per-N scales -> (..., K->N) in x.dtype.
 
-    TPU implementations, selectable via ARIES_QUANT_IMPL:
-      * "pallas" (default): fused per-tile dequant-to-bf16 kernel (bf16 MXU
+    Implementations, selectable via ARIES_QUANT_IMPL:
+      * "outscale" (default): bf16 x int8-as-bf16 GEMM with the per-channel
+        scale applied to the OUTPUT (scales commute with the contraction) —
+        fewest ops, best numerics; the dequant fuses into the dot epilogue.
+      * "pallas" (TPU): fused per-tile dequant-to-bf16 kernel (bf16 MXU
         rate, half weight bandwidth; exact bf16 activation numerics).
-        Measured 250x realtime at large-v3 batch 32.
       * "native": s8 x s8 -> s32 dot_general with dynamic per-row activation
         quantization — CTranslate2's exact GEMM scheme and nominally 2x the
         MXU rate, but XLA's current TPU lowering measured far slower end to
-        end (160x vs 250x); kept for numerics comparison and future XLA
-        versions.
-      * "xla": plain dequantized matmul (reference/debug).
+        end; kept for numerics comparison and future XLA versions.
+      * "xla": weight-side dequantized matmul (reference/debug).
     """
     import os
 
     lead = x.shape[:-1]
     K = x.shape[-1]
     x2 = x.reshape(-1, K)
-    impl = os.environ.get("ARIES_QUANT_IMPL", "pallas")
-    if jax.default_backend() != "tpu":
-        impl = "xla" if impl == "pallas" else impl
-        # (native int8 dot works on CPU too and keeps numerics comparable)
+    impl = os.environ.get("ARIES_QUANT_IMPL", "outscale")
+    if jax.default_backend() != "tpu" and impl == "pallas":
+        impl = "xla"
     if impl == "pallas":
         out = _quant_matmul_pallas(x2, q, s)
     elif impl == "native":
         out = _quant_matmul_int8io(x2, q, s)
+    elif impl == "outscale":
+        out = _quant_matmul_outscale(x2, q, s)
     else:
         out = _quant_matmul_xla(x2, q, s)
     return out.reshape(*lead, q.shape[1]).astype(x.dtype)

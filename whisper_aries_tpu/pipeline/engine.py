@@ -29,8 +29,10 @@ Feature parity with the reference engine surface:
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import logging
+import os
 import time
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Sequence, Tuple
@@ -173,10 +175,32 @@ class DummyTokenizer:
         return " ".join(f"<{int(i)}>" for i in ids)
 
     def encode(self, text):
-        return [0]
+        # " " -> 220 mirrors the real GPT-2 byte-BPE table, so the derived
+        # DecodeSpecialIds.blank (a STATIC jit arg) matches real-tokenizer
+        # runs and random-weight benches share their compiled decode
+        # programs with bench.py's handcrafted ids
+        return [220] if text == " " else [0]
 
     def non_speech_tokens(self, encoder):
         return []
+
+
+@dataclasses.dataclass(frozen=True)
+class _CallOpts:
+    """Per-call decode options threaded through the window loops.
+
+    The engine instance may be SHARED by concurrent server jobs
+    (run_pipeline's process-wide cache + the server's bounded semaphore),
+    so per-call options travel as an explicit value, never as mutable
+    engine state. Fields cover the faster-whisper/CTranslate2 whitelist
+    the reference forwards (final_optimized_transcriber.py:310-319).
+    """
+
+    ids: G.DecodeSpecialIds          # carries max_initial_timestamp_index
+    suppress_mask: Any               # (vocab,) additive logit mask
+    with_timestamps: bool = True     # False == without_timestamps option
+    multilingual: bool = False       # per-window language detection
+    prompt_reset_on_temperature: float = 0.5
 
 
 class AriesTranscriber:
@@ -253,14 +277,9 @@ class AriesTranscriber:
         self.batch_size = max(1, n_dev * wpd)
         self.params = replicate_params(self.params, self.mesh)
 
-        # static suppress mask (non-speech symbols + specials)
-        sp = self.tokenizer.specials
-        suppress = list(self.tokenizer.non_speech_tokens(self.tokenizer.encode))
-        suppress += [sp.sot, sp.sot_lm, sp.sot_prev, sp.no_speech,
-                     sp.translate, sp.transcribe]
-        self.suppress_mask = jnp.asarray(
-            G.build_suppress_mask(self.dims.n_vocab, suppress)
-        )
+        # default suppress mask (non-speech symbols + specials); per-call
+        # suppress_tokens build their own via _make_suppress_mask
+        self.suppress_mask = self._make_suppress_mask(None)
         self._mel_sharding = None
 
         on_tpu = jax.default_backend() == "tpu"
@@ -280,6 +299,31 @@ class AriesTranscriber:
             (audio_ctx or self.config.decode.audio_ctx) == "bucket"
         )
         self._speech_scorer = self._make_speech_scorer()
+
+    def _make_suppress_mask(self, suppress_tokens) -> jnp.ndarray:
+        """(vocab,) additive logit mask for a ``suppress_tokens`` option.
+
+        faster-whisper/openai-whisper semantics (the reference whitelists
+        suppress_tokens at final_optimized_transcriber.py:310-319): ``-1``
+        in the list expands to the model's default non-speech symbol set;
+        an empty list suppresses no extra ids. Special tokens (sot/
+        sot_prev/sot_lm/no_speech/task tokens) are ALWAYS suppressed —
+        they must never be sampled regardless of the option.
+        """
+        if suppress_tokens is None:
+            suppress_tokens = self.config.decode.suppress_tokens
+        sp = self.tokenizer.specials
+        ids: List[int] = []
+        for t in suppress_tokens:
+            if int(t) == -1:
+                ids += list(
+                    self.tokenizer.non_speech_tokens(self.tokenizer.encode)
+                )
+            elif int(t) >= 0:
+                ids.append(int(t))
+        ids += [sp.sot, sp.sot_lm, sp.sot_prev, sp.no_speech,
+                sp.translate, sp.transcribe]
+        return jnp.asarray(G.build_suppress_mask(self.dims.n_vocab, ids))
 
     def _make_speech_scorer(self):
         """Frame speech-probability scorer: the trained Silero-replacement
@@ -457,7 +501,13 @@ class AriesTranscriber:
         patience: float = 1.0,
         no_repeat_ngram_size: int = 0,
         prompt_start: int = 0,
+        opts: Optional[_CallOpts] = None,
+        fetch: bool = True,
     ) -> Dict[str, np.ndarray]:
+        ids = opts.ids if opts is not None else self.ids
+        suppress_mask = (opts.suppress_mask if opts is not None
+                         else self.suppress_mask)
+        with_ts = opts.with_timestamps if opts is not None else True
         prompt_j = jnp.asarray(prompt, jnp.int32)
         # index of <|sot|> inside the prompt — with a <|startofprev|> prefix
         # (initial_prompt / condition_on_previous_text) it is not 0, and
@@ -473,12 +523,13 @@ class AriesTranscriber:
             import os as _os
 
             out = G.beam_search_decode(
-                self.params, xa, prompt_j, self.dims, self.ids,
-                self.suppress_mask, sot_index, beam_size=beam_size,
+                self.params, xa, prompt_j, self.dims, ids,
+                suppress_mask, sot_index, beam_size=beam_size,
                 sample_len=sample_len, length_penalty=length_penalty,
                 repetition_penalty=rep, patience=float(patience or 1.0),
                 no_repeat_ngram_size=ngram, kv_int8=self.kv_int8,
                 self_kv_int8=self.self_kv_int8, prompt_start=ps,
+                with_timestamps=with_ts,
                 # read at CALL time and passed as a static arg so flipping
                 # the A/B knob mid-process retraces instead of silently
                 # hitting the stale jit cache entry
@@ -486,16 +537,41 @@ class AriesTranscriber:
             )
         else:
             out = G.greedy_decode(
-                self.params, xa, prompt_j, self.dims, self.ids,
-                self.suppress_mask, sot_index,
+                self.params, xa, prompt_j, self.dims, ids,
+                suppress_mask, sot_index,
                 jnp.float32(temperature), jax.random.PRNGKey(seed),
                 sample_len=sample_len, repetition_penalty=rep,
                 no_repeat_ngram_size=ngram, kv_int8=self.kv_int8,
                 self_kv_int8=self.self_kv_int8, prompt_start=ps,
+                with_timestamps=with_ts,
             )
-        return {k: np.asarray(v) for k, v in out.items()
-                if k in ("tokens", "n_sampled", "sum_logprob", "avg_logprob",
-                         "no_speech_prob")}
+        keep = ("tokens", "n_sampled", "sum_logprob", "avg_logprob",
+                "no_speech_prob")
+        if not fetch:
+            # leave results on device: jit dispatch is async, so the caller
+            # can enqueue the NEXT batch's gather/mel/encode/decode before
+            # blocking on these (double-buffered engine loop)
+            return {k: v for k, v in out.items() if k in keep}
+        return {k: np.asarray(v) for k, v in out.items() if k in keep}
+
+    def _window_languages(
+        self, xa: jax.Array
+    ) -> Optional[Tuple[np.ndarray, List[str]]]:
+        """Per-window language for `multilingual`: one batched single-step
+        probe over the already-encoded audio. Returns (language token ids,
+        language codes) per row, or None for models without language tokens
+        (.en checkpoints)."""
+        sp = self.tokenizer.specials
+        lang_tokens = getattr(sp, "language_tokens", None)
+        if not lang_tokens:
+            return None
+        lang0 = min(lang_tokens.values())
+        probs = np.asarray(G.detect_language_batched(
+            self.params, xa, self.dims, sp.sot, lang0, sp.num_languages
+        ))
+        idx = probs.argmax(axis=1)
+        return (lang0 + idx.astype(np.int32),
+                [LANGUAGES[int(i)] for i in idx])
 
     def detect_language(self, mel: jax.Array) -> Tuple[str, float]:
         sp = self.tokenizer.specials
@@ -542,6 +618,13 @@ class AriesTranscriber:
         overlap_strategy: Optional[str] = None,
         condition_on_previous_text: bool = False,
         resume_path: Optional[str] = None,
+        suppress_tokens: Optional[Sequence[int]] = None,
+        without_timestamps: Optional[bool] = None,
+        max_initial_timestamp: Optional[float] = None,
+        prompt_reset_on_temperature: Optional[float] = None,
+        multilingual: Optional[bool] = None,
+        prepend_punctuations: Optional[str] = None,
+        append_punctuations: Optional[str] = None,
     ) -> Dict[str, Any]:
         """Transcribe one file end to end; returns the result dict and writes
         any requested output formats.
@@ -557,6 +640,18 @@ class AriesTranscriber:
         ``resume_path``: per-window resume journal (JSONL). A killed run
         restarted with the same path re-decodes only the unfinished windows
         (SURVEY §5 checkpoint/resume).
+
+        faster-whisper option-whitelist parity (the reference forwards
+        these at final_optimized_transcriber.py:310-319):
+        ``suppress_tokens`` (-1 expands to the default non-speech set),
+        ``without_timestamps`` (each window becomes one un-timestamped
+        segment spanning it), ``max_initial_timestamp`` (cap on a window's
+        first timestamp, seconds), ``prompt_reset_on_temperature`` (with
+        condition_on_previous_text: context resets when a window's accepted
+        temperature exceeds it), ``multilingual`` (per-window language
+        detection; segments carry their window's language),
+        ``prepend_punctuations``/``append_punctuations`` (word-timestamp
+        punctuation merging). ``None`` defers to config.decode.
         """
         t0 = time.time()
         self.last_monitor = None
@@ -587,6 +682,31 @@ class AriesTranscriber:
                     else self.config.decode.patience)
         ngram = (no_repeat_ngram_size if no_repeat_ngram_size is not None
                  else self.config.decode.no_repeat_ngram_size)
+
+        # -- faster-whisper option whitelist -> per-call decode options ----
+        dc = self.config.decode
+        without_ts = (without_timestamps if without_timestamps is not None
+                      else dc.without_timestamps)
+        mit = (max_initial_timestamp if max_initial_timestamp is not None
+               else dc.max_initial_timestamp)
+        prt = (prompt_reset_on_temperature
+               if prompt_reset_on_temperature is not None
+               else dc.prompt_reset_on_temperature)
+        multi = multilingual if multilingual is not None else dc.multilingual
+        call_ids = self.ids
+        mit_idx = max(0, int(round(mit / 0.02)))
+        if mit_idx != call_ids.max_initial_timestamp_index:
+            call_ids = dataclasses.replace(
+                call_ids, max_initial_timestamp_index=mit_idx
+            )
+        opts = _CallOpts(
+            ids=call_ids,
+            suppress_mask=(self.suppress_mask if suppress_tokens is None
+                           else self._make_suppress_mask(suppress_tokens)),
+            with_timestamps=not without_ts,
+            multilingual=bool(multi),
+            prompt_reset_on_temperature=float(prt),
+        )
 
         segments: List[Dict[str, Any]] = []
         info: Dict[str, Any] = {
@@ -631,6 +751,10 @@ class AriesTranscriber:
                     prompt_ids, prefix_ids, list(temps), repetition_penalty,
                     ngram, patience, length_penalty, condition_on_previous_text,
                     self.audio_ctx_bucket,
+                    # whitelist options that change decoded output
+                    bool(without_ts), mit_idx, bool(multi), float(prt),
+                    list(suppress_tokens) if suppress_tokens is not None
+                    else None,
                 ])
                 journal = ResumeJournal(
                     resume_path,
@@ -646,6 +770,7 @@ class AriesTranscriber:
                     no_speech_threshold, progress_callback,
                     rep_penalty=repetition_penalty, patience=patience,
                     ngram=ngram, journal=journal, prefix_ids=prefix_ids,
+                    opts=opts,
                 )
             else:
                 segments = []
@@ -662,6 +787,7 @@ class AriesTranscriber:
                         no_speech_threshold, None,
                         rep_penalty=repetition_penalty, patience=patience,
                         ngram=ngram, journal=journal, prefix_ids=prefix_ids,
+                        opts=opts,
                     )
                     skip = {0}
                 segments += self._transcribe_windows(
@@ -672,7 +798,7 @@ class AriesTranscriber:
                     no_speech_threshold, progress_callback,
                     best_of=best_of, rep_penalty=repetition_penalty,
                     patience=patience, ngram=ngram, journal=journal,
-                    skip_ids=skip,
+                    skip_ids=skip, opts=opts,
                 )
                 segments.sort(key=lambda s: (s["start"], s["end"]))
             if chunking_mode == "fixed":
@@ -692,7 +818,15 @@ class AriesTranscriber:
                 from whisper_aries_tpu.align.word_align import add_word_timestamps
 
                 add_word_timestamps(
-                    self, segments, pre.audio, windows, language=language
+                    self, segments, pre.audio, windows, language=language,
+                    prepend_punctuations=(
+                        prepend_punctuations
+                        if prepend_punctuations is not None
+                        else dc.prepend_punctuations),
+                    append_punctuations=(
+                        append_punctuations
+                        if append_punctuations is not None
+                        else dc.append_punctuations),
                 )
             except Exception as e:  # non-fatal, like reference LLM step
                 log.warning("word timestamps failed: %s", e)
@@ -733,7 +867,7 @@ class AriesTranscriber:
         length_penalty, sample_len, cr_thresh, lp_thresh, ns_thresh,
         progress_callback=None, best_of: int = 5, rep_penalty: float = 1.0,
         patience: float = 1.0, ngram: int = 0, journal=None,
-        skip_ids: Optional[set] = None,
+        skip_ids: Optional[set] = None, opts: Optional[_CallOpts] = None,
     ) -> List[Dict[str, Any]]:
         from whisper_aries_tpu.utils.perf import PerformanceMonitor
 
@@ -762,52 +896,95 @@ class AriesTranscriber:
         )
         self.last_monitor = monitor
 
-        pos = 0  # index into pending (OOM retries resume here)
-        bi = 0
-        while pos < len(pending):
-            t_batch = time.time()
-            batch_idx = pending[pos : pos + B]
+        def dispatch(p: int) -> Dict[str, Any]:
+            """Enqueue gather/mel/encode/decode for pending[p:p+B] on the
+            device WITHOUT blocking (jit dispatch is async; results stay on
+            device until the caller fetches them)."""
+            batch_idx = pending[p : p + B]
             wb = [windows[i] for i in batch_idx]
-            n_real = len(batch_idx)
             prompt = np.tile(np.asarray(prompt_ids, np.int32), (B, 1))
+            win = (self.SHORT_WINDOW_SAMPLES
+                   if self.audio_ctx_bucket and all(
+                       windows[i].duration <= self.SHORT_WINDOW_S
+                       for i in batch_idx)
+                   else self.WINDOW_SAMPLES)
+            starts, lens = self._window_starts_lengths(
+                windows, batch_idx, B, win=win
+            )
+            chunk_j = self._gather_windows(audio_dev, starts, lens, win=win)
+            mel = self._mel(chunk_j)
+            xa = self._encode_batch(mel)
+            win_langs = None
+            if opts is not None and opts.multilingual:
+                # faster-whisper `multilingual`: every window decodes with
+                # its own detected language token — one batched single-step
+                # probe, then per-ROW prompt language ids (prompt rows are
+                # data, so one compiled decode serves mixed-language
+                # batches). The probe fetches to host, which serialises the
+                # pipeline for this rare option.
+                det = self._window_languages(xa)
+                if det is not None:
+                    prompt[:, sot_idx + 1] = det[0]
+                    win_langs = det[1]
+            out = self._decode_batch(
+                xa, prompt, beam, temps[0], sample_len, length_penalty,
+                repetition_penalty=rep_penalty, sot_index=sot_idx,
+                patience=patience, no_repeat_ngram_size=ngram,
+                opts=opts, fetch=False,
+            )
+            return {"pos": p, "batch_idx": batch_idx, "wb": wb,
+                    "prompt": prompt, "out": out, "win_langs": win_langs,
+                    "t0": time.time()}
 
+        # Double-buffered batch loop (reference anatomy: its worker pool
+        # overlapped compute and collection, final_optimized_transcriber.py
+        # :256-298): keep up to `depth` batches in the device queue so host
+        # token-parse/merge of batch k runs WHILE the device decodes batch
+        # k+1. Depth 2 holds a second encoder-output + cross-KV set in HBM;
+        # on OOM the ladder first drops to depth 1, then halves the batch.
+        pos = 0  # next pending index to dispatch (OOM retries rewind this)
+        bi = 0
+        parsed = 0  # windows fetched+parsed (progress; dispatch runs ahead)
+        depth = 2 if os.environ.get("ARIES_PIPELINE", "1") == "1" else 1
+        inflight: List[Dict[str, Any]] = []
+        while pos < len(pending) or inflight:
             try:
-                # gather this batch's windows on device (sharded on the
-                # mesh's data axis) from the uploaded int16 file audio;
-                # inside the try so HBM OOM anywhere in gather/mel/encode/
-                # decode triggers the halve-and-retry ladder
-                win = (self.SHORT_WINDOW_SAMPLES
-                       if self.audio_ctx_bucket and all(
-                           windows[i].duration <= self.SHORT_WINDOW_S
-                           for i in batch_idx)
-                       else self.WINDOW_SAMPLES)
-                starts, lens = self._window_starts_lengths(
-                    windows, batch_idx, B, win=win
-                )
-                chunk_j = self._gather_windows(audio_dev, starts, lens,
-                                               win=win)
-                mel = self._mel(chunk_j)
-                xa = self._encode_batch(mel)
-                out = self._decode_batch(
-                    xa, prompt, beam, temps[0], sample_len, length_penalty,
-                    repetition_penalty=rep_penalty, sot_index=sot_idx,
-                    patience=patience, no_repeat_ngram_size=ngram,
-                )
+                while pos < len(pending) and len(inflight) < depth:
+                    inflight.append(dispatch(pos))
+                    pos += B
+                head = inflight[0]
+                # blocks until head's decode finishes; later batches keep
+                # streaming behind it on the device queue
+                out = {k: np.asarray(v) for k, v in head["out"].items()}
+                inflight.pop(0)
             except Exception as e:
-                # HBM OOM: halve the window batch and retry from the first
-                # unprocessed window (the auto heuristic is a first guess;
-                # the exact budget depends on beam/sample_len/model — see
-                # parallel/mesh.py)
-                if _is_oom(e) and B > 1:
-                    B = max(1, B // 2)
-                    self.batch_size = B
-                    log.warning("HBM OOM — retrying with batch_size=%d", B)
+                # HBM OOM ladder: pipelining off first, then halve the
+                # window batch; rewind to the oldest unparsed batch (the
+                # auto batch heuristic is a first guess — the exact budget
+                # depends on beam/sample_len/model, see parallel/mesh.py)
+                if _is_oom(e) and (depth > 1 or B > 1):
+                    if depth > 1:
+                        depth = 1
+                        log.warning("HBM OOM — disabling batch pipelining")
+                    else:
+                        B = max(1, B // 2)
+                        self.batch_size = B
+                        log.warning("HBM OOM — retrying with batch_size=%d",
+                                    B)
+                    if inflight:
+                        pos = inflight[0]["pos"]
+                    inflight = []
                     continue
                 raise
+            wb = head["wb"]
+            n_real = len(head["batch_idx"])
+            win_langs = head["win_langs"]
+            prompt = head["prompt"]
+            t_batch = head["t0"]
             # temperature fallback ladder per window
             for w_i in range(n_real):
                 window = wb[w_i]
-                win_id = batch_idx[w_i]
+                win_id = head["batch_idx"][w_i]
                 toks = out["tokens"][w_i]
                 failed = False
                 try:
@@ -822,13 +999,19 @@ class AriesTranscriber:
                             journal.record(win_id, [])
                         continue
                     if quality["needs_fallback"] and len(temps) > 1:
-                        segs = self._fallback_window(
+                        segs, _ = self._fallback_window(
                             windows_to_batch(audio_np, [window])[0], window,
-                            prompt_ids, temps[1:],
+                            # multilingual: keep this window's detected
+                            # language token in the fallback prompt
+                            (prompt[w_i].tolist() if win_langs is not None
+                             else prompt_ids), temps[1:],
                             sample_len, cr_thresh, lp_thresh, ns_thresh, segs,
                             best_of=best_of, sot_idx=sot_idx,
-                            parse_skip=parse_skip,
+                            parse_skip=parse_skip, opts=opts,
                         )
+                    if win_langs is not None:
+                        for s in segs:
+                            s["language"] = win_langs[w_i]
                 except Exception as e:
                     # per-window soft failure: one bad window must not kill
                     # the file (reference emits ChunkResult(success=False)
@@ -856,10 +1039,10 @@ class AriesTranscriber:
                 device=bi % max(1, int(np.prod(self.mesh.devices.shape))),
                 kind="batch",
             )
-            pos += B
             bi += 1
+            parsed += n_real
             if progress_callback:
-                progress_callback(len(done) + min(pos, len(pending)), N)
+                progress_callback(len(done) + parsed, N)
 
         all_segments.sort(key=lambda s: (s["start"], s["end"]))
         return all_segments
@@ -870,6 +1053,7 @@ class AriesTranscriber:
         progress_callback=None, rep_penalty: float = 1.0,
         patience: float = 1.0, ngram: int = 0, journal=None,
         prefix_ids: Optional[List[int]] = None,
+        opts: Optional[_CallOpts] = None,
     ) -> List[Dict[str, Any]]:
         """Window-by-window decode with cross-window text conditioning.
 
@@ -921,12 +1105,20 @@ class AriesTranscriber:
             s1, l1 = self._window_starts_lengths(windows, [wi], 1)
             mel = self._mel(self._gather_windows(audio_dev, s1, l1))
             xa = self._encode_batch(mel)
+            win_lang = None
+            if opts is not None and opts.multilingual and len(sot_seq) >= 2:
+                det = self._window_languages(xa)
+                if det is not None:
+                    # language token sits right after <|sot|> in the
+                    # (left-padded) prompt buffer
+                    prompt[w_sot + 1] = int(det[0][0])
+                    win_lang = det[1][0]
             try:
                 out = self._decode_batch(
                     xa, np.asarray(prompt, np.int32)[None], beam, temps[0],
                     sample_len, length_penalty, sot_index=w_sot,
                     repetition_penalty=rep_penalty, patience=patience,
-                    no_repeat_ngram_size=ngram, prompt_start=pad,
+                    no_repeat_ngram_size=ngram, prompt_start=pad, opts=opts,
                 )
                 segs, quality = self._parse_one(
                     out["tokens"][0], window, len(prompt) - len(pfx),
@@ -950,20 +1142,30 @@ class AriesTranscriber:
                 continue
             was_fallback = False
             if quality["needs_fallback"] and len(temps) > 1:
-                segs = self._fallback_window(
+                segs, used_t = self._fallback_window(
                     windows_to_batch(audio_np, [window])[0], window, prompt,
                     temps[1:], sample_len,
                     cr_thresh, lp_thresh, ns_thresh, segs, sot_idx=w_sot,
                     prompt_start=pad, parse_skip=len(prompt) - len(pfx),
+                    opts=opts,
                 )
-                # conditioning resets after a fallback (reference behaviour)
+                # faster-whisper prompt_reset_on_temperature: the text
+                # context only resets when the ACCEPTED temperature
+                # exceeds the threshold — low-temperature recoveries keep
+                # conditioning
+                reset_t = (opts.prompt_reset_on_temperature
+                           if opts is not None else 0.5)
+                was_fallback = used_t > reset_t
+            if was_fallback:
                 prev_tokens = []
-                was_fallback = True
             elif segs and segs[0].get("success", True):
                 prev_tokens = [
                     t for s in segs for t in s.get("tokens", [])
                     if t < sp.eot
                 ]
+            if win_lang is not None:
+                for s in segs:
+                    s["language"] = win_lang
             for s in segs:
                 s["chunk_id"] = window.chunk_id
                 s["window_id"] = wi
@@ -999,7 +1201,8 @@ class AriesTranscriber:
     def _fallback_window(self, audio_window, window, prompt_ids, temps,
                          sample_len, cr_thresh, lp_thresh, ns_thresh,
                          best_segs, best_of: int = 5, sot_idx: int = 0,
-                         prompt_start: int = 0, parse_skip: Optional[int] = None):
+                         prompt_start: int = 0, parse_skip: Optional[int] = None,
+                         opts: Optional[_CallOpts] = None):
         """Re-decode one failing window at increasing temperatures
         (faster-whisper's fallback ladder; README.md:179 TEMPERATURE).
 
@@ -1007,6 +1210,9 @@ class AriesTranscriber:
         batch (the reference whitelists best_of at
         final_optimized_transcriber.py:310-319; CTranslate2 samples
         num_hypotheses and keeps the best by sum logprob).
+
+        Returns ``(segments, used_temperature)`` — the sequential path uses
+        the accepted temperature for prompt_reset_on_temperature.
         """
         if parse_skip is None:
             parse_skip = len(prompt_ids)
@@ -1014,11 +1220,12 @@ class AriesTranscriber:
         mel = self._mel(jnp.asarray(np.tile(audio_window[None], (K, 1))))
         xa = self._encode_batch(mel)
         prompt = np.tile(np.asarray(prompt_ids, np.int32)[None], (K, 1))
+        used_t = float(temps[-1]) if len(temps) else 0.0
         for t_i, t in enumerate(temps):
             out = self._decode_batch(
                 xa, prompt, beam_size=1, temperature=float(t),
                 sample_len=sample_len, length_penalty=1.0, seed=1234 + t_i,
-                sot_index=sot_idx, prompt_start=prompt_start,
+                sot_index=sot_idx, prompt_start=prompt_start, opts=opts,
             )
             best = int(np.argmax(out["sum_logprob"]))
             segs, q = self._parse_one(
@@ -1028,11 +1235,11 @@ class AriesTranscriber:
                 cr_thresh, lp_thresh, ns_thresh,
             )
             if q["is_silence"]:
-                return []
+                return [], float(t)
             if not q["needs_fallback"]:
-                return segs
+                return segs, float(t)
             best_segs = segs
-        return best_segs
+        return best_segs, used_t
 
     # ------------------------------------------------------------------
     # Output writers (engine-level TXT/JSON/SRT:

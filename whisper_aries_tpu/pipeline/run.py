@@ -108,6 +108,12 @@ def run_pipeline(
                 condition_on_previous_text=cfg.decode.condition_on_previous_text,
                 word_timestamps=cfg.decode.word_timestamps,
                 initial_prompt=cfg.decode.initial_prompt,
+                suppress_tokens=cfg.decode.suppress_tokens,
+                without_timestamps=cfg.decode.without_timestamps,
+                max_initial_timestamp=cfg.decode.max_initial_timestamp,
+                prompt_reset_on_temperature=(
+                    cfg.decode.prompt_reset_on_temperature),
+                multilingual=cfg.decode.multilingual,
                 output_formats=[],
                 resume_path=resume_path,
             )
