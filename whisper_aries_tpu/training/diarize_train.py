@@ -56,22 +56,36 @@ _init_lookup()
 _PERMS = list(itertools.permutations(range(3)))  # 6 local-speaker perms
 
 
-def _dataset_vad(rng: np.random.Generator, n: int
+def _maybe_augment(rng: np.random.Generator, audio: np.ndarray,
+                   p_aug: float) -> np.ndarray:
+    """Recording-chain augmentation (training/augment.py) on a fraction
+    ``p_aug`` of examples at full strength — reverb/band-limit/codec/level
+    are label-preserving, so activity targets pass through unchanged. The
+    clean majority keeps the original corpus distribution (the trained-
+    weight gates in tests/test_training.py are drawn from it)."""
+    if p_aug <= 0.0 or rng.uniform() >= p_aug:
+        return audio
+    from whisper_aries_tpu.training.augment import augment
+
+    return augment(rng, audio, strength=1.0)
+
+
+def _dataset_vad(rng: np.random.Generator, n: int, p_aug: float = 0.0
                  ) -> Tuple[np.ndarray, np.ndarray]:
     xs, ys = [], []
     for _ in range(n):
         a, l = synth.vad_example(rng)
-        xs.append(a)
+        xs.append(_maybe_augment(rng, a, p_aug))
         ys.append(l)
     return np.stack(xs), np.stack(ys)
 
 
-def _dataset_seg(rng: np.random.Generator, n: int
+def _dataset_seg(rng: np.random.Generator, n: int, p_aug: float = 0.0
                  ) -> Tuple[np.ndarray, np.ndarray]:
     xs, ys = [], []
     for _ in range(n):
         a, act = synth.diarization_window(rng)
-        xs.append(a)
+        xs.append(_maybe_augment(rng, a, p_aug))
         ys.append(act)
     return np.stack(xs), np.stack(ys)
 
@@ -83,7 +97,8 @@ def _dataset_seg(rng: np.random.Generator, n: int
 
 def train_vad(steps: int = 600, batch: int = 32, lr: float = 1e-3,
               seed: int = 0, n_train: int = 768, n_val: int = 128,
-              log_every: int = 50) -> Tuple[Dict[str, Any], Dict[str, float]]:
+              log_every: int = 50, p_aug: float = 0.0
+              ) -> Tuple[Dict[str, Any], Dict[str, float]]:
     import jax
     import jax.numpy as jnp
     import optax
@@ -92,9 +107,12 @@ def train_vad(steps: int = 600, batch: int = 32, lr: float = 1e-3,
 
     rng = np.random.default_rng(seed)
     rng_val = np.random.default_rng(10_000 + seed)
-    log.info("VAD: generating %d train / %d val examples...", n_train, n_val)
-    X, Y = _dataset_vad(rng, n_train)
-    Xv, Yv = _dataset_vad(rng_val, n_val)
+    log.info("VAD: generating %d train / %d val examples (p_aug=%.2f)...",
+             n_train, n_val, p_aug)
+    X, Y = _dataset_vad(rng, n_train, p_aug=p_aug)
+    Xv, Yv = _dataset_vad(rng_val, n_val)  # gate val stays clean
+    Xa, Ya = _dataset_vad(np.random.default_rng(40_000 + seed), n_val,
+                          p_aug=1.0)  # augmented robustness battery
 
     dims = VadDims()
     params = init_vad(dims)
@@ -131,8 +149,12 @@ def train_vad(steps: int = 600, batch: int = 32, lr: float = 1e-3,
         ((get_speech_probs(Xv[i]) > 0.5) == (Yv[i] > 0.5)).mean()
         for i in range(n_val)
     ]))
-    metrics = {"val_acc": acc_nn, "val_acc_energy_baseline": acc_energy}
-    log.info("VAD val acc: nn=%.4f energy=%.4f", acc_nn, acc_energy)
+    probs_a = np.asarray(vad_forward(params, jnp.asarray(Xa), dims))
+    acc_aug = float((((probs_a > 0.5) == (Ya > 0.5))).mean())
+    metrics = {"val_acc": acc_nn, "val_acc_energy_baseline": acc_energy,
+               "val_acc_augmented": acc_aug, "p_aug": p_aug}
+    log.info("VAD val acc: nn=%.4f energy=%.4f augmented=%.4f",
+             acc_nn, acc_energy, acc_aug)
     return params, metrics
 
 
@@ -143,7 +165,7 @@ def train_vad(steps: int = 600, batch: int = 32, lr: float = 1e-3,
 
 def train_segmentation(steps: int = 2500, batch: int = 16, lr: float = 3e-4,
                        seed: int = 1, n_train: int = 1536, n_val: int = 96,
-                       log_every: int = 100
+                       log_every: int = 100, p_aug: float = 0.0
                        ) -> Tuple[Dict[str, Any], Dict[str, float]]:
     import jax
     import jax.numpy as jnp
@@ -158,9 +180,12 @@ def train_segmentation(steps: int = 2500, batch: int = 16, lr: float = 3e-4,
 
     rng = np.random.default_rng(seed)
     rng_val = np.random.default_rng(20_000 + seed)
-    log.info("SEG: generating %d train / %d val windows...", n_train, n_val)
-    X, Y = _dataset_seg(rng, n_train)          # X (N, 160000), Y (N, 500, 3)
-    Xv, Yv = _dataset_seg(rng_val, n_val)
+    log.info("SEG: generating %d train / %d val windows (p_aug=%.2f)...",
+             n_train, n_val, p_aug)
+    X, Y = _dataset_seg(rng, n_train, p_aug=p_aug)  # X (N, 160000), Y (N, 500, 3)
+    Xv, Yv = _dataset_seg(rng_val, n_val)      # gate val stays clean
+    Xa, Ya = _dataset_seg(np.random.default_rng(50_000 + seed), n_val,
+                          p_aug=1.0)           # augmented robustness battery
 
     dims = SegDims()
     params = init_segmentation(dims)
@@ -216,8 +241,14 @@ def train_segmentation(steps: int = 2500, batch: int = 16, lr: float = 3e-4,
                      time.time() - t0)
 
     metrics = _seg_val_metrics(params, Xv, Yv, dims)
-    log.info("SEG val best-perm frame acc: %.4f  active-frame F1: %.4f",
-             metrics["val_frame_acc"], metrics["val_f1"])
+    aug = _seg_val_metrics(params, Xa, Ya, dims)
+    metrics["val_frame_acc_augmented"] = aug["val_frame_acc"]
+    metrics["val_f1_augmented"] = aug["val_f1"]
+    metrics["p_aug"] = p_aug
+    log.info("SEG val best-perm frame acc: %.4f  active-frame F1: %.4f  "
+             "(augmented: acc %.4f F1 %.4f)",
+             metrics["val_frame_acc"], metrics["val_f1"],
+             aug["val_frame_acc"], aug["val_f1"])
     return params, metrics
 
 
@@ -266,7 +297,7 @@ def _seg_val_metrics(params, Xv, Yv, dims) -> Dict[str, float]:
 
 def train_embedding(steps: int = 700, n_spk: int = 12, n_utt: int = 4,
                     lr: float = 3e-4, seed: int = 2, log_every: int = 50,
-                    n_batches: int = 48
+                    n_batches: int = 48, p_aug: float = 0.0
                     ) -> Tuple[Dict[str, Any], Dict[str, float]]:
     import jax
     import jax.numpy as jnp
@@ -287,8 +318,16 @@ def train_embedding(steps: int = 700, n_spk: int = 12, n_utt: int = 4,
     # (region pair accuracy 0.93 -> 0.73): tiled sub-second clips teach
     # shortcut features. Fixed 2 s utterances + tiny-cluster absorption in
     # the pipeline is the better operating point.
-    batches = [synth.embedding_batch(rng, n_spk, n_utt)[0]
-               for _ in range(n_batches)]
+    # channel augmentation applies PER UTTERANCE (each row its own random
+    # chain): the GE2E objective then demands channel-invariant speaker
+    # features — same-speaker rows under different chains must still beat
+    # different-speaker rows under the same chain.
+    batches = []
+    for _ in range(n_batches):
+        rows = synth.embedding_batch(rng, n_spk, n_utt)[0]
+        if p_aug > 0.0:
+            rows = np.stack([_maybe_augment(rng, r, p_aug) for r in rows])
+        batches.append(rows)
 
     dims = EmbDims()
     params = init_embedding(dims)
@@ -403,6 +442,9 @@ def main(argv=None) -> int:
     p.add_argument("--out", default=None,
                    help="output dir (default: whisper_aries_tpu/weights/)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--augment", type=float, default=0.0, metavar="P",
+                   help="fraction of train examples passed through the "
+                        "recording-chain augmentation (training/augment.py)")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO,
                         format="%(levelname)s %(name)s: %(message)s")
@@ -413,17 +455,20 @@ def main(argv=None) -> int:
 
     all_metrics: Dict[str, Dict[str, float]] = {}
     if args.target in ("vad", "all"):
-        params, m = train_vad(steps=args.steps or 600, seed=args.seed)
+        params, m = train_vad(steps=args.steps or 600, seed=args.seed,
+                              p_aug=args.augment)
         _save_verified(f"{out}/vad.safetensors", params)
         all_metrics["vad"] = m
     if args.target in ("segmentation", "all"):
         params, m = train_segmentation(steps=args.steps or 800,
-                                       seed=args.seed + 1)
+                                       seed=args.seed + 1,
+                                       p_aug=args.augment)
         _save_verified(f"{out}/segmentation.safetensors", params)
         all_metrics["segmentation"] = m
     if args.target in ("embedding", "all"):
         params, m = train_embedding(steps=args.steps or 700,
-                                    seed=args.seed + 2)
+                                    seed=args.seed + 2,
+                                    p_aug=args.augment)
         _save_verified(f"{out}/embedding.safetensors", params)
         all_metrics["embedding"] = m
 
