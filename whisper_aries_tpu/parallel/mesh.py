@@ -125,11 +125,20 @@ def auto_windows_per_device(
     )
     # 24 is the measured THROUGHPUT knee, not the HBM ceiling: the batch
     # sweep is non-monotonic (16->88x, 24->155x, 26->87x — ROADMAP.md) and
-    # something in the XLA schedule flips above 24, so auto-sizing anchors
-    # at the knee rather than at capacity (bf16 self-cache OOMs near 40)
+    # auto-sizing anchors at the knee rather than at capacity (bf16
+    # self-cache OOMs near 40)
     anchor_windows = 24.0 * (hbm_bytes / (16 * 1024**3))
     n = anchor_windows * anchor_cost / max(cost, 1)
     # round to a multiple of 4: friendlier XLA tiles, and window counts
     # (files tile into whole windows) pad less often against odd batches
     n = round(n / 4.0) * 4
+    # HARD CAP at the 128-row tile tier: decode is per-op-overhead-bound,
+    # and per-op cost steps up ~2x when batch*beam (the row count of every
+    # decode-step GEMM) crosses the 128-lane tile boundary — measured
+    # 24x5=120 rows -> 155x, 25x5=125 -> 149x, 26x5=130 -> 87x, and the
+    # whole >128 tier fits throughput = (batch/24)*155/2 (26->87, 32->99).
+    # Crossing the boundary is never a win until batch/24 > 2, which HBM
+    # can't hold at beam 5 — so cap rows at 128.
+    if beam_size >= 1:
+        n = min(n, (128 // beam_size // 4) * 4)
     return int(np.clip(n, 1, 56))
