@@ -50,8 +50,12 @@ def measure_engine() -> dict:
     n_tokens = int(os.environ.get("ARIES_BENCH_TOKENS", "100"))
     beam = int(os.environ.get("ARIES_BENCH_BEAM", "5"))
     reps = int(os.environ.get("ARIES_BENCH_REPS", "2"))
-    minutes = float(os.environ.get("ARIES_BENCH_MINUTES", "12"))  # 24 windows
-    # = one full auto-sized batch at large-v3 beam 5 (parallel/mesh.py)
+    # 36 min = THREE full auto-sized batches at large-v3 beam 5 (24 windows
+    # each, parallel/mesh.py) — a single batch would leave the engine's
+    # double-buffered loop nothing to overlap, so the measured RTF would be
+    # one batch's fixed host overhead (audio read, upload, parse) in full,
+    # not the steady state a long file actually sees.
+    minutes = float(os.environ.get("ARIES_BENCH_MINUTES", "36"))
     import jax
 
     backend = jax.default_backend()

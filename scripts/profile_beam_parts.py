@@ -98,7 +98,7 @@ timeit("log_softmax (B*K,V)", lambda: fetch(lsm_scan(logits0)[0, :1]))
 def topk_scan(x):
     def body(c, _):
         v, i = jax.lax.top_k(c.reshape(B, K * V), K)
-        c = c.at[jnp.arange(B)[:, None] * 0, 0].add(v * 1e-9)
+        c = c.at[:B, :K].add(v * 1e-9)
         return c, i[0, 0]
 
     y, idx = jax.lax.scan(body, x, None, length=N)
@@ -106,6 +106,47 @@ def topk_scan(x):
 
 
 timeit("top_k(K) over (B,K*V)", lambda: fetch(topk_scan(logits0)[:1]))
+
+
+# --- C2: per-row top_k(K) over (B*K, V) — the union-top-K equivalent ---
+@jax.jit
+def topk_rows_scan(x):
+    def body(c, _):
+        v, i = jax.lax.top_k(c, K)          # (B*K, K)
+        c = c.at[:, :K].add(v * 1e-9)
+        return c, i[0, 0]
+
+    y, idx = jax.lax.scan(body, x, None, length=N)
+    return idx
+
+
+timeit("top_k(K) over rows (B*K,V)", lambda: fetch(topk_rows_scan(logits0)[:1]))
+
+
+# --- C3: identity-src cond permute — does lax.cond COPY the cache? ---
+ident = jnp.arange(B * K, dtype=jnp.int32)
+
+
+@jax.jit
+def cond_identity_scan(cache):
+    def permute_all(c):
+        perm = jax.nn.one_hot(ident, B * K, dtype=jnp.bfloat16)
+        return {k: jnp.einsum("oi,li...->lo...", perm.astype(v.dtype), v,
+                              preferred_element_type=jnp.float32
+                              ).astype(v.dtype)
+                for k, v in c.items()}
+
+    def body(c, _):
+        is_id = jnp.all(ident == jnp.arange(B * K))  # always True
+        c = jax.lax.cond(is_id, lambda x: x, permute_all, c)
+        return c, ()
+
+    c, _ = jax.lax.scan(body, cache, None, length=N)
+    return c
+
+
+timeit("cond(identity) cache no-op",
+       lambda: fetch(cond_identity_scan(cache)["k"][0, 0, 0, 0, :1]))
 
 
 # --- D: one-hot cache permute (both k and v buffers), always ---
@@ -131,7 +172,94 @@ timeit("cache permute (always)",
        lambda: fetch(permute_scan(cache)["k"][0, 0, 0, 0, :1]))
 
 
+# --- C4: manual 5-pass argmax top-k over (B, K*V) ---
+@jax.jit
+def topk_manual_scan(x):
+    def body(c, _):
+        flat = c.reshape(B, K * V)
+        idxs = []
+        vals = []
+        for _k in range(K):
+            i = jnp.argmax(flat, axis=-1)
+            v = jnp.take_along_axis(flat, i[:, None], axis=1)[:, 0]
+            flat = flat.at[jnp.arange(B), i].set(-jnp.inf)
+            idxs.append(i)
+            vals.append(v)
+        c = c.at[:B, :K].add(jnp.stack(vals, 1) * 1e-9)
+        return c, jnp.stack(idxs, 1)[0, 0]
+
+    y, idx = jax.lax.scan(body, x, None, length=N)
+    return idx
+
+
+timeit("top_k manual 5-argmax", lambda: fetch(topk_manual_scan(logits0)[:1]))
+
+
+# --- C5: approx_max_k at recall 1.0 and 0.95 ---
+for recall in (1.0, 0.95):
+    @jax.jit
+    def topk_approx_scan(x, r=recall):
+        def body(c, _):
+            v, i = jax.lax.approx_max_k(
+                c.reshape(B, K * V), K, recall_target=r,
+                aggregate_to_topk=True,
+            )
+            c = c.at[:B, :K].add(v * 1e-9)
+            return c, i[0, 0]
+
+        y, idx = jax.lax.scan(body, x, None, length=N)
+        return idx
+
+    timeit(f"approx_max_k recall={recall}",
+           lambda f=topk_approx_scan: fetch(f(logits0)[:1]))
+
+
+# --- D2: BLOCK-DIAGONAL cache permute: per-window (B, K, K) one-hot ---
+src_k = jnp.asarray(rng.integers(0, K, (B, K)).astype(np.int32))
+
+
+@jax.jit
+def permute_blocked_scan(cache):
+    def body(c, _):
+        perm = jax.nn.one_hot(src_k, K, dtype=jnp.bfloat16)  # (B, K, K)
+        out = {}
+        for key in sorted(c.keys()):
+            x = c[key]
+            Lx = x.shape[0]
+            xb = x.reshape(Lx, B, K, *x.shape[2:])
+            y = jnp.einsum("bok,lbk...->lbo...", perm.astype(x.dtype), xb,
+                           preferred_element_type=jnp.float32)
+            out[key] = y.astype(x.dtype).reshape(x.shape)
+        return out, ()
+
+    c, _ = jax.lax.scan(body, cache, None, length=N)
+    return c
+
+
+timeit("cache permute (blocked BxKxK)",
+       lambda: fetch(permute_blocked_scan(cache)["k"][0, 0, 0, 0, :1]))
+
+
+# --- D3: Pallas DMA row-permute (ops/pallas_beam_reorder.py) ---
+from whisper_aries_tpu.ops.pallas_beam_reorder import permute_cache_rows
+
+
+@jax.jit
+def permute_pallas_scan(cache, src_bk):
+    def body(c, _):
+        return permute_cache_rows(c, src_bk), ()
+
+    c, _ = jax.lax.scan(body, cache, None, length=N)
+    return c
+
+
+src_bk = jnp.asarray(rng.integers(0, K, (B, K)).astype(np.int32))
+timeit("cache permute (pallas DMA)",
+       lambda: fetch(permute_pallas_scan(cache, src_bk)["k"][0, 0, 0, 0, :1]))
+
+
 # --- E: full beam body step via beam_search_decode at two token counts ---
+del cache  # free the probe cache (2x1.26 GB) before the full-beam HBM bill
 ids = G.DecodeSpecialIds(
     eot=50257, sot=50258, no_speech=50362, no_timestamps=50363,
     timestamp_begin=50364, blank=220, n_vocab=V)

@@ -303,6 +303,26 @@ def test_compression_ratio_flags_loops():
     assert q3["is_silence"]
 
 
+def test_window_quality_none_thresholds_disable_gates():
+    """faster-whisper option contract: a None threshold disables that
+    gate (must not raise on float-vs-None comparison)."""
+    looped = "the same thing " * 50
+    q = window_quality(looped, avg_logprob=-9.0, no_speech_prob=0.99,
+                       log_prob_threshold=None,
+                       compression_ratio_threshold=None,
+                       no_speech_threshold=None)
+    assert not q["needs_fallback"] and not q["is_silence"]
+    # no_speech gate alone (lp gate off): silence decided purely by prob
+    q2 = window_quality("", avg_logprob=5.0, no_speech_prob=0.9,
+                        log_prob_threshold=None,
+                        no_speech_threshold=0.6)
+    assert q2["is_silence"]
+    # lp rescue still applies when both set
+    q3 = window_quality("", avg_logprob=-0.1, no_speech_prob=0.9,
+                        log_prob_threshold=-1.0, no_speech_threshold=0.6)
+    assert not q3["is_silence"]
+
+
 def test_repetition_penalty_filter_math():
     logits = np.array([[2.0, -1.0, 0.5, 3.0]], np.float32)
     present = np.array([[True, True, False, False]])
@@ -548,3 +568,92 @@ def test_beam_cache_permute_matches_gather():
         got = permute_rows(arr, perm)
         assert got.dtype == arr.dtype
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_pallas_beam_reorder_matches_gather():
+    """The Pallas DMA row-permute (ops/pallas_beam_reorder.py) must equal
+    jnp.take over the equivalent flat row map for every cache dtype
+    (bf16/f32 values, int8 + f32 scales). Interpret mode on CPU; the same
+    kernel compiles on TPU where it replaces the one-hot matmul."""
+    import jax.numpy as jnp
+
+    from whisper_aries_tpu.ops.pallas_beam_reorder import permute_cache_rows
+
+    rng = np.random.default_rng(1)
+    B, K = 3, 5
+    src = rng.integers(0, K, (B, K)).astype(np.int32)
+    flat_src = (np.arange(B)[:, None] * K + src).reshape(-1)
+
+    cache = {
+        "k8": jnp.asarray(
+            rng.integers(-127, 128, (4, B * K, 2, 8, 16)).astype(np.int8)),
+        "ks": jnp.asarray(
+            rng.standard_normal((4, B * K, 2, 1, 16)).astype(np.float32)),
+        "v": jnp.asarray(
+            rng.standard_normal((4, B * K, 2, 8, 16))).astype(jnp.bfloat16),
+    }
+    got = permute_cache_rows(cache, jnp.asarray(src), interpret=True)
+    for key, arr in cache.items():
+        want = jnp.take(arr, jnp.asarray(flat_src), axis=1)
+        assert got[key].dtype == arr.dtype
+        np.testing.assert_array_equal(np.asarray(got[key]), np.asarray(want))
+
+
+def test_top_k_unrolled_matches_lax_top_k():
+    """_top_k_unrolled (k argmax passes) must match lax.top_k exactly,
+    including NEG_INF-padded rows and tie handling (lower index first)."""
+    import jax
+    import jax.numpy as jnp
+
+    from whisper_aries_tpu.decoding.generate import NEG_INF, _top_k_unrolled
+
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((6, 997)).astype(np.float32)
+    x[0, :] = NEG_INF                      # fully dead row
+    x[1, 100:] = NEG_INF                   # partially dead row
+    x[2, 10] = x[2, 20] = x[2, 30] = 7.5   # exact ties
+    xj = jnp.asarray(x)
+    want_v, want_i = jax.lax.top_k(xj, 5)
+    got_v, got_i = _top_k_unrolled(xj, 5)
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+
+
+@pytest.mark.parametrize("self_kv_int8", [False, True])
+def test_beam_ancestry_reorder_parity(tiny_pair, self_kv_int8):
+    """beam_reorder="ancestry" (append-only cache + lazy ancestry-masked
+    attention, decoder_step's beam_anc) must reproduce the permute-mode
+    decode: same tokens and scores for both cache layouts, including a
+    left-padded prompt (valid_start interaction with the ancestry mask)."""
+    _, dims, params, mel = tiny_pair
+    xa = W.encode(params, jnp.asarray(mel), dims)
+    ids = _tiny_ids(dims)
+    common = dict(beam_size=4, sample_len=8, with_timestamps=False,
+                  length_penalty=0.0, suppress_blank=False,
+                  self_kv_int8=self_kv_int8)
+    for prompt, start in (
+        (jnp.full((2, 1), 3, jnp.int32), jnp.int32(0)),
+        (jnp.asarray([[-1, -1, 5, 3], [-1, -1, 7, 3]], jnp.int32),
+         jnp.int32(2)),
+    ):
+        base = G.beam_search_decode(
+            params, xa, prompt, dims, ids,
+            jnp.zeros((dims.n_vocab,), jnp.float32), jnp.int32(1),
+            prompt_start=start, beam_reorder="xla", **common,
+        )
+        anc = G.beam_search_decode(
+            params, xa, prompt, dims, ids,
+            jnp.zeros((dims.n_vocab,), jnp.float32), jnp.int32(1),
+            prompt_start=start, beam_reorder="ancestry", **common,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(base["tokens"]), np.asarray(anc["tokens"])
+        )
+        np.testing.assert_allclose(
+            np.asarray(base["sum_logprob"]),
+            np.asarray(anc["sum_logprob"]), rtol=1e-4, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(base["no_speech_prob"]),
+            np.asarray(anc["no_speech_prob"]), rtol=1e-5, atol=1e-6,
+        )

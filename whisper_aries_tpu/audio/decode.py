@@ -131,6 +131,45 @@ def _resample_numpy(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
 # Public API
 # ---------------------------------------------------------------------------
 
+def peek_wav_s16_mono(data: bytes, sample_rate: int = SAMPLE_RATE
+                      ) -> Optional[np.ndarray]:
+    """Raw int16 samples when ``data`` is a plain PCM16 MONO WAV already at
+    ``sample_rate`` — else None.
+
+    Fast path for the engine's 16-bit device upload (pipeline/engine.py
+    ``_upload_audio``): the reference's own ingest contract is pcm_s16le
+    (reference utils.py:107-123), so the dominant input is a buffer we can
+    hand to the device verbatim instead of decoding to float32 and
+    re-quantizing the whole file back to int16 (two extra full-file passes
+    on the host).
+    """
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    pos = 12
+    fmt = None
+    pcm = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        if cid == b"fmt " and size >= 16:
+            body = data[pos + 8 : pos + 8 + size]
+            tag = int.from_bytes(body[0:2], "little")
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if tag == 0xFFFE and len(body) >= 40:
+                tag = int.from_bytes(body[24:26], "little")
+            fmt = (tag, channels, rate, bits)
+        elif cid == b"data":
+            pcm = (pos + 8, size)
+        pos += 8 + size + (size & 1)
+    if fmt != (1, 1, sample_rate, 16) or pcm is None:
+        return None
+    off, size = pcm
+    size = min(size, len(data) - off) & ~1
+    return np.frombuffer(data, dtype="<i2", count=size // 2, offset=off)
+
+
 def decode_wav_bytes(data: bytes) -> Tuple[np.ndarray, int]:
     """WAV bytes -> (mono float32, sample_rate); native fast path first."""
     from whisper_aries_tpu.audio import _native
@@ -279,7 +318,22 @@ class AudioPreloader:
     def __init__(self, path: str, sample_rate: int = SAMPLE_RATE):
         self.path = path
         self.sample_rate = sample_rate
-        self.audio = load_audio(path, sample_rate)
+        #: raw int16 samples when the source is already PCM16 mono at the
+        #: target rate (the reference's pcm_s16le ingest contract) — lets
+        #: the engine upload the file verbatim (see _upload_audio)
+        self.audio_i16: Optional[np.ndarray] = None
+        if Path(path).suffix.lower() == ".wav":
+            try:
+                self.audio_i16 = peek_wav_s16_mono(
+                    Path(path).read_bytes(), sample_rate
+                )
+            except OSError:
+                pass
+        if self.audio_i16 is not None:
+            # same float contract as load_audio's s16 branch (x / 32768)
+            self.audio = self.audio_i16.astype(np.float32) / 32768.0
+        else:
+            self.audio = load_audio(path, sample_rate)
         self.duration = len(self.audio) / sample_rate
 
     def get_chunk(self, start_sec: float, end_sec: float) -> np.ndarray:

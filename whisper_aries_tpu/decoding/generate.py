@@ -117,6 +117,29 @@ def ngram_banned_mask(tokens: jax.Array, pos: jax.Array, n: int,
     return counts > 0
 
 
+def _top_k_unrolled(flat: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
+    """Exact descending top-k over the last axis as k argmax+mask passes.
+
+    ``jax.lax.top_k`` over the beam expansion's (B, K*V) candidates lowers
+    to a sort-based program measured at 8.4 ms/step on TPU (21% of the
+    whole beam step, scripts/profile_beam_parts.py); k unrolled argmax
+    passes over the same tensor measure 0.87 ms. Ties resolve to the lower
+    index in both (argmax picks the first maximum); picked entries are
+    masked to -inf (strictly below the NEG_INF = f32-min padding), so
+    results are identical to lax.top_k for every row with at least k
+    entries above -inf — always true in the beam loop, where each live
+    beam contributes a full vocab of finite logprobs.
+    """
+    rows = jnp.arange(flat.shape[0])
+    vals, idxs = [], []
+    for _ in range(k):
+        i = jnp.argmax(flat, axis=-1)
+        vals.append(jnp.take_along_axis(flat, i[:, None], axis=1)[:, 0])
+        idxs.append(i)
+        flat = flat.at[rows, i].set(-jnp.inf)
+    return jnp.stack(vals, axis=1), jnp.stack(idxs, axis=1).astype(jnp.int32)
+
+
 def _apply_filters(
     logits: jax.Array,          # (B, V) float32
     ids: DecodeSpecialIds,
@@ -170,12 +193,15 @@ def _apply_filters(
     logits = jnp.where(is_first_sample & (vocab_idx < tsb), NEG_INF, logits)
     logits = jnp.where(is_first_sample & (vocab_idx > init_cap), NEG_INF, logits)
 
-    # if total timestamp probability beats every text token, force a timestamp
-    logprobs = jax.nn.log_softmax(logits, axis=-1)
+    # if total timestamp probability beats every text token, force a
+    # timestamp. The comparison is shift-invariant (log_softmax subtracts
+    # the same logsumexp Z from both sides), so it runs on RAW logits — no
+    # (B, V) log_softmax materialised here (one ~0.7 ms full-vocab pass per
+    # decode step on TPU, measured by scripts/profile_beam_parts.py).
     ts_lp = jax.nn.logsumexp(
-        jnp.where(ts_region, logprobs, NEG_INF), axis=-1
+        jnp.where(ts_region, logits, NEG_INF), axis=-1
     )
-    max_text_lp = jnp.max(jnp.where(ts_region, NEG_INF, logprobs), axis=-1)
+    max_text_lp = jnp.max(jnp.where(ts_region, NEG_INF, logits), axis=-1)
     force_ts = ts_lp > max_text_lp
     logits = jnp.where(force_ts[:, None] & ~ts_region, NEG_INF, logits)
     return logits
@@ -376,6 +402,9 @@ class BeamState(NamedTuple):
     fin_scores: jax.Array    # (B, C) sum logprob (NEG_INF = empty slot)
     fin_count: jax.Array     # (B,) int32
     present: Any             # (B, K, V) bool or None (repetition penalty)
+    anc: Any                 # (B, K, L) int32 ancestry table (lazy reorder
+                             # mode: cache row holding beam k's position t)
+                             # or None (permute mode)
 
 
 @functools.partial(
@@ -420,9 +449,20 @@ def beam_search_decode(
     ``repetition_penalty`` tracks per-beam produced-token presence;
     ``no_repeat_ngram_size`` bans n-gram repeats inside each beam.
 
-    ``beam_reorder`` (static; A/B debug knob): None/"default" skips the
-    cache permute on identity steps via lax.cond, "always" permutes every
-    step, "nobarrier" drops the per-buffer sequencing barriers. When None,
+    ``beam_reorder`` (static; A/B debug knob): "ancestry" never touches
+    the cache — rows are append-only and a (B, K, L) ancestry table
+    reorders lazily inside attention (decoder_step's ``beam_anc``; same
+    HBM bytes, zero permute — but measured 113x vs 188.7x on TPU with the
+    row-major (.., B*K, H, dh, T) cache: the cross-row einsum's rhs wants
+    (w, h, d, j, t) so XLA transposes the full cache every layer; a
+    K-minor cache layout is the fix, see ROADMAP). None/"default"/"xla"
+    skips the cache
+    permute on identity steps via lax.cond and permutes with the one-hot
+    matmul, "pallas" uses the Pallas row-DMA kernel (measured SLOWER
+    end-to-end: 92.3x vs 188.5x bench — its grid of L*B*K tiny programs
+    pays per-program launch overhead that dwarfs the matmul's wasted
+    FLOPs; kept as a probe), "always" permutes every step, "nobarrier"
+    drops the per-buffer sequencing barriers. When None,
     the ARIES_BEAM_REORDER env var is consulted ONCE at trace time (the jit
     cache keys on the static arg, not the env) — callers who want the knob
     live must read the env themselves and pass it here (engine does).
@@ -431,6 +471,7 @@ def beam_search_decode(
         import os as _os_knob
 
         beam_reorder = _os_knob.environ.get("ARIES_BEAM_REORDER", "default")
+    use_ancestry = beam_reorder == "ancestry"
     B, P = prompt.shape
     K = beam_size
     L = P + sample_len
@@ -480,6 +521,9 @@ def beam_search_decode(
         fin_count=jnp.zeros((B,), jnp.int32),
         present=(jnp.zeros((B, K, V), bool)
                  if repetition_penalty is not None else None),
+        anc=(jnp.tile(jnp.arange(K, dtype=jnp.int32)[None, :, None],
+                      (B, 1, L))
+             if use_ancestry else None),
     )
 
     first_logits = logits_p[:, -1]  # (B*K, V)
@@ -511,7 +555,7 @@ def beam_search_decode(
         # expansion and keep the round-1-cost top_k(K) for the live refill.
         eot_scores = total[:, :, ids.eot]  # (B, K)
         flat = total.at[:, :, ids.eot].set(NEG_INF).reshape(B, K * V)
-        live_score, top_idx = jax.lax.top_k(flat, K)  # (B, K)
+        live_score, top_idx = _top_k_unrolled(flat, K)  # (B, K)
         live_src = top_idx // V
         next_tok = (top_idx % V).astype(jnp.int32)
 
@@ -555,21 +599,35 @@ def beam_search_decode(
             present = present.at[b_rows, k_rows, next_tok].set(True)
 
         # Reorder the KV cache: flat index b*K + live_src, applied as a
-        # ONE-HOT PERMUTATION MATMUL over the row axis instead of a
-        # gather — jnp.take on axis 1 of the (L, B*K, H, dh, T) buffers
-        # measured 53 ms/step on TPU where the MXU permute runs the same
-        # bytes 1.4x faster (and gathers poorly overlap the grid). The
-        # barrier chain still SEQUENCES per-buffer permutes so no two
-        # permute outputs are live together — each transient dies before
-        # the next runs, shaving ~1x cache buffer off peak HBM (the beam
-        # batch limiter). Works for both cache layouts (bf16 k/v, int8
+        # ONE-HOT PERMUTATION MATMUL over the row axis. Measured history
+        # (scripts/profile_beam_parts.py + bench.py A/B): jnp.take gather
+        # 53 ms/step; one-hot matmul 14.2 ms (the ~150 GFLOP of
+        # multiply-by-zero ride the MXU at full bandwidth); Pallas row-DMA
+        # kernel (ops/pallas_beam_reorder.py) ~4 ms in isolation but a
+        # REGRESSION end-to-end (bench 92.3x vs 188.5x) — its L*B*K tiny
+        # program launches serialize against the step's other work. The
+        # kernel stays behind ARIES_BEAM_REORDER=pallas as a probe. The
+        # barrier chain SEQUENCES per-buffer permutes so no two permute
+        # outputs are live together — each transient dies before the next
+        # runs, shaving ~1x cache buffer off peak HBM (the beam batch
+        # limiter). One-hot works for both cache layouts (bf16 k/v, int8
         # quad; int8 values permute exactly under a 0/1 matrix).
         flat_src = (jnp.arange(B)[:, None] * K + live_src).reshape(-1)
+        use_pallas_reorder = (
+            jax.default_backend() == "tpu" and beam_reorder == "pallas"
+        )
 
         def permute_rows(x: jax.Array, p: jax.Array) -> jax.Array:
-            # int8 values (<=127) are exact in bf16; float buffers keep
-            # their own dtype (f32 scales must not round through bf16 —
-            # a one-hot product with f32 accumulation is bit-exact)
+            if use_pallas_reorder:
+                from whisper_aries_tpu.ops.pallas_beam_reorder import (
+                    _permute_leaf,
+                )
+
+                return _permute_leaf(x, live_src)
+            # XLA fallback: one-hot permutation matmul over the flat row
+            # axis. int8 values (<=127) are exact in bf16; float buffers
+            # keep their own dtype (f32 scales must not round through
+            # bf16 — a one-hot product with f32 accumulation is bit-exact)
             if jnp.issubdtype(x.dtype, jnp.integer):
                 y = jnp.einsum("oi,li...->lo...", p, x.astype(jnp.bfloat16),
                                preferred_element_type=jnp.float32)
@@ -599,16 +657,34 @@ def beam_search_decode(
                 prev_key = key
             return out
 
+        if use_ancestry:
+            # LAZY reorder: the cache is append-only; only the tiny
+            # (B, K, L) ancestry table reorders. Position state.pos-1 was
+            # written by this step's decoder_step to each beam's own row
+            # (identity); the forked beam k' inherits the full table of
+            # its source beam.
+            new_cache = state.cache
+            ident = jnp.broadcast_to(
+                jnp.arange(K, dtype=jnp.int32)[None, :, None], (B, K, 1)
+            )
+            anc_ext = jax.lax.dynamic_update_slice(
+                state.anc, ident, (0, 0, state.pos - 1)
+            )
+            new_anc = jnp.take_along_axis(
+                anc_ext, live_src[:, :, None], axis=1
+            )
         # beams frequently keep their own history (late decode steps in
         # particular) — skip the multi-GB cache permute entirely on those
         # steps. beam_reorder="always" disables the skip (A/B debug knob).
-        if beam_reorder == "always":
+        elif beam_reorder == "always":
             new_cache = permute_all(state.cache)
+            new_anc = None
         else:
             is_identity = jnp.all(live_src == jnp.arange(K)[None, :])
             new_cache = jax.lax.cond(
                 is_identity, lambda c: c, permute_all, state.cache
             )
+            new_anc = None
 
         return BeamState(
             tokens=tokens, pos=state.pos + 1,
@@ -619,6 +695,7 @@ def beam_search_decode(
             max_ts_tok=new_max_ts,
             fin_tokens=fin_tokens, fin_scores=fin_scores, fin_count=fin_count,
             present=present,
+            anc=new_anc,
         )
 
     state = expand(state, first_logits)
@@ -634,6 +711,7 @@ def beam_search_decode(
             params, tok_in, state.pos - 1,
             state.cache, cross_kv, dims,
             valid_start=prompt_start,
+            beam_anc=state.anc,
         )
         state = state._replace(cache=cache)
         return expand(state, logits[:, 0])

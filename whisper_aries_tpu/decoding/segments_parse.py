@@ -93,18 +93,30 @@ def window_quality(
     text: str,
     avg_logprob: float,
     no_speech_prob: float,
-    log_prob_threshold: float = -1.0,
-    compression_ratio_threshold: float = 2.4,
-    no_speech_threshold: float = 0.6,
+    log_prob_threshold: Optional[float] = -1.0,
+    compression_ratio_threshold: Optional[float] = 2.4,
+    no_speech_threshold: Optional[float] = 0.6,
 ) -> Dict[str, Any]:
     """faster-whisper's fallback policy inputs: did this window's decode pass
-    the quality gates, and should it be treated as silence?"""
+    the quality gates, and should it be treated as silence?
+
+    Any threshold may be None = that gate is DISABLED, matching the
+    faster-whisper option contract (its transcribe() accepts
+    compression_ratio_threshold/log_prob_threshold/no_speech_threshold as
+    Optional and skips the corresponding check when None — the reference
+    passes these straight through, final_optimized_transcriber.py:310-319).
+    """
     cr = compression_ratio(text)
     needs_fallback = (
-        cr > compression_ratio_threshold or avg_logprob < log_prob_threshold
+        (compression_ratio_threshold is not None
+         and cr > compression_ratio_threshold)
+        or (log_prob_threshold is not None
+            and avg_logprob < log_prob_threshold)
     )
     is_silence = (
-        no_speech_prob > no_speech_threshold and avg_logprob < log_prob_threshold
+        no_speech_threshold is not None
+        and no_speech_prob > no_speech_threshold
+        and (log_prob_threshold is None or avg_logprob < log_prob_threshold)
     )
     return {
         "compression_ratio": cr,

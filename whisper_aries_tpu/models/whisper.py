@@ -778,6 +778,7 @@ def decoder_step(
     cross_kv: Dict[str, jax.Array],
     dims: WhisperDims,
     valid_start: Optional[jax.Array] = None,
+    beam_anc: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """One KV-cached decoder call (prefill S>1 or step S=1).
 
@@ -787,6 +788,18 @@ def decoder_step(
     the padded decode is bit-identical to the unpadded one (single compiled
     program for all prompt lengths; tests/test_decode.py
     ::test_left_padded_prompt_exact_parity).
+
+    ``beam_anc`` (S==1 only): (Bw, K, Tmax) int32 ancestry table for LAZY
+    beam reorder, where B == Bw*K and rows are window-major. When given,
+    the KV cache is treated as APPEND-ONLY (the beam loop never permutes
+    it); self-attention instead computes dots against all K rows of the
+    query's window and masks with the ancestry table: position t of
+    logical beam k lives in physical row beam_anc[w, k, t] (t < pos), and
+    position pos (written by this very call) in row k itself. Each cache
+    row is still streamed from HBM exactly once per step (the window's K
+    queries share one batched GEMM), so this costs K x the attention MACs
+    (negligible — M=K=5 vs M=1 GEMMs) but ZERO extra bandwidth, and it
+    deletes the multi-GB cache permute from the beam loop entirely.
 
     Returns (logits (B, S, n_vocab) f32, updated cache).
     """
@@ -821,6 +834,22 @@ def decoder_step(
     new_cache = dict(cache)
     maskf = jnp.where(mask, 0.0, neg).astype(jnp.float32)[None, None]
 
+    anc_maskf = None
+    if beam_anc is not None:
+        assert S == 1, "ancestry-masked attention is a single-step path"
+        Bw, Kb, _ = beam_anc.shape
+        # (Bw, K, K, Tmax) additive mask, shared by all layers and heads:
+        # row j holds logical beam k's KV at position t iff the ancestry
+        # table says so (t < pos) or t == pos and j == k (decoder_step
+        # writes the current token's KV to the beam's own row).
+        j_idx = jnp.arange(Kb, dtype=jnp.int32)[None, None, :, None]
+        k_idx = jnp.arange(Kb, dtype=jnp.int32)[None, :, None, None]
+        t_idx = key_idx[None, None, None, :]
+        own = (t_idx == pos) & (k_idx == j_idx)
+        hist = (t_idx < pos) & (beam_anc[:, :, None, :] == j_idx)
+        valid = (own | hist) & (t_idx >= vs)
+        anc_maskf = jnp.where(valid, 0.0, neg).astype(jnp.float32)
+
     def layer_slice(tree, l):
         return jax.tree.map(lambda a: a[l], tree)
 
@@ -844,31 +873,65 @@ def decoder_step(
             for key, slab in (("k8", k8s), ("ks", kss),
                               ("v8", v8s), ("vs", vss)):
                 write_slab(key, slab, l)
-            args = (q, new_cache["k8"][l], new_cache["ks"][l],
-                    new_cache["v8"][l], new_cache["vs"][l], maskf)
-            if S == 1:
-                from whisper_aries_tpu.ops.pallas_self_attn import (
-                    self_attention_q8_auto,
-                )
+            if anc_maskf is not None:
+                # ancestry attention over the window's K rows, dequant
+                # fused into the dots (same math as the q8 reference)
+                kc8 = new_cache["k8"][l].reshape(Bw, Kb, n_head, dh, Tmax)
+                ksw = new_cache["ks"][l].reshape(Bw, Kb, n_head, 1, Tmax)
+                vc8 = new_cache["v8"][l].reshape(Bw, Kb, n_head, dh, Tmax)
+                vsw = new_cache["vs"][l].reshape(Bw, Kb, n_head, 1, Tmax)
+                qw = q.reshape(Bw, Kb, n_head, dh).astype(jnp.float32)
+                lg = jnp.einsum("wkhd,wjhdt->wkhjt", qw,
+                                kc8.astype(jnp.float32))
+                lg = (lg * jnp.swapaxes(ksw, 1, 2)[:, None, :, :, 0, :]
+                      + anc_maskf[:, :, None, :, :])
+                pr = jax.nn.softmax(
+                    lg.reshape(Bw, Kb, n_head, Kb * Tmax), axis=-1
+                ).reshape(Bw, Kb, n_head, Kb, Tmax)
+                pr = pr * jnp.swapaxes(vsw, 1, 2)[:, None, :, :, 0, :]
+                att = jnp.einsum("wkhjt,wjhdt->wkhd", pr,
+                                 vc8.astype(jnp.float32))
+                att = att.reshape(B, n_head, 1, dh)
+            else:
+                args = (q, new_cache["k8"][l], new_cache["ks"][l],
+                        new_cache["v8"][l], new_cache["vs"][l], maskf)
+                if S == 1:
+                    from whisper_aries_tpu.ops.pallas_self_attn import (
+                        self_attention_q8_auto,
+                    )
 
-                att = self_attention_q8_auto(*args)      # (B, H, 1, dh)
-            else:  # prefill: once per window, XLA path handles (S, T) masks
-                from whisper_aries_tpu.ops.pallas_self_attn import (
-                    self_attention_q8_reference,
-                )
+                    att = self_attention_q8_auto(*args)   # (B, H, 1, dh)
+                else:  # prefill: once/window, XLA path handles (S,T) masks
+                    from whisper_aries_tpu.ops.pallas_self_attn import (
+                        self_attention_q8_reference,
+                    )
 
-                att = self_attention_q8_reference(*args)
+                    att = self_attention_q8_reference(*args)
         else:
             # write time-minor (B, H, dh, S) slabs at [l, .., pos:pos+S]
             write_slab("k", k.transpose(0, 2, 3, 1), l)
             write_slab("v", v.transpose(0, 2, 3, 1), l)
-            logits = jnp.einsum(
-                "bhsd,bhdt->bhst", q * (dh ** -0.5), new_cache["k"][l],
-                preferred_element_type=jnp.float32)
-            logits = logits + maskf
-            probs = jax.nn.softmax(logits, axis=-1).astype(
-                new_cache["v"].dtype)
-            att = jnp.einsum("bhst,bhdt->bhsd", probs, new_cache["v"][l])
+            if anc_maskf is not None:
+                kc = new_cache["k"][l].reshape(Bw, Kb, n_head, dh, Tmax)
+                vc = new_cache["v"][l].reshape(Bw, Kb, n_head, dh, Tmax)
+                qw = (q * (dh ** -0.5)).reshape(Bw, Kb, n_head, dh)
+                lg = jnp.einsum("wkhd,wjhdt->wkhjt", qw, kc,
+                                preferred_element_type=jnp.float32)
+                lg = lg + anc_maskf[:, :, None, :, :]
+                pr = jax.nn.softmax(
+                    lg.reshape(Bw, Kb, n_head, Kb * Tmax), axis=-1
+                ).reshape(Bw, Kb, n_head, Kb, Tmax).astype(kc.dtype)
+                att = jnp.einsum("wkhjt,wjhdt->wkhd", pr, vc)
+                att = att.reshape(B, n_head, 1, dh)
+            else:
+                logits = jnp.einsum(
+                    "bhsd,bhdt->bhst", q * (dh ** -0.5), new_cache["k"][l],
+                    preferred_element_type=jnp.float32)
+                logits = logits + maskf
+                probs = jax.nn.softmax(logits, axis=-1).astype(
+                    new_cache["v"].dtype)
+                att = jnp.einsum("bhst,bhdt->bhsd", probs,
+                                 new_cache["v"][l])
         x = x + dense(p["attn"]["o"], _merge_heads(att).astype(x.dtype))
 
         h = layer_norm(p["ln_cross"], x)

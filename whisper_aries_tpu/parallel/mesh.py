@@ -141,4 +141,16 @@ def auto_windows_per_device(
     # can't hold at beam 5 — so cap rows at 128.
     if beam_size >= 1:
         n = min(n, (128 // beam_size // 4) * 4)
+    try:
+        import jax
+
+        if jax.default_backend() == "cpu":
+            # CPU is the functional/test backend, usually 8 virtual
+            # devices on one core: XLA:CPU compile time scales with the
+            # padded batch (a 320-window program takes >10 min to build
+            # for a 2-window file), and its "bytes_limit" is host RAM, so
+            # the HBM anchor is meaningless there anyway.
+            n = min(n, 2)
+    except Exception:
+        pass
     return int(np.clip(n, 1, 56))

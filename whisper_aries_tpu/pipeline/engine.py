@@ -373,13 +373,20 @@ class AriesTranscriber:
     SHORT_WINDOW_SAMPLES = 256_000  # 16 s @ 16 kHz
     SHORT_WINDOW_S = 16.0
 
-    def _upload_audio(self, audio: np.ndarray) -> jax.Array:
+    def _upload_audio(self, audio: np.ndarray,
+                      audio_i16: Optional[np.ndarray] = None) -> jax.Array:
         # 16-bit wire fidelity matches the reference exactly: its pipeline
         # ingests via ffmpeg pcm_s16le extraction (utils.py:107-123), so
-        # every sample it ever decoded was 16-bit.
-        a16 = np.clip(np.asarray(audio, np.float32) * 32767.0,
-                      -32768, 32767).astype(np.int16)
-        a16 = np.pad(a16, (0, self.WINDOW_SAMPLES))  # windows may overhang
+        # every sample it ever decoded was 16-bit. When the source was a
+        # PCM16 WAV the preloader hands back its raw samples and the whole
+        # quantize pass (3 full-file host passes) is skipped — bit-exact,
+        # because round(clip(s/32768 * 32768)) == s and the device gather
+        # divides by the same 32768.
+        if audio_i16 is None:
+            audio_i16 = np.clip(
+                np.asarray(audio, np.float32) * 32768.0, -32768, 32767
+            ).astype(np.int16)
+        a16 = np.pad(audio_i16, (0, self.WINDOW_SAMPLES))  # windows overhang
         return jax.device_put(a16)
 
     def _gather_windows(self, audio_dev: jax.Array, starts: np.ndarray,
@@ -398,7 +405,7 @@ class AriesTranscriber:
             def gather(audio16, starts_j, lengths_j):
                 def one(s, l):
                     w = jax.lax.dynamic_slice(audio16, (s,), (WIN,))
-                    w = w.astype(jnp.float32) * (1.0 / 32767.0)
+                    w = w.astype(jnp.float32) * (1.0 / 32768.0)
                     return jnp.where(jnp.arange(WIN) < l, w, 0.0)
 
                 return jax.vmap(one)(starts_j, lengths_j)
@@ -716,7 +723,8 @@ class AriesTranscriber:
 
         if windows:
             # one int16 upload of the whole file; windows gather on device
-            audio_dev = self._upload_audio(pre.audio)
+            audio_dev = self._upload_audio(pre.audio,
+                                           getattr(pre, "audio_i16", None))
 
             # language detection on the first window if not specified
             if language is None:
