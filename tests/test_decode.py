@@ -631,19 +631,22 @@ def test_beam_ancestry_reorder_parity(tiny_pair, self_kv_int8):
     common = dict(beam_size=4, sample_len=8, with_timestamps=False,
                   length_penalty=0.0, suppress_blank=False,
                   self_kv_int8=self_kv_int8)
-    for prompt, start in (
-        (jnp.full((2, 1), 3, jnp.int32), jnp.int32(0)),
+    # sot_index must point at a REAL position: logits at left-padding
+    # positions are all-masked-softmax garbage whose value legitimately
+    # depends on the attention width (Tmax readback vs local-slab S)
+    for prompt, start, sot_i in (
+        (jnp.full((2, 1), 3, jnp.int32), jnp.int32(0), jnp.int32(0)),
         (jnp.asarray([[-1, -1, 5, 3], [-1, -1, 7, 3]], jnp.int32),
-         jnp.int32(2)),
+         jnp.int32(2), jnp.int32(3)),
     ):
         base = G.beam_search_decode(
             params, xa, prompt, dims, ids,
-            jnp.zeros((dims.n_vocab,), jnp.float32), jnp.int32(1),
+            jnp.zeros((dims.n_vocab,), jnp.float32), sot_i,
             prompt_start=start, beam_reorder="xla", **common,
         )
         anc = G.beam_search_decode(
             params, xa, prompt, dims, ids,
-            jnp.zeros((dims.n_vocab,), jnp.float32), jnp.int32(1),
+            jnp.zeros((dims.n_vocab,), jnp.float32), sot_i,
             prompt_start=start, beam_reorder="ancestry", **common,
         )
         np.testing.assert_array_equal(

@@ -484,19 +484,36 @@ def beam_search_decode(
     # additionally halves the per-step stream (Pallas fused dequant attn).
     cross_kv = (W.precompute_cross_kv_int8(params, xa, dims) if kv_int8
                 else W.precompute_cross_kv(params, xa, dims))
-    cache = W.init_kv_cache(dims, B * K, dtype=xa.dtype, max_len=L,
-                            int8=self_kv_int8)
 
-    prompt_k = jnp.repeat(prompt, K, axis=0)
-    logits_p, cache = W.decoder_step(
-        params, prompt_k, jnp.int32(0), cache, cross_kv, dims,
-        valid_start=prompt_start,
-    )
+    if use_ancestry:
+        # K-minor cache (windows x T*K minor) + prefill ONCE per window:
+        # every beam of a window shares the prompt, so the row-major
+        # path's repeat(prompt, K) prefill recomputes identical KV K
+        # times; here the single forward broadcasts into the K slots.
+        cache = W.init_kv_cache(dims, B, dtype=xa.dtype, max_len=L,
+                                int8=self_kv_int8, beam_k=K)
+        logits_p, cache = W.decoder_step(
+            params, prompt, jnp.int32(0), cache, cross_kv, dims,
+            valid_start=prompt_start, beam_k=K,
+        )
+        # slice BEFORE the beam repeat — the full (B*K, P, V) prefill
+        # logits would be a multi-GB transient at conditioned P=224
+        last_logits = jnp.repeat(logits_p[:, -1], K, axis=0)
+    else:
+        cache = W.init_kv_cache(dims, B * K, dtype=xa.dtype, max_len=L,
+                                int8=self_kv_int8)
+        prompt_k = jnp.repeat(prompt, K, axis=0)
+        logits_p, cache = W.decoder_step(
+            params, prompt_k, jnp.int32(0), cache, cross_kv, dims,
+            valid_start=prompt_start,
+        )
+        last_logits = logits_p[:, -1]  # (B*K, V)
     sot_logits = jnp.take_along_axis(
         logits_p, sot_index[None, None, None].astype(jnp.int32), axis=1
     )[:, 0]
     no_speech_prob = jax.nn.softmax(sot_logits, axis=-1)[:, ids.no_speech]
-    no_speech_prob = no_speech_prob.reshape(B, K)[:, 0]
+    no_speech_prob = (no_speech_prob if use_ancestry
+                      else no_speech_prob.reshape(B, K)[:, 0])
 
     tokens = jnp.concatenate(
         [jnp.tile(prompt[:, None, :], (1, K, 1)).astype(jnp.int32),
@@ -526,7 +543,7 @@ def beam_search_decode(
              if use_ancestry else None),
     )
 
-    first_logits = logits_p[:, -1]  # (B*K, V)
+    first_logits = last_logits  # (B*K, V)
     b_rows = jnp.arange(B)[:, None]
 
     def expand(state: BeamState, logits_flat: jax.Array) -> BeamState:
@@ -712,6 +729,7 @@ def beam_search_decode(
             state.cache, cross_kv, dims,
             valid_start=prompt_start,
             beam_anc=state.anc,
+            beam_k=K if use_ancestry else None,
         )
         state = state._replace(cache=cache)
         return expand(state, logits[:, 0])

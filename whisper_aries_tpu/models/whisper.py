@@ -605,8 +605,8 @@ def alignment_forward(
 
 
 def init_kv_cache(dims: WhisperDims, batch: int, dtype=jnp.float32,
-                  max_len: Optional[int] = None, int8: bool = False
-                  ) -> Dict[str, jax.Array]:
+                  max_len: Optional[int] = None, int8: bool = False,
+                  beam_k: Optional[int] = None) -> Dict[str, jax.Array]:
     """Self-attention K/V cache, TIME-MINOR layout (L, B, H, dh, T).
 
     dh=64-minor buffers pad 2x against the TPU's 128-lane tile — doubling
@@ -617,8 +617,20 @@ def init_kv_cache(dims: WhisperDims, batch: int, dtype=jnp.float32,
     f32 scales (k scales fold 1/sqrt(dh)) — halving the per-step cache
     read, the cache HBM footprint, AND the beam reorder-gather traffic
     (the window-batch limiter). Attention runs through
-    ops/pallas_self_attn.py on TPU."""
+    ops/pallas_self_attn.py on TPU.
+
+    ``beam_k=K`` allocates the K-MINOR beam layout (L, batch, H, dh, T*K)
+    used by ancestry (lazy-reorder) beam search: ``batch`` is then the
+    number of WINDOWS and the minor axis interleaves position-major
+    (m = t*K + k, beam k of position t). Folding K into the minor axis
+    (rather than a trailing K=5 axis) keeps the minor dim >= the 128-lane
+    tile, and makes decoder_step's cross-row ancestry attention a natural
+    (w,h)-batched GEMM with rhs (d, t*k) — no cache transposes (the
+    row-major layout measured 113x vs 188.7x because XLA transposed the
+    full cache every layer to batch over (w,h))."""
     T = max_len if max_len is not None else dims.n_text_ctx
+    if beam_k is not None:
+        T = T * beam_k
     H = dims.n_text_head
     dh = dims.n_text_state // H
     L = dims.n_text_layer
@@ -769,7 +781,7 @@ def _cross_attention_step(cp: Dict[str, Any], h: jax.Array,
     return dense(cp["o"], out)
 
 
-@functools.partial(jax.jit, static_argnames=("dims",))
+@functools.partial(jax.jit, static_argnames=("dims", "beam_k"))
 def decoder_step(
     params: Dict[str, Any],
     tokens: jax.Array,             # (B, S) int32; -1 = left padding
@@ -779,6 +791,7 @@ def decoder_step(
     dims: WhisperDims,
     valid_start: Optional[jax.Array] = None,
     beam_anc: Optional[jax.Array] = None,
+    beam_k: Optional[int] = None,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """One KV-cached decoder call (prefill S>1 or step S=1).
 
@@ -789,17 +802,29 @@ def decoder_step(
     program for all prompt lengths; tests/test_decode.py
     ::test_left_padded_prompt_exact_parity).
 
-    ``beam_anc`` (S==1 only): (Bw, K, Tmax) int32 ancestry table for LAZY
-    beam reorder, where B == Bw*K and rows are window-major. When given,
-    the KV cache is treated as APPEND-ONLY (the beam loop never permutes
-    it); self-attention instead computes dots against all K rows of the
-    query's window and masks with the ancestry table: position t of
-    logical beam k lives in physical row beam_anc[w, k, t] (t < pos), and
-    position pos (written by this very call) in row k itself. Each cache
-    row is still streamed from HBM exactly once per step (the window's K
-    queries share one batched GEMM), so this costs K x the attention MACs
-    (negligible — M=K=5 vs M=1 GEMMs) but ZERO extra bandwidth, and it
-    deletes the multi-GB cache permute from the beam loop entirely.
+    ``beam_k=K`` (static) selects the K-MINOR beam cache layout from
+    ``init_kv_cache(..., beam_k=K)``: leaves are (L, Bw, H, dh, Tmax*K)
+    with minor index m = t*K + j (beam j's KV at position t). Two calling
+    modes:
+
+    - PREFILL (``beam_anc is None``, B == Bw windows): the prompt is
+      shared by all K beams of a window, so the forward runs ONCE per
+      window (K x less prefill compute than the row-major path) and each
+      position's KV slab broadcasts across the K minor slots. Attention
+      uses the LOCAL k/v slabs (equivalent to the cache readback — the
+      causal mask covers exactly the positions being written).
+    - STEP (``beam_anc`` = (Bw, K, Tmax) int32, S == 1, B == Bw*K rows
+      window-major): LAZY beam reorder. The cache is append-only (the
+      beam loop never permutes it); attention computes dots against all
+      K beam slots of the query's window and masks with the ancestry
+      table: position t of logical beam k lives in slot beam_anc[w,k,t]
+      (t < pos), and position pos (written by this very call) in slot k
+      itself. The K-minor layout makes this a natural (w,h)-batched GEMM
+      with rhs (dh, Tmax*K) — each cache byte streams from HBM exactly
+      once per step, +K x attention MACs (negligible: M=K=5 vs M=1), no
+      transposes, and the multi-GB cache permute is gone from the beam
+      loop. (A row-major ancestry variant measured 113x vs 188.7x — XLA
+      transposed the full cache every layer to batch over (w, h).)
 
     Returns (logits (B, S, n_vocab) f32, updated cache).
     """
@@ -809,6 +834,13 @@ def decoder_step(
     dh = dims.n_text_state // n_head
     int8_cache = "k8" in cache
     Tmax = (cache["k8"] if int8_cache else cache["k"]).shape[-1]
+    if beam_k is not None:
+        Kb = beam_k
+        Tmax = Tmax // Kb
+        Bw = B if beam_anc is None else B // Kb
+        if beam_anc is not None:
+            assert S == 1, "ancestry-masked attention is a single-step path"
+            assert beam_anc.shape[:2] == (Bw, Kb)
     pos = jnp.asarray(pos, jnp.int32)
     vs = (jnp.asarray(valid_start, jnp.int32) if valid_start is not None
           else jnp.int32(0))
@@ -835,20 +867,29 @@ def decoder_step(
     maskf = jnp.where(mask, 0.0, neg).astype(jnp.float32)[None, None]
 
     anc_maskf = None
+    loc_maskf = None
     if beam_anc is not None:
-        assert S == 1, "ancestry-masked attention is a single-step path"
-        Bw, Kb, _ = beam_anc.shape
-        # (Bw, K, K, Tmax) additive mask, shared by all layers and heads:
-        # row j holds logical beam k's KV at position t iff the ancestry
-        # table says so (t < pos) or t == pos and j == k (decoder_step
-        # writes the current token's KV to the beam's own row).
-        j_idx = jnp.arange(Kb, dtype=jnp.int32)[None, None, :, None]
-        k_idx = jnp.arange(Kb, dtype=jnp.int32)[None, :, None, None]
-        t_idx = key_idx[None, None, None, :]
-        own = (t_idx == pos) & (k_idx == j_idx)
-        hist = (t_idx < pos) & (beam_anc[:, :, None, :] == j_idx)
-        valid = (own | hist) & (t_idx >= vs)
+        # (Bw, 1, K, M=Tmax*K) additive mask, shared by all layers and
+        # heads ((w, h, k, m) broadcast): slot j holds logical beam k's KV
+        # at position t iff the ancestry table says so (t < pos) or
+        # t == pos and j == k (this call writes the current token's KV to
+        # the beam's own slot).
+        j_idx = jnp.arange(Kb, dtype=jnp.int32)
+        t_idx = jnp.arange(Tmax, dtype=jnp.int32)
+        own = ((t_idx[None, :, None] == pos)
+               & (j_idx[:, None, None] == j_idx[None, None, :]))  # (K,T,K)
+        hist = ((t_idx[None, None, :, None] < pos)
+                & (beam_anc[:, :, :, None] == j_idx[None, None, None, :]))
+        valid = (own[None] | hist) & (t_idx >= vs)[None, None, :, None]
         anc_maskf = jnp.where(valid, 0.0, neg).astype(jnp.float32)
+        anc_maskf = anc_maskf.reshape(Bw, Kb, Tmax * Kb)[:, None]
+    elif beam_k is not None:
+        # K-minor prefill: attention over the LOCAL slabs — (S, S) causal
+        # mask on absolute positions (key position pos+j must be >= vs)
+        s_idx = jnp.arange(S, dtype=jnp.int32)
+        lmask = (s_idx[None, :] <= s_idx[:, None]) & \
+                ((pos + s_idx)[None, :] >= vs)
+        loc_maskf = jnp.where(lmask, 0.0, neg).astype(jnp.float32)[None, None]
 
     def layer_slice(tree, l):
         return jax.tree.map(lambda a: a[l], tree)
@@ -856,6 +897,23 @@ def decoder_step(
     def write_slab(key, slab, l):
         new_cache[key] = jax.lax.dynamic_update_slice(
             new_cache[key], slab[None], (l, 0, 0, 0, pos))
+
+    def write_slab_km(key, slab, l):
+        # K-minor write at m = pos*K: slab (Bw, H, dh|1, S*K) covers all K
+        # slots of positions [pos, pos+S)
+        new_cache[key] = jax.lax.dynamic_update_slice(
+            new_cache[key], slab[None], (l, 0, 0, 0, pos * Kb))
+
+    def to_km(slab: jax.Array) -> jax.Array:
+        # time-minor slab -> K-minor slab. Prefill (rows == Bw windows):
+        # (Bw, H, c, S) broadcasts each position across the K slots.
+        # Step (rows == Bw*K): (B, H, c, 1) -> (Bw, H, c, K), slot = beam.
+        c = slab.shape[2]
+        if beam_anc is None:
+            out = jnp.broadcast_to(slab[..., None],
+                                   (Bw, n_head, c, S, Kb))
+            return out.reshape(Bw, n_head, c, S * Kb)
+        return slab.reshape(Bw, Kb, n_head, c).transpose(0, 2, 3, 1)
 
     L = dims.n_text_layer
     rsq = 1.0 / np.sqrt(dh)
@@ -870,28 +928,39 @@ def decoder_step(
         if int8_cache:
             k8s, kss = _quant_slab(k, fold=rsq)
             v8s, vss = _quant_slab(v)
-            for key, slab in (("k8", k8s), ("ks", kss),
-                              ("v8", v8s), ("vs", vss)):
-                write_slab(key, slab, l)
+            if beam_k is not None:
+                for key, slab in (("k8", k8s), ("ks", kss),
+                                  ("v8", v8s), ("vs", vss)):
+                    write_slab_km(key, to_km(slab), l)
+            else:
+                for key, slab in (("k8", k8s), ("ks", kss),
+                                  ("v8", v8s), ("vs", vss)):
+                    write_slab(key, slab, l)
             if anc_maskf is not None:
-                # ancestry attention over the window's K rows, dequant
-                # fused into the dots (same math as the q8 reference)
-                kc8 = new_cache["k8"][l].reshape(Bw, Kb, n_head, dh, Tmax)
-                ksw = new_cache["ks"][l].reshape(Bw, Kb, n_head, 1, Tmax)
-                vc8 = new_cache["v8"][l].reshape(Bw, Kb, n_head, dh, Tmax)
-                vsw = new_cache["vs"][l].reshape(Bw, Kb, n_head, 1, Tmax)
-                qw = q.reshape(Bw, Kb, n_head, dh).astype(jnp.float32)
-                lg = jnp.einsum("wkhd,wjhdt->wkhjt", qw,
+                # K-minor ancestry step: dequant fused into the dots
+                # (same math as the q8 reference: logits*ks, probs*vs)
+                kc8 = new_cache["k8"][l]            # (Bw, H, dh, M)
+                ksw = new_cache["ks"][l][:, :, 0, :][:, :, None, :]
+                vc8 = new_cache["v8"][l]
+                vsw = new_cache["vs"][l][:, :, 0, :][:, :, None, :]
+                qw = q.reshape(Bw, Kb, n_head, dh).transpose(0, 2, 1, 3)
+                lg = jnp.einsum("whkd,whdm->whkm", qw.astype(jnp.float32),
                                 kc8.astype(jnp.float32))
-                lg = (lg * jnp.swapaxes(ksw, 1, 2)[:, None, :, :, 0, :]
-                      + anc_maskf[:, :, None, :, :])
-                pr = jax.nn.softmax(
-                    lg.reshape(Bw, Kb, n_head, Kb * Tmax), axis=-1
-                ).reshape(Bw, Kb, n_head, Kb, Tmax)
-                pr = pr * jnp.swapaxes(vsw, 1, 2)[:, None, :, :, 0, :]
-                att = jnp.einsum("wkhjt,wjhdt->wkhd", pr,
+                lg = lg * ksw + anc_maskf
+                pr = jax.nn.softmax(lg, axis=-1) * vsw
+                att = jnp.einsum("whkm,whdm->whkd", pr,
                                  vc8.astype(jnp.float32))
-                att = att.reshape(B, n_head, 1, dh)
+                att = att.transpose(0, 2, 1, 3).reshape(B, n_head, 1, dh)
+            elif beam_k is not None:
+                # K-minor prefill: LOCAL quantized slabs (k8s (Bw,H,dh,S),
+                # ks (Bw,H,1,S)) — bit-identical to reading back the
+                # cache region just written
+                lg = jnp.einsum("bhsd,bhdt->bhst", q.astype(jnp.float32),
+                                k8s.astype(jnp.float32))
+                lg = lg * kss + loc_maskf
+                pr = jax.nn.softmax(lg, axis=-1) * vss
+                att = jnp.einsum("bhst,bhdt->bhsd", pr,
+                                 v8s.astype(jnp.float32))
             else:
                 args = (q, new_cache["k8"][l], new_cache["ks"][l],
                         new_cache["v8"][l], new_cache["vs"][l], maskf)
@@ -909,20 +978,34 @@ def decoder_step(
                     att = self_attention_q8_reference(*args)
         else:
             # write time-minor (B, H, dh, S) slabs at [l, .., pos:pos+S]
-            write_slab("k", k.transpose(0, 2, 3, 1), l)
-            write_slab("v", v.transpose(0, 2, 3, 1), l)
+            # (K-minor: (Bw, H, dh, S*K) slabs at m = pos*K)
+            k_t = k.transpose(0, 2, 3, 1)
+            v_t = v.transpose(0, 2, 3, 1)
+            if beam_k is not None:
+                write_slab_km("k", to_km(k_t), l)
+                write_slab_km("v", to_km(v_t), l)
+            else:
+                write_slab("k", k_t, l)
+                write_slab("v", v_t, l)
             if anc_maskf is not None:
-                kc = new_cache["k"][l].reshape(Bw, Kb, n_head, dh, Tmax)
-                vc = new_cache["v"][l].reshape(Bw, Kb, n_head, dh, Tmax)
+                kc = new_cache["k"][l]               # (Bw, H, dh, M)
+                vc = new_cache["v"][l]
                 qw = (q * (dh ** -0.5)).reshape(Bw, Kb, n_head, dh)
-                lg = jnp.einsum("wkhd,wjhdt->wkhjt", qw, kc,
+                qw = qw.transpose(0, 2, 1, 3)        # (Bw, H, K, dh)
+                lg = jnp.einsum("whkd,whdm->whkm", qw, kc,
                                 preferred_element_type=jnp.float32)
-                lg = lg + anc_maskf[:, :, None, :, :]
-                pr = jax.nn.softmax(
-                    lg.reshape(Bw, Kb, n_head, Kb * Tmax), axis=-1
-                ).reshape(Bw, Kb, n_head, Kb, Tmax).astype(kc.dtype)
-                att = jnp.einsum("wkhjt,wjhdt->wkhd", pr, vc)
-                att = att.reshape(B, n_head, 1, dh)
+                lg = lg + anc_maskf
+                pr = jax.nn.softmax(lg, axis=-1).astype(kc.dtype)
+                att = jnp.einsum("whkm,whdm->whkd", pr, vc)
+                att = att.transpose(0, 2, 1, 3).reshape(B, n_head, 1, dh)
+            elif beam_k is not None:
+                # K-minor prefill: attention over the LOCAL slabs
+                logits = jnp.einsum(
+                    "bhsd,bhdt->bhst", q * (dh ** -0.5), k_t,
+                    preferred_element_type=jnp.float32)
+                logits = logits + loc_maskf
+                probs = jax.nn.softmax(logits, axis=-1).astype(v_t.dtype)
+                att = jnp.einsum("bhst,bhdt->bhsd", probs, v_t)
             else:
                 logits = jnp.einsum(
                     "bhsd,bhdt->bhst", q * (dh ** -0.5), new_cache["k"][l],
