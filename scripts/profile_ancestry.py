@@ -124,3 +124,48 @@ def dec_anc_frozen(params, cross, cache, anc):
 
 timeit("decoder_step ancestry (frozen anc)",
        lambda: fetch(dec_anc_frozen(params, cross, cache_km, anc0)[0]))
+
+
+# --- D: ancestry attention WITHOUT the K-minor cache writes (stale cache)
+# — isolates the sub-lane DUS write cost from the widened attention ---
+@jax.jit
+def dec_anc_nowrite(params, cross, cache, anc):
+    import whisper_aries_tpu.models.whisper as WW
+
+    def body(carry, _):
+        tok, pos, cache = carry
+        logits, new_cache = WW.decoder_step(
+            params, tok, pos, cache, cross, dims, beam_anc=anc, beam_k=K)
+        nxt = jnp.argmax(logits[:, -1, :1000], axis=-1).astype(jnp.int32)
+        return (nxt[:, None], pos + 1, cache), ()   # DISCARD writes
+
+    (tok, pos, cache), _ = jax.lax.scan(
+        body, (tok0[:, -1:], jnp.int32(P), cache), None, length=N)
+    return tok
+
+
+timeit("decoder_step ancestry (writes discarded)",
+       lambda: fetch(dec_anc_nowrite(params, cross, cache_km, anc0)[0]))
+
+
+# --- E: plain decoder_step with writes discarded (baseline for D) ---
+cache_rm2 = W.init_kv_cache(dims, B * K, dtype=dtype, max_len=L)
+_, cache_rm2 = W.decoder_step(params, tok0, jnp.int32(0), cache_rm2, cross,
+                              dims)
+
+
+@jax.jit
+def dec_plain_nowrite(params, cross, cache):
+    def body(carry, _):
+        tok, pos, cache = carry
+        logits, _ = W.decoder_step(params, tok, pos, cache, cross, dims)
+        nxt = jnp.argmax(logits[:, -1, :1000], axis=-1).astype(jnp.int32)
+        return (nxt[:, None], pos + 1, cache), ()
+
+    (tok, pos, cache), _ = jax.lax.scan(
+        body, (tok0[:, -1:], jnp.int32(P), cache), None, length=N)
+    return tok
+
+
+timeit("decoder_step plain (writes discarded)",
+       lambda: fetch(dec_plain_nowrite(params, cross, cache_rm2)[0]))

@@ -660,3 +660,34 @@ def test_beam_ancestry_reorder_parity(tiny_pair, self_kv_int8):
             np.asarray(base["no_speech_prob"]),
             np.asarray(anc["no_speech_prob"]), rtol=1e-5, atol=1e-6,
         )
+
+
+def test_beam_mega_kernel_parity(tiny_pair):
+    """beam_reorder="mega" (all-layers Pallas megakernel decode step,
+    interpret mode off-TPU) must reproduce the XLA permute-mode decode:
+    same tokens, scores within f32 tolerance. Covers the kernel's chunked
+    GEMMs, ancestry self-attention with K-minor cache append, flash int8
+    cross-attention, and MLP across multiple beam steps."""
+    _, dims, params, mel = tiny_pair
+    xa = W.encode(params, jnp.asarray(mel), dims)
+    ids = _tiny_ids(dims)
+    common = dict(beam_size=4, sample_len=6, with_timestamps=False,
+                  length_penalty=0.0, suppress_blank=False, kv_int8=True)
+    prompt = jnp.full((2, 1), 3, jnp.int32)
+    base = G.beam_search_decode(
+        params, xa, prompt, dims, ids,
+        jnp.zeros((dims.n_vocab,), jnp.float32), jnp.int32(0),
+        beam_reorder="xla", **common,
+    )
+    mega = G.beam_search_decode(
+        params, xa, prompt, dims, ids,
+        jnp.zeros((dims.n_vocab,), jnp.float32), jnp.int32(0),
+        beam_reorder="mega", **common,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(base["tokens"]), np.asarray(mega["tokens"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(base["sum_logprob"]), np.asarray(mega["sum_logprob"]),
+        rtol=1e-4, atol=1e-5,
+    )

@@ -471,7 +471,8 @@ def beam_search_decode(
         import os as _os_knob
 
         beam_reorder = _os_knob.environ.get("ARIES_BEAM_REORDER", "default")
-    use_ancestry = beam_reorder == "ancestry"
+    use_mega = beam_reorder == "mega" and not self_kv_int8 and kv_int8
+    use_ancestry = beam_reorder in ("ancestry", "mega")
     B, P = prompt.shape
     K = beam_size
     L = P + sample_len
@@ -720,17 +721,42 @@ def beam_search_decode(
     def cond(state: BeamState):
         return (~jnp.all(state.fin_count >= C)) & (state.pos < L)
 
+    if use_mega:
+        # megakernel step path: the 32-layer stack is ONE pallas call
+        # (ops/pallas_decode_layers.py); weights packed once, outside the
+        # decode loop. Off-TPU the kernel runs interpreted (tests).
+        from whisper_aries_tpu.ops.pallas_decode_layers import (
+            pack_layer_weights,
+        )
+
+        # fuse is a no-op on the engine's already-fused tree; packing is
+        # pure array re-refs + one tiny concat, once per call (not per step)
+        wpack = pack_layer_weights(
+            W.fuse_decoder_qkv(params)["decoder"]["blocks"])
+        # one-time cross re-layout for the kernel's DMA tiling rules
+        cross_mega = W.pack_cross_mega(cross_kv, dims.n_text_head)
+        mega_interpret = jax.default_backend() != "tpu"
+
     def body(state: BeamState):
         tok_in = jax.lax.dynamic_slice(
             state.tokens, (0, 0, state.pos - 1), (B, K, 1)
         ).reshape(B * K, 1)
-        logits, cache = W.decoder_step(
-            params, tok_in, state.pos - 1,
-            state.cache, cross_kv, dims,
-            valid_start=prompt_start,
-            beam_anc=state.anc,
-            beam_k=K if use_ancestry else None,
-        )
+        if use_mega:
+            logits, cache = W.decoder_step_fused(
+                params, wpack, tok_in, state.pos - 1,
+                state.cache, cross_mega, dims,
+                beam_anc=state.anc, beam_k=K,
+                valid_start=prompt_start,
+                interpret=mega_interpret,
+            )
+        else:
+            logits, cache = W.decoder_step(
+                params, tok_in, state.pos - 1,
+                state.cache, cross_kv, dims,
+                valid_start=prompt_start,
+                beam_anc=state.anc,
+                beam_k=K if use_ancestry else None,
+            )
         state = state._replace(cache=cache)
         return expand(state, logits[:, 0])
 

@@ -630,7 +630,12 @@ def init_kv_cache(dims: WhisperDims, batch: int, dtype=jnp.float32,
     full cache every layer to batch over (w,h))."""
     T = max_len if max_len is not None else dims.n_text_ctx
     if beam_k is not None:
-        T = T * beam_k
+        # minor padded to the 128-lane tile: Mosaic DMA slices require
+        # the tiled dims' logical extents to equal the physical (padded)
+        # ones, so the megakernel's per-window cache streams need an
+        # exactly-tiled minor. The pad columns are never written and the
+        # ancestry masks (built over the padded width) keep them dead.
+        T = ((T * beam_k + 127) // 128) * 128
     H = dims.n_text_head
     dh = dims.n_text_state // H
     L = dims.n_text_layer
@@ -781,6 +786,38 @@ def _cross_attention_step(cp: Dict[str, Any], h: jax.Array,
     return dense(cp["o"], out)
 
 
+def ancestry_mask(beam_anc: jax.Array, pos, vs, Tmax: int,
+                  include_own: bool = True,
+                  minor: "Optional[int]" = None) -> jax.Array:
+    """(Bw, K, Tmax) ancestry table -> (Bw, K, Tmax*K) additive f32 mask
+    over the K-minor cache axis (m = t*K + j): slot j holds logical beam
+    k's KV at position t iff the ancestry table says so (t < pos), or
+    t == pos and j == k (the current call writes the new token's KV to the
+    beam's own slot); positions before ``vs`` (left padding) are dead.
+
+    ``include_own=False`` drops the t == pos term — for the megakernel,
+    which scores the just-computed own K/V from VMEM as an extra
+    concatenated column instead of reading it back from the cache."""
+    Bw, Kb, _ = beam_anc.shape
+    neg = float(np.finfo(np.float32).min)
+    j_idx = jnp.arange(Kb, dtype=jnp.int32)
+    t_idx = jnp.arange(Tmax, dtype=jnp.int32)
+    hist = ((t_idx[None, None, :, None] < pos)
+            & (beam_anc[:, :, :, None] == j_idx[None, None, None, :]))
+    valid = hist
+    if include_own:
+        own = ((t_idx[None, :, None] == pos)
+               & (j_idx[:, None, None] == j_idx[None, None, :]))  # (K,T,K)
+        valid = valid | own[None]
+    valid = valid & (t_idx >= vs)[None, None, :, None]
+    out = jnp.where(valid, 0.0, neg).astype(jnp.float32).reshape(
+        Bw, Kb, Tmax * Kb)
+    if minor is not None and minor > Tmax * Kb:
+        out = jnp.pad(out, ((0, 0), (0, 0), (0, minor - Tmax * Kb)),
+                      constant_values=neg)
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("dims", "beam_k"))
 def decoder_step(
     params: Dict[str, Any],
@@ -836,11 +873,14 @@ def decoder_step(
     Tmax = (cache["k8"] if int8_cache else cache["k"]).shape[-1]
     if beam_k is not None:
         Kb = beam_k
-        Tmax = Tmax // Kb
+        Mfull = Tmax                     # padded cache minor (x128 tile)
         Bw = B if beam_anc is None else B // Kb
         if beam_anc is not None:
             assert S == 1, "ancestry-masked attention is a single-step path"
             assert beam_anc.shape[:2] == (Bw, Kb)
+            Tmax = beam_anc.shape[2]     # TRUE positions (< Mfull // Kb)
+        else:
+            Tmax = Mfull // Kb
     pos = jnp.asarray(pos, jnp.int32)
     vs = (jnp.asarray(valid_start, jnp.int32) if valid_start is not None
           else jnp.int32(0))
@@ -870,19 +910,9 @@ def decoder_step(
     loc_maskf = None
     if beam_anc is not None:
         # (Bw, 1, K, M=Tmax*K) additive mask, shared by all layers and
-        # heads ((w, h, k, m) broadcast): slot j holds logical beam k's KV
-        # at position t iff the ancestry table says so (t < pos) or
-        # t == pos and j == k (this call writes the current token's KV to
-        # the beam's own slot).
-        j_idx = jnp.arange(Kb, dtype=jnp.int32)
-        t_idx = jnp.arange(Tmax, dtype=jnp.int32)
-        own = ((t_idx[None, :, None] == pos)
-               & (j_idx[:, None, None] == j_idx[None, None, :]))  # (K,T,K)
-        hist = ((t_idx[None, None, :, None] < pos)
-                & (beam_anc[:, :, :, None] == j_idx[None, None, None, :]))
-        valid = (own[None] | hist) & (t_idx >= vs)[None, None, :, None]
-        anc_maskf = jnp.where(valid, 0.0, neg).astype(jnp.float32)
-        anc_maskf = anc_maskf.reshape(Bw, Kb, Tmax * Kb)[:, None]
+        # heads ((w, h, k, m) broadcast)
+        anc_maskf = ancestry_mask(beam_anc, pos, vs, Tmax,
+                                  minor=Mfull)[:, None]
     elif beam_k is not None:
         # K-minor prefill: attention over the LOCAL slabs — (S, S) causal
         # mask on absolute positions (key position pos+j must be >= vs)
@@ -1026,3 +1056,108 @@ def decoder_step(
     logits = jnp.dot(x, emb.T.astype(x.dtype),
                      preferred_element_type=jnp.float32)
     return logits, new_cache
+
+
+def pack_cross_mega(cross_kv: Dict[str, jax.Array], n_head: int
+                    ) -> Dict[str, jax.Array]:
+    """int8 cross-KV quad -> the megakernel's cross pack (ONE-TIME per
+    window batch; do NOT call per step).
+
+    Mosaic DMA slices need every tiled dim's logical extent to equal the
+    physical (padded) one, so: k8/v8 minors pad Ta -> x128 (dead columns
+    masked by ``cmask``), and the (L, B, H, 1, Ta) scales re-lay as
+    (L, B, HP, Ta) with the head axis padded to the 8-row sublane tile.
+    """
+    k8 = cross_kv["k8"]
+    L, B, H, dh, Ta = k8.shape
+    TaP = ((Ta + 127) // 128) * 128
+    HP = ((n_head + 7) // 8) * 8
+
+    def padt(x):
+        return jnp.pad(x, ((0, 0),) * (x.ndim - 1) + ((0, TaP - Ta),))
+
+    def sc(x):  # (L, B, H, 1, Ta) -> (L, B, HP, TaP) f32
+        x4 = padt(x[:, :, :, 0, :])
+        return jnp.pad(x4, ((0, 0), (0, 0), (0, HP - H), (0, 0)))
+
+    neg = float(np.finfo(np.float32).min)
+    cmask = jnp.zeros((8, TaP), jnp.float32).at[:, Ta:].set(neg)
+    return {
+        "k8": padt(k8), "v8": padt(cross_kv["v8"]),
+        "ksP": sc(cross_kv["ks"]), "vsP": sc(cross_kv["vs"]),
+        "cmask": cmask,
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("dims", "beam_k", "interpret"))
+def decoder_step_fused(
+    params: Dict[str, Any],
+    wpack: Dict[str, jax.Array],
+    tokens: jax.Array,             # (B, 1) int32 — single step only
+    pos,                           # scalar int32
+    cache: Dict[str, jax.Array],   # K-minor bf16 {"k","v"}
+    cross_mega: Dict[str, jax.Array],  # pack_cross_mega output
+    dims: WhisperDims,
+    beam_anc: jax.Array,           # (Bw, K, Tmax) int32
+    beam_k: int,
+    valid_start: Optional[jax.Array] = None,
+    interpret: bool = False,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """decoder_step for the MEGAKERNEL beam path (beam_reorder="mega").
+
+    Identical contract to ``decoder_step(..., beam_anc=..., beam_k=...)``
+    restricted to S==1, bf16 K-minor self-cache, int8 cross-KV: embedding
+    and the final LayerNorm + vocab GEMM run in XLA (3 well-fused ops);
+    the 32-layer stack runs as ONE Pallas call
+    (ops/pallas_decode_layers.py). ``wpack`` comes from
+    ``pack_layer_weights(params["decoder"]["blocks"])`` — pass it in from
+    outside the decode loop so the packing is not re-traced per step.
+    """
+    from whisper_aries_tpu.ops.pallas_decode_layers import (
+        fused_decoder_layers,
+    )
+
+    dec = params["decoder"]
+    B, S = tokens.shape
+    assert S == 1, "fused decode step is single-token"
+    K = beam_k
+    Tmax = beam_anc.shape[2]          # TRUE positions (minor is padded)
+    pos = jnp.asarray(pos, jnp.int32)
+    vs = (jnp.asarray(valid_start, jnp.int32) if valid_start is not None
+          else jnp.int32(0))
+
+    emb = dec["tok_emb"]
+    pos_idx = jnp.clip(pos - vs, 0, dims.n_text_ctx - 1)
+    x = (emb[jnp.maximum(tokens[:, 0], 0)] + dec["pos_emb"][pos_idx]
+         ).astype(cache["k"].dtype)
+
+    # hist-only mask over the PADDED minor: the kernel scores the step's
+    # own K/V straight from VMEM as an extra concatenated softmax column
+    # (the cache append below happens AFTER the kernel — in-kernel
+    # unaligned minor-column writes are not expressible in Mosaic)
+    amask = ancestry_mask(beam_anc, pos, vs, Tmax, include_own=False,
+                          minor=cache["k"].shape[-1])
+    x, slabk, slabv = fused_decoder_layers(
+        x, wpack, cache["k"], cache["v"],
+        cross_mega["k8"], cross_mega["ksP"], cross_mega["v8"],
+        cross_mega["vsP"], cross_mega["cmask"],
+        amask, pos, dims.n_text_head, K, interpret=interpret,
+    )
+    H = dims.n_text_head
+    dh = dims.n_text_state // H
+
+    def to_kminor(slab):  # (L, Bw, KP, d) -> (L, Bw, H, dh, K)
+        Lx, Bw, _, _ = slab.shape
+        s5 = slab[:, :, :K].reshape(Lx, Bw, K, H, dh)
+        return s5.transpose(0, 1, 3, 4, 2)
+
+    ck = jax.lax.dynamic_update_slice(
+        cache["k"], to_kminor(slabk).astype(cache["k"].dtype),
+        (0, 0, 0, 0, pos * K))
+    cv = jax.lax.dynamic_update_slice(
+        cache["v"], to_kminor(slabv).astype(cache["v"].dtype),
+        (0, 0, 0, 0, pos * K))
+    x = layer_norm(dec["ln"], x)
+    logits = jnp.dot(x, emb.T.astype(x.dtype),
+                     preferred_element_type=jnp.float32)
+    return logits[:, None, :], {"k": ck, "v": cv}
