@@ -25,7 +25,14 @@ K = 5
 
 dims = W.PRESETS["large-v3"]
 dtype = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
-params = W.fuse_decoder_qkv(W.init_params(dims, dtype=dtype))
+params = W.init_params(dims, dtype=dtype)
+if os.environ.get("MEGA_QUANT", "1") == "1":
+    # the mega kernel IS the int8 compute path; quantize BOTH paths so
+    # the tokens-equal check compares like with like
+    from whisper_aries_tpu.ops.quant import quantize_model_params
+
+    params = quantize_model_params(params)
+params = W.fuse_decoder_qkv(params)
 rng = np.random.default_rng(0)
 V = dims.n_vocab
 xa = jnp.asarray(0.02 * rng.standard_normal((B, 1500, 1280)), dtype)

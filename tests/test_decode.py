@@ -664,23 +664,31 @@ def test_beam_ancestry_reorder_parity(tiny_pair, self_kv_int8):
 
 def test_beam_mega_kernel_parity(tiny_pair):
     """beam_reorder="mega" (all-layers Pallas megakernel decode step,
-    interpret mode off-TPU) must reproduce the XLA permute-mode decode:
-    same tokens, scores within f32 tolerance. Covers the kernel's chunked
-    GEMMs, ancestry self-attention with K-minor cache append, flash int8
-    cross-attention, and MLP across multiple beam steps."""
+    interpret mode off-TPU) must reproduce the XLA decode with the SAME
+    int8 weights: identical tokens, scores within f32 tolerance. The
+    mega path IS the int8 compute path (weights quantised with the
+    ops/quant.py grid inside pack_layer_weights), so the XLA baseline
+    here runs the quantized tree through quant_matmul (outscale) — the
+    kernel's GEMM mirrors that math term for term. Covers the kernel's
+    whole-tensor int8 GEMMs, bucketed packed-cache ancestry
+    self-attention, whole-window packed int8 cross-attention, and MLP
+    across multiple beam steps."""
+    from whisper_aries_tpu.ops.quant import quantize_model_params
+
     _, dims, params, mel = tiny_pair
+    qparams = quantize_model_params(params)
     xa = W.encode(params, jnp.asarray(mel), dims)
     ids = _tiny_ids(dims)
     common = dict(beam_size=4, sample_len=6, with_timestamps=False,
                   length_penalty=0.0, suppress_blank=False, kv_int8=True)
     prompt = jnp.full((2, 1), 3, jnp.int32)
     base = G.beam_search_decode(
-        params, xa, prompt, dims, ids,
+        qparams, xa, prompt, dims, ids,
         jnp.zeros((dims.n_vocab,), jnp.float32), jnp.int32(0),
         beam_reorder="xla", **common,
     )
     mega = G.beam_search_decode(
-        params, xa, prompt, dims, ids,
+        qparams, xa, prompt, dims, ids,
         jnp.zeros((dims.n_vocab,), jnp.float32), jnp.int32(0),
         beam_reorder="mega", **common,
     )

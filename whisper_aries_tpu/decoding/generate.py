@@ -449,28 +449,35 @@ def beam_search_decode(
     ``repetition_penalty`` tracks per-beam produced-token presence;
     ``no_repeat_ngram_size`` bans n-gram repeats inside each beam.
 
-    ``beam_reorder`` (static; A/B debug knob): "ancestry" never touches
-    the cache — rows are append-only and a (B, K, L) ancestry table
-    reorders lazily inside attention (decoder_step's ``beam_anc``; same
-    HBM bytes, zero permute — but measured 113x vs 188.7x on TPU with the
-    row-major (.., B*K, H, dh, T) cache: the cross-row einsum's rhs wants
-    (w, h, d, j, t) so XLA transposes the full cache every layer; a
-    K-minor cache layout is the fix, see ROADMAP). None/"default"/"xla"
-    skips the cache
-    permute on identity steps via lax.cond and permutes with the one-hot
-    matmul, "pallas" uses the Pallas row-DMA kernel (measured SLOWER
-    end-to-end: 92.3x vs 188.5x bench — its grid of L*B*K tiny programs
-    pays per-program launch overhead that dwarfs the matmul's wasted
-    FLOPs; kept as a probe), "always" permutes every step, "nobarrier"
-    drops the per-buffer sequencing barriers. When None,
-    the ARIES_BEAM_REORDER env var is consulted ONCE at trace time (the jit
-    cache keys on the static arg, not the env) — callers who want the knob
-    live must read the env themselves and pass it here (engine does).
+    ``beam_reorder`` (static): None/"default" resolves to "mega" on TPU
+    when kv_int8 (the production path — all-layers int8 Pallas decode
+    megakernel over an append-only K-minor cache with lazy ancestry
+    reorder; bench 228.7x vs 188.7x for the XLA step,
+    ops/pallas_decode_layers.py) and to the XLA one-hot-permute step
+    elsewhere. Explicit modes (A/B knobs): "xla" = one-hot permutation
+    matmul with a lax.cond skip on identity steps; "always" = permute
+    every step; "nobarrier" = drop the per-buffer permute sequencing
+    barriers; "ancestry" = the mega step's lazy-reorder semantics in
+    pure XLA (measured 177.9x with the K-minor cache); "pallas" = the
+    per-row DMA reorder kernel (measured SLOWER end-to-end: 92.3x — its
+    L*B*K tiny program launches serialize; kept as a probe); "mega" =
+    force the megakernel. When None, the ARIES_BEAM_REORDER env var is
+    consulted ONCE at trace time (the jit cache keys on the static arg,
+    not the env) — callers who want the knob live must read the env
+    themselves and pass it here (engine does).
     """
     if beam_reorder is None:
         import os as _os_knob
 
         beam_reorder = _os_knob.environ.get("ARIES_BEAM_REORDER", "default")
+    if (beam_reorder == "default" and not self_kv_int8 and kv_int8
+            and jax.default_backend() == "tpu"):
+        # the all-layers int8 megakernel IS the default TPU beam path
+        # (bench: 228.7x vs 188.7x for the XLA one-hot permute step) —
+        # and int8 decoder compute matches the reference's default
+        # COMPUTE_TYPE=int8 (README.md:178). Opt out with
+        # ARIES_BEAM_REORDER=xla; all prior modes remain selectable.
+        beam_reorder = "mega"
     use_mega = beam_reorder == "mega" and not self_kv_int8 and kv_int8
     use_ancestry = beam_reorder in ("ancestry", "mega")
     B, P = prompt.shape
@@ -482,16 +489,31 @@ def beam_search_decode(
     # Cross K/V stay at batch B and are SHARED by the K beams of each window
     # (decoder_step's grouped cross-attention) — replicating them per beam
     # would cost K x the dominant HBM buffer for zero benefit. kv_int8
-    # additionally halves the per-step stream (Pallas fused dequant attn).
-    cross_kv = (W.precompute_cross_kv_int8(params, xa, dims) if kv_int8
-                else W.precompute_cross_kv(params, xa, dims))
+    # additionally halves the per-step stream. The mega path emits the
+    # packed kernel layout DIRECTLY from the precompute scan (the quad
+    # never materialises — packing a precomputed quad kept two 3 GB cross
+    # buffers live and OOM'd the batch-24 bench) and the prefill consumes
+    # fused slice views of it.
+    if use_mega:
+        cross_mega = W.precompute_cross_kv_int8_packed(params, xa, dims)
+        cross_kv = W.cross_views_from_packed(
+            cross_mega, dims.n_text_head, xa.shape[1])
+    else:
+        cross_kv = (W.precompute_cross_kv_int8(params, xa, dims) if kv_int8
+                    else W.precompute_cross_kv(params, xa, dims))
 
     if use_ancestry:
         # K-minor cache (windows x T*K minor) + prefill ONCE per window:
         # every beam of a window shares the prompt, so the row-major
         # path's repeat(prompt, K) prefill recomputes identical KV K
         # times; here the single forward broadcasts into the K slots.
-        cache = W.init_kv_cache(dims, B, dtype=xa.dtype, max_len=L,
+        # For mega, prefill runs on a PROMPT-SIZED cache that is then
+        # placed at lane 0 of the full packed buffer (static offset ->
+        # in-place): concatenating two full-length k/v caches into the
+        # packed layout was a second multi-GB transient.
+        prefill_len = P if use_mega else L
+        cache = W.init_kv_cache(dims, B, dtype=xa.dtype,
+                                max_len=prefill_len,
                                 int8=self_kv_int8, beam_k=K)
         logits_p, cache = W.decoder_step(
             params, prompt, jnp.int32(0), cache, cross_kv, dims,
@@ -500,6 +522,12 @@ def beam_search_decode(
         # slice BEFORE the beam repeat — the full (B*K, P, V) prefill
         # logits would be a multi-GB transient at conditioned P=224
         last_logits = jnp.repeat(logits_p[:, -1], K, axis=0)
+        if use_mega:
+            Mfull = ((L * K + 127) // 128) * 128 + 128
+            small = jnp.concatenate([cache["k"], cache["v"]], axis=2)
+            big = jnp.zeros(small.shape[:-1] + (Mfull,), small.dtype)
+            cache = {"kv": jax.lax.dynamic_update_slice(
+                big, small, (0, 0, 0, 0, 0))}
     else:
         cache = W.init_kv_cache(dims, B * K, dtype=xa.dtype, max_len=L,
                                 int8=self_kv_int8)
@@ -729,12 +757,11 @@ def beam_search_decode(
             pack_layer_weights,
         )
 
-        # fuse is a no-op on the engine's already-fused tree; packing is
-        # pure array re-refs + one tiny concat, once per call (not per step)
+        # fuse is a no-op on the engine's already-fused tree; packing
+        # quantises (if needed) + re-refs, once per call (not per step).
+        # cross_mega was emitted packed by the precompute scan above.
         wpack = pack_layer_weights(
             W.fuse_decoder_qkv(params)["decoder"]["blocks"])
-        # one-time cross re-layout for the kernel's DMA tiling rules
-        cross_mega = W.pack_cross_mega(cross_kv, dims.n_text_head)
         mega_interpret = jax.default_backend() != "tpu"
 
     def body(state: BeamState):

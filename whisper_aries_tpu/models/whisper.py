@@ -630,12 +630,14 @@ def init_kv_cache(dims: WhisperDims, batch: int, dtype=jnp.float32,
     full cache every layer to batch over (w,h))."""
     T = max_len if max_len is not None else dims.n_text_ctx
     if beam_k is not None:
-        # minor padded to the 128-lane tile: Mosaic DMA slices require
-        # the tiled dims' logical extents to equal the physical (padded)
-        # ones, so the megakernel's per-window cache streams need an
-        # exactly-tiled minor. The pad columns are never written and the
-        # ancestry masks (built over the padded width) keep them dead.
-        T = ((T * beam_k + 127) // 128) * 128
+        # minor padded to the 128-lane tile, PLUS one 128-lane slack
+        # tile: Mosaic DMA slices require tile-aligned extents, so the
+        # megakernel streams x128 buckets — and its in-kernel cache
+        # append writes a 256-lane aligned window that must fit inside
+        # the minor for every append position (pallas_decode_layers).
+        # The pad columns are never written and the ancestry masks
+        # (built over the padded width) keep them dead.
+        T = ((T * beam_k + 127) // 128) * 128 + 128
     H = dims.n_text_head
     dh = dims.n_text_state // H
     L = dims.n_text_layer
@@ -706,6 +708,72 @@ def precompute_cross_kv_int8(params: Dict[str, Any], xa: jax.Array,
         one, None, params["decoder"]["blocks"]["cross"]
     )
     return {"k8": K8, "ks": KS, "v8": V8, "vs": VS}
+
+
+def precompute_cross_kv_int8_packed(params: Dict[str, Any], xa: jax.Array,
+                                    dims: WhisperDims
+                                    ) -> Dict[str, jax.Array]:
+    """int8 cross K/V emitted DIRECTLY in the megakernel's packed layout
+    (pack_cross_mega's output contract) — kv8 (L, B, 2H, dh, TaP) int8,
+    sc (L, B, 2HP, TaP) f32, cmask (8, TaP).
+
+    Building the pack inside the per-layer scan means the quad layout
+    ({"k8","ks","v8","vs"}) never materialises: packing a precomputed
+    quad kept BOTH 3 GB cross buffers live at once, which was the HBM
+    peak that pushed the batch-24 bench into the OOM ladder. The prefill
+    still consumes quad-shaped arrays via ``cross_views_from_packed``
+    (pure slices that XLA fuses into the attention einsums)."""
+    from whisper_aries_tpu.ops.pallas_cross_attn import quantize_kv_per_position
+
+    H = dims.n_text_head
+    dh = dims.n_text_state // H
+    B, T, _ = xa.shape
+    TaP = ((T + 127) // 128) * 128
+    HP = ((H + 7) // 8) * 8
+    rsq = 1.0 / np.sqrt(dh)
+
+    def padt(x):
+        return jnp.pad(x, ((0, 0),) * (x.ndim - 1) + ((0, TaP - T),))
+
+    def sc4(x):  # (B, H, 1, T) f32 -> (B, HP, TaP)
+        x3 = padt(x[:, :, 0, :])
+        return jnp.pad(x3, ((0, 0), (0, HP - H), (0, 0)))
+
+    def one(_, cp):
+        k = dense(cp["k"], xa).reshape(B, T, H, dh).transpose(0, 2, 1, 3)
+        v = dense(cp["v"], xa).reshape(B, T, H, dh).transpose(0, 2, 1, 3)
+        k8, ks = quantize_kv_per_position(k)   # (B,H,T,dh), (B,H,1,T)
+        v8, vs = quantize_kv_per_position(v)
+        kv8_l = jnp.concatenate([padt(jnp.swapaxes(k8, -1, -2)),
+                                 padt(jnp.swapaxes(v8, -1, -2))], axis=1)
+        sc_l = jnp.concatenate([sc4((ks * rsq).astype(jnp.float32)),
+                                sc4(vs.astype(jnp.float32))], axis=1)
+        return None, (kv8_l, sc_l)
+
+    _, (KV8, SC) = jax.lax.scan(
+        one, None, params["decoder"]["blocks"]["cross"]
+    )
+    neg = float(np.finfo(np.float32).min)
+    cmask = jnp.zeros((8, TaP), jnp.float32).at[:, T:].set(neg)
+    return {"kv8": KV8, "sc": SC, "cmask": cmask}
+
+
+def cross_views_from_packed(cross_mega: Dict[str, jax.Array], n_head: int,
+                            Ta: int) -> Dict[str, jax.Array]:
+    """Quad-layout VIEWS of the packed cross tensors for the prefill's
+    XLA attention ({"k8","ks","v8","vs"} contract of decoder_step).
+    Pure slices — XLA fuses them into the einsums, so no copy of the
+    3 GB buffers materialises; the TaP pad columns are sliced away
+    (their scale-0 entries would otherwise poison the softmax)."""
+    kv8, sc = cross_mega["kv8"], cross_mega["sc"]
+    H = n_head
+    HP = sc.shape[2] // 2
+    return {
+        "k8": kv8[:, :, :H, :, :Ta],
+        "v8": kv8[:, :, H:2 * H, :, :Ta],
+        "ks": sc[:, :, :H, :Ta][:, :, :, None, :],
+        "vs": sc[:, :, HP:HP + H, :Ta][:, :, :, None, :],
+    }
 
 
 def _self_qkv(attn: Dict[str, Any], h: jax.Array) -> Tuple[jax.Array, ...]:
@@ -1060,14 +1128,15 @@ def decoder_step(
 
 def pack_cross_mega(cross_kv: Dict[str, jax.Array], n_head: int
                     ) -> Dict[str, jax.Array]:
-    """int8 cross-KV quad -> the megakernel's cross pack (ONE-TIME per
-    window batch; do NOT call per step).
+    """int8 cross-KV quad -> the megakernel's packed cross layout
+    (ONE-TIME per window batch; do NOT call per step).
 
-    Mosaic DMA slices need every tiled dim's logical extent to equal the
-    physical (padded) one, so: k8/v8 minors pad Ta -> x128 (dead columns
-    masked by ``cmask``), and the (L, B, H, 1, Ta) scales re-lay as
-    (L, B, HP, Ta) with the head axis padded to the 8-row sublane tile.
-    """
+    K and V concatenate on the head axis so one whole-window DMA fetches
+    both: kv8 (L, B, 2H, dh, TaP) int8 (heads :H = K, H: = V), scales
+    sc (L, B, 2HP, TaP) f32 (rows :H = ks, HP:HP+H = vs; head axis
+    padded to the 8-row sublane tile). Mosaic DMA slices need tiled-dim
+    extents x128-aligned, so Ta pads to TaP (dead columns carry scale 0
+    and are killed by ``cmask``)."""
     k8 = cross_kv["k8"]
     L, B, H, dh, Ta = k8.shape
     TaP = ((Ta + 127) // 128) * 128
@@ -1083,8 +1152,9 @@ def pack_cross_mega(cross_kv: Dict[str, jax.Array], n_head: int
     neg = float(np.finfo(np.float32).min)
     cmask = jnp.zeros((8, TaP), jnp.float32).at[:, Ta:].set(neg)
     return {
-        "k8": padt(k8), "v8": padt(cross_kv["v8"]),
-        "ksP": sc(cross_kv["ks"]), "vsP": sc(cross_kv["vs"]),
+        "kv8": jnp.concatenate([padt(k8), padt(cross_kv["v8"])], axis=2),
+        "sc": jnp.concatenate([sc(cross_kv["ks"]), sc(cross_kv["vs"])],
+                              axis=2),
         "cmask": cmask,
     }
 
@@ -1095,7 +1165,7 @@ def decoder_step_fused(
     wpack: Dict[str, jax.Array],
     tokens: jax.Array,             # (B, 1) int32 — single step only
     pos,                           # scalar int32
-    cache: Dict[str, jax.Array],   # K-minor bf16 {"k","v"}
+    cache: Dict[str, jax.Array],   # packed K-minor bf16 {"kv"}
     cross_mega: Dict[str, jax.Array],  # pack_cross_mega output
     dims: WhisperDims,
     beam_anc: jax.Array,           # (Bw, K, Tmax) int32
@@ -1106,13 +1176,13 @@ def decoder_step_fused(
     """decoder_step for the MEGAKERNEL beam path (beam_reorder="mega").
 
     Identical contract to ``decoder_step(..., beam_anc=..., beam_k=...)``
-    restricted to S==1, bf16 K-minor self-cache, int8 cross-KV: embedding
-    and the final LayerNorm + vocab GEMM run in XLA (3 well-fused ops);
-    the 32-layer stack runs as ONE Pallas call
-    (ops/pallas_decode_layers.py). ``wpack`` comes from
-    ``pack_layer_weights(params["decoder"]["blocks"])`` — pass it in from
-    outside the decode loop so the packing is not re-traced per step.
-    """
+    restricted to S==1, packed (L, Bw, 2H, dh, M) bf16 K-minor self-cache,
+    packed int8 cross-KV, int8 weights: embedding and the final LayerNorm
+    + vocab GEMM run in XLA (3 well-fused ops); the 32-layer stack runs
+    as ONE Pallas call (ops/pallas_decode_layers.py). ``wpack`` comes
+    from ``pack_layer_weights(params["decoder"]["blocks"])`` — pass it in
+    from outside the decode loop so the packing is not re-traced per
+    step."""
     from whisper_aries_tpu.ops.pallas_decode_layers import (
         fused_decoder_layers,
     )
@@ -1126,38 +1196,25 @@ def decoder_step_fused(
     vs = (jnp.asarray(valid_start, jnp.int32) if valid_start is not None
           else jnp.int32(0))
 
+    ckv = cache["kv"]
     emb = dec["tok_emb"]
     pos_idx = jnp.clip(pos - vs, 0, dims.n_text_ctx - 1)
     x = (emb[jnp.maximum(tokens[:, 0], 0)] + dec["pos_emb"][pos_idx]
-         ).astype(cache["k"].dtype)
+         ).astype(ckv.dtype)
 
-    # hist-only mask over the PADDED minor: the kernel scores the step's
-    # own K/V straight from VMEM as an extra concatenated softmax column
-    # (the cache append below happens AFTER the kernel — in-kernel
-    # unaligned minor-column writes are not expressible in Mosaic)
-    amask = ancestry_mask(beam_anc, pos, vs, Tmax, include_own=False,
-                          minor=cache["k"].shape[-1])
-    x, slabk, slabv = fused_decoder_layers(
-        x, wpack, cache["k"], cache["v"],
-        cross_mega["k8"], cross_mega["ksP"], cross_mega["v8"],
-        cross_mega["vsP"], cross_mega["cmask"],
+    # the cache append happens IN-KERNEL (an aligned read-modify-write
+    # of the covering 256-lane window into the aliased cache output —
+    # the XLA-side lane-unaligned DUS it replaces measured 13.6 ms/step,
+    # more than the whole 32-layer kernel), so the mask includes the own
+    # position: the kernel's attention reads the post-insert tiles
+    amask = ancestry_mask(beam_anc, pos, vs, Tmax, include_own=True,
+                          minor=ckv.shape[-1])
+    x, ckv = fused_decoder_layers(
+        x, wpack, ckv,
+        cross_mega["kv8"], cross_mega["sc"], cross_mega["cmask"],
         amask, pos, dims.n_text_head, K, interpret=interpret,
     )
-    H = dims.n_text_head
-    dh = dims.n_text_state // H
-
-    def to_kminor(slab):  # (L, Bw, KP, d) -> (L, Bw, H, dh, K)
-        Lx, Bw, _, _ = slab.shape
-        s5 = slab[:, :, :K].reshape(Lx, Bw, K, H, dh)
-        return s5.transpose(0, 1, 3, 4, 2)
-
-    ck = jax.lax.dynamic_update_slice(
-        cache["k"], to_kminor(slabk).astype(cache["k"].dtype),
-        (0, 0, 0, 0, pos * K))
-    cv = jax.lax.dynamic_update_slice(
-        cache["v"], to_kminor(slabv).astype(cache["v"].dtype),
-        (0, 0, 0, 0, pos * K))
     x = layer_norm(dec["ln"], x)
     logits = jnp.dot(x, emb.T.astype(x.dtype),
                      preferred_element_type=jnp.float32)
-    return logits[:, None, :], {"k": ck, "v": cv}
+    return logits[:, None, :], {"kv": ckv}

@@ -1,51 +1,86 @@
-"""Fused all-layers decode-step megakernel (TPU Pallas).
+"""Fused all-layers decode-step megakernel (TPU Pallas), v2.
 
-The beam decode step is per-op-overhead-bound: the unrolled 32-layer XLA
-decoder_step is ~500 ops x ~40 us fixed cost (~16 ms at batch 24 x beam 5)
-against a ~5 ms HBM roofline, and every XLA-level restructuring measured
-this round moved ops around without removing them (ROADMAP.md round-3
-anatomy). This kernel runs the ENTIRE per-layer stack — LN1 -> fused qkv
-GEMM -> ancestry self-attention (K-minor append-only cache, lazy beam
-reorder) -> out proj -> LN -> int8 cross-attention -> out proj -> LN2 ->
-MLP — as ONE pallas_call with grid=(n_layers,): activations stay resident
-in VMEM scratch across grid steps, weights/KV stream from HBM with
-double-buffered DMA, and the per-op dispatch cost is paid once per step
-instead of ~500 times.
+The beam decode step is HBM-stream-bound once op overhead is gone: this
+chip moves HBM->VMEM at ~566-575 GB/s regardless of DMA chunk size
+>= 256 KB, stride, or the number of concurrent chains
+(scripts/probe_dma.py), and the scoped-VMEM ceiling is NOT 16 MB — that
+is the compiler default, and pltpu.CompilerParams(vmem_limit_bytes=...)
+raises it to ~100 MB (scripts/probe_vmem.py). v1 of this kernel (chunked
+weight GEMMs, per-chunk cross fetches, serial self K-then-V fetches:
+~13k DMAs/step) measured ~22.7 ms/step against a 12.8 ms stream
+roofline. v2 is designed to the measured cost model:
 
-Replaces (when enabled): the layer loop of models/whisper.py::decoder_step
-for S==1 ancestry-mode beam steps (beam_reorder="mega"). Embedding, the
-final LayerNorm + vocab GEMM, the cache append (two dynamic_update_slice
-ops over the kernel's exported slabs), and the beam machinery stay in XLA.
+  * ~80 DMAs/layer, all >=256 KB: whole weight tensors, whole per-window
+    KV slabs. No chunk loops.
+  * int8 weights (CTranslate2's COMPUTE_TYPE=int8, ops/quant.py grid)
+    streamed whole-tensor and dequantised on the OUTPUT side of each
+    GEMM (scales commute with the contraction; quant.py "outscale") —
+    halves the 1.5 GB/step weight stream AND makes int8 the fastest
+    compute mode (it previously lost to bf16 in the op-bound XLA path,
+    ROADMAP round-2 matrix).
+  * packed self-cache (L, Bw, 2H, dh, M) — K and V arrive in ONE DMA per
+    window, and only the x128-rounded VALID prefix of the minor axis is
+    fetched (static bucket branches on the scalar-prefetched position):
+    the self stream shrinks from full-M 2.5 GB/step to ~(posk/M) of
+    that. Measured: 9.5 ms/step at bucket 1, 10.8 ms at bucket 4 —
+    at the DMA roofline (scripts/profile_mega_step.py).
+  * the CACHE APPEND happens IN-KERNEL: scripts/profile_mega_step.py
+    measured the XLA-side dynamic_update_slice append at 13.6 ms/step —
+    MORE than the entire 32-layer kernel — because a lane-unaligned
+    dynamic DUS on the 2.5 GB cache lowers to a full rewrite (plus a
+    K=5-minor padded 5D transpose). Mosaic cannot write unaligned lane
+    slices either, so the kernel instead (a) fetches a window whose
+    extent covers the 256-wide ALIGNED tile window containing the
+    append columns, (b) places the new K/V rows at the right lanes via
+    a one-hot PLACEMENT MATMUL (the MXU does the unaligned shift),
+    (c) selects them into the fetched tiles, and (d) DMAs the 256-wide
+    window back to the cache, which is an ALIASED output
+    (input_output_aliases) so the rest of the buffer is untouched.
+    Self-attention reads the post-insert tiles, so the ancestry mask
+    includes the own position (ancestry_mask include_own=True).
+  * packed whole-window cross KV + scales: 2 DMAs/window (v1: 12),
+    full-width attention, no flash chunking.
+  * every GEMM runs bf16 x bf16 -> f32 on the MXU. int8 weight/KV values
+    in [-127, 127] are EXACT in bf16, so this matches the XLA reference
+    math while avoiding ~1/8-rate f32 MXU dots (v1's cross dots were
+    f32).
 
-Numerics mirror the XLA path: LN in f32; GEMMs bf16 x bf16 with f32
-accumulation; self-attention logits f32 with the additive ancestry mask
-(the step's own K/V scores as an extra concatenated softmax column,
-computed from VMEM); cross-attention is the int8 dequant math of
-ops/pallas_cross_attn.py::cross_attention_q8_reference (logits*ks,
-probs*vs, flash-accumulated over time chunks); erf GeLU via the
+Replaces (when enabled): the layer loop of models/whisper.py::
+decoder_step for S==1 ancestry-mode beam steps (beam_reorder="mega", the
+TPU default). Embedding, the final LayerNorm + vocab GEMM, and the beam
+machinery stay in XLA. Weights MUST be int8 (pack_layer_weights
+quantises a bf16 tree with the ops/quant.py grid if needed, so callers
+can pass either).
+
+Numerics: LN in f32; GEMMs bf16 x bf16 with f32 accumulation, per-output
+-channel scale + bias applied to the f32 accumulator (quant.py
+_quant_matmul_outscale); self-attention logits f32 with the additive
+ancestry mask over the post-append cache; cross-attention is the int8
+math of ops/pallas_cross_attn.py::cross_attention_q8_reference
+(logits*ks, probs*vs) over the full window width; erf GeLU via the
 Abramowitz-Stegun fit (_erf_as). Parity is tested against the XLA beam
-decode in interpret mode (tests/test_decode.py
-::test_beam_mega_kernel_parity).
+decode with the SAME quantised weights in interpret mode
+(tests/test_decode.py::test_beam_mega_kernel_parity).
 
 Mosaic lowering rules this design is shaped by (probed on this backend):
   * lane-splitting value reshapes ((R, d) -> (.., H, dh)) do not lower;
-    ROW splits/merges at 8-row granularity, 2D transposes, and batched 3D
-    dot_generals do. Head axes therefore come from transpose ->
+    ROW splits/merges at 8-row granularity, 2D transposes, and batched
+    3D dot_generals do. Head axes therefore come from transpose ->
     leading-split ((KP, d) -> (d, KP) -> (H, dh, KP)) and return through
     a tiny identity matmul.
-  * every DMA slice needs the tiled (last two) dims' logical extents to
-    EQUAL the physical padded ones, and dynamic offsets to be provably
-    tile-aligned: hence the x128-padded K-minor cache minor
-    (init_kv_cache), the (L, Bw, HP, Ta) padded-head cross-scale layout
-    (pack_cross_mega), NC=256/128 weight chunks, and per-window rows held
-    in a (Bw, KP=8, 3d) window-major buffer (dynamic dim-0 indexing is
-    untiled and always legal).
+  * every DMA slice needs tile-aligned extents and PROVABLY tile-aligned
+    dynamic offsets (`t * 128` qualifies): hence the x128-padded K-minor
+    cache minor with one 128-lane slack tile (init_kv_cache), the x128
+    fetch buckets, the tile-aligned append window, and the (L, Bw, 2HP,
+    TaP) padded-head cross-scale layout (pack_cross_mega).
   * rows pad K -> KP=8 per window (batched-dot lowering merges
-    (H, K, dh) -> (H*K, dh) and needs 8-row alignment); the pad rows ride
-    the GEMMs (~+K/KP MXU on a DMA-bound step) and are masked/discarded.
+    (H, K, dh) -> (H*K, dh) and needs 8-row alignment); the pad rows
+    carry garbage that the padded amask (NEG rows) and the placement
+    matrix's j < K guard discard.
 
-Reference parity anchor: CTranslate2's fused decode step (the reference's
-WhisperModel engine, SURVEY.md N1) — same motivation, TPU-native design.
+Reference parity anchor: CTranslate2's fused int8 decode step (the
+reference's WhisperModel engine, SURVEY.md N1) — same motivation,
+TPU-native design.
 """
 
 from __future__ import annotations
@@ -84,20 +119,42 @@ def _erf_as(x: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 def pack_layer_weights(blocks: Dict[str, Any]) -> Dict[str, jax.Array]:
-    """Stacked decoder blocks -> the kernel's flat weight dict.
+    """Stacked decoder blocks -> the kernel's int8 weight pack.
 
-    All small per-layer vectors (LN scales/biases, GEMM biases) pack into
-    ONE (L, VEC) f32 array so each layer costs a single small DMA instead
-    of nine. Layout (offsets are static per dims):
+    Accepts the fused-qkv tree in EITHER form: already int8-quantised
+    ({"q","s","b"} dense dicts from ops/quant.py::quantize_model_params)
+    or bf16/f32 ({"w","b"}), which is quantised here with the identical
+    per-output-channel grid — so beam_reorder="mega" is CTranslate2's
+    COMPUTE_TYPE=int8 regardless of what the caller loaded.
+
+    Layout: wq8 (L, d, 6d) int8 = [qkv | o | cq | co] column-concat;
+    wf18 (L, d, ff); wf28 (L, ff, d). All small per-layer vectors — LN
+    scales/biases, GEMM biases, AND the dequant scales — pack into ONE
+    (L, 1, VEC) f32 array so each layer costs a single small DMA:
       [ln1.s, ln1.b, qkv.b, o.b, lnc.s, lnc.b, cq.b, co.b,
-       ln2.s, ln2.b, fc1.b, fc2.b]
-    Requires the fused-qkv tree (models/whisper.py::fuse_decoder_qkv).
+       ln2.s, ln2.b, fc1.b, fc2.b,
+       s_qkv(3d), s_o(d), s_cq(d), s_co(d), s_f1(ff), s_f2(d)]
     """
+    from whisper_aries_tpu.ops.quant import quantize_int8
+
     attn = blocks["attn"]
     cross = blocks["cross"]
     mlp = blocks["mlp"]
     if "qkv" not in attn:
         raise ValueError("pack_layer_weights needs the fused-qkv tree")
+
+    def as_q8(p):
+        if "q" in p:
+            return jnp.asarray(p["q"]), jnp.asarray(p["s"], jnp.float32)
+        q, s = quantize_int8(p["w"])
+        return q, s
+
+    q_qkv, s_qkv = as_q8(attn["qkv"])
+    q_o, s_o = as_q8(attn["o"])
+    q_cq, s_cq = as_q8(cross["q"])
+    q_co, s_co = as_q8(cross["o"])
+    q_f1, s_f1 = as_q8(mlp["fc1"])
+    q_f2, s_f2 = as_q8(mlp["fc2"])
 
     def v(x):
         return jnp.asarray(x).astype(jnp.float32)
@@ -109,23 +166,22 @@ def pack_layer_weights(blocks: Dict[str, Any]) -> Dict[str, jax.Array]:
         v(cross["q"]["b"]), v(cross["o"]["b"]),
         v(blocks["ln2"]["scale"]), v(blocks["ln2"]["bias"]),
         v(mlp["fc1"]["b"]), v(mlp["fc2"]["b"]),
+        s_qkv, s_o, s_cq, s_co, s_f1, s_f2,
     ], axis=-1)
     # (L, 1, VEC): the layer axis must stay OUTSIDE the tiled (last two)
     # dims so the kernel's .at[l] slice needs no 8-row alignment
     vecs = vecs[:, None, :]
     return {
-        "vecs": vecs,                                  # (L, 1, VEC) f32
-        "wqkv": jnp.asarray(attn["qkv"]["w"]),         # (L, d, 3d)
-        "wo": jnp.asarray(attn["o"]["w"]),             # (L, d, d)
-        "wcq": jnp.asarray(cross["q"]["w"]),           # (L, d, d)
-        "wco": jnp.asarray(cross["o"]["w"]),           # (L, d, d)
-        "wf1": jnp.asarray(mlp["fc1"]["w"]),           # (L, d, ff)
-        "wf2": jnp.asarray(mlp["fc2"]["w"]),           # (L, ff, d)
+        "vecs": vecs,                                        # (L, 1, VEC)
+        "wq8": jnp.concatenate([q_qkv, q_o, q_cq, q_co], axis=-1),
+        "wf18": q_f1,                                        # (L, d, ff)
+        "wf28": q_f2,                                        # (L, ff, d)
     }
 
 
 def _vec_offsets(d: int, ff: int):
-    sizes = [d, d, 3 * d, d, d, d, d, d, d, d, ff, d]
+    sizes = [d, d, 3 * d, d, d, d, d, d, d, d, ff, d,   # LN/bias segments
+             3 * d, d, d, d, ff, d]                      # dequant scales
     offs = np.concatenate([[0], np.cumsum(sizes)])
     return offs, int(offs[-1])
 
@@ -137,17 +193,22 @@ def _vec_offsets(d: int, ff: int):
 def fused_decoder_layers_reference(
     x: jax.Array,                 # (R, d) bf16/f32, R = Bw*K
     wpack: Dict[str, jax.Array],
-    ck: jax.Array, cv: jax.Array,  # (L, Bw, H, dh, M) K-minor self-cache
-    xk8: jax.Array, xks: jax.Array, xv8: jax.Array, xvs: jax.Array,
-    amask: jax.Array,             # (Bw, K, M) f32 additive (own+hist+vs)
+    ckv: jax.Array,               # (L, Bw, 2H, dh, M) packed self-cache
+    xkv8: jax.Array,              # (L, Bw, 2H, dh, TaP) packed int8 cross
+    xsc: jax.Array,               # (L, Bw, 2HP, TaP) f32 packed scales
+    amask: jax.Array,             # (Bw, K, M) f32 additive (hist+own+vs)
     pos: jax.Array,               # scalar int32
     n_head: int, beam_k: int,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """The math the kernel implements, in plain jnp (CPU tests)."""
-    L, Bw, H, dh, M = ck.shape
+) -> Tuple[jax.Array, jax.Array]:
+    """The math the kernel implements, in plain jnp (CPU tests).
+
+    Returns (x_out (R, d), the appended cache (L, Bw, 2H, dh, M))."""
+    L, Bw, H2, dh, M = ckv.shape
+    H = n_head
+    HP = xsc.shape[2] // 2
     K = beam_k
     R, d = x.shape
-    ff = wpack["wf1"].shape[-1]
+    ff = wpack["wf18"].shape[-1]
     offs, _ = _vec_offsets(d, ff)
 
     def ln(xx, s, b, eps=1e-5):
@@ -156,63 +217,68 @@ def fused_decoder_layers_reference(
         var = jnp.mean((xf - mu) ** 2, -1, keepdims=True)
         return ((xf - mu) * jax.lax.rsqrt(var + eps) * s + b).astype(xx.dtype)
 
+    def gemm(h, w8, si, bi):
+        # quant.py _quant_matmul_outscale numerics EXACTLY: bf16 x
+        # int8-as-bf16 MXU dot, f32 accumulation, output-side scale,
+        # f32 bias add (bf16 even off-TPU — outscale hard-casts too)
+        y = jnp.dot(h.astype(jnp.bfloat16), w8.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+        y = y * vec[int(offs[si]):int(offs[si + 1])][None, :]
+        return y + vec[int(offs[bi]):int(offs[bi + 1])][None, :]
+
+    new_layers = []
     for l in range(L):
         vec = wpack["vecs"][l, 0]
-
-        def seg(i):
-            return vec[int(offs[i]):int(offs[i + 1])]
-
-        h = ln(x, seg(0), seg(1))
-        qkv = (jnp.dot(h, wpack["wqkv"][l].astype(h.dtype),
-                       preferred_element_type=jnp.float32)
-               + seg(2)).astype(h.dtype)
+        h = ln(x, vec[int(offs[0]):int(offs[1])],
+               vec[int(offs[1]):int(offs[2])])
+        qkv = gemm(h, wpack["wq8"][l][:, :3 * d], 12, 2).astype(h.dtype)
         q, k, v = qkv[:, :d], qkv[:, d:2 * d], qkv[:, 2 * d:]
 
         def slab(z):  # (R, d) -> K-minor (Bw, H, dh, K)
             return z.reshape(Bw, K, H, dh).transpose(0, 2, 3, 1)
 
-        ck = jax.lax.dynamic_update_slice(
-            ck, slab(k)[None].astype(ck.dtype), (l, 0, 0, 0, pos * K))
-        cv = jax.lax.dynamic_update_slice(
-            cv, slab(v)[None].astype(cv.dtype), (l, 0, 0, 0, pos * K))
-        # ancestry self-attention over the window's K slots
+        new_kv = jnp.concatenate([slab(k), slab(v)], axis=1)  # (Bw,2H,..)
+        ckv_l = jax.lax.dynamic_update_slice(
+            ckv[l], new_kv.astype(ckv.dtype), (0, 0, 0, pos * K))
+        new_layers.append(ckv_l)
+        # ancestry self-attention over the appended cache (amask includes
+        # the own position: t == pos, j == k)
         qw = (q.astype(jnp.float32) * (dh ** -0.5)).astype(q.dtype)
         qw = qw.reshape(Bw, K, H, dh).transpose(0, 2, 1, 3)   # (Bw,H,K,dh)
-        lg = jnp.einsum("whkd,whdm->whkm", qw, ck[l],
+        lg = jnp.einsum("whkd,whdm->whkm", qw, ckv_l[:, :H],
                         preferred_element_type=jnp.float32)
         lg = lg + amask[:, None]
-        pr = jax.nn.softmax(lg, axis=-1).astype(cv.dtype)
-        att = jnp.einsum("whkm,whdm->whkd", pr, cv[l],
+        pr = jax.nn.softmax(lg, axis=-1).astype(ckv.dtype)
+        att = jnp.einsum("whkm,whdm->whkd", pr, ckv_l[:, H:],
                          preferred_element_type=jnp.float32)
         att = att.transpose(0, 2, 1, 3).reshape(R, d).astype(x.dtype)
-        x = x + (jnp.dot(att, wpack["wo"][l].astype(x.dtype),
-                         preferred_element_type=jnp.float32)
-                 + seg(3)).astype(x.dtype)
+        x = x + gemm(att, wpack["wq8"][l][:, 3 * d:4 * d], 13, 3
+                     ).astype(x.dtype)
 
-        h = ln(x, seg(4), seg(5))
-        cq = (jnp.dot(h, wpack["wcq"][l].astype(h.dtype),
-                      preferred_element_type=jnp.float32)
-              + seg(6)).astype(h.dtype)
+        h = ln(x, vec[int(offs[4]):int(offs[5])],
+               vec[int(offs[5]):int(offs[6])])
+        cq = gemm(h, wpack["wq8"][l][:, 4 * d:5 * d], 14, 6).astype(h.dtype)
         qx = cq.reshape(Bw, K, H, dh).transpose(0, 2, 1, 3)  # (Bw,H,K,dh)
+        ks = xsc[l][:, :H]                     # (Bw, H, TaP)
+        vs = xsc[l][:, HP:HP + H]
         lgx = jnp.einsum("whkd,whdt->whkt", qx.astype(jnp.float32),
-                         xk8[l].astype(jnp.float32))
-        lgx = lgx * xks[l]
-        px = jax.nn.softmax(lgx, axis=-1) * xvs[l]
-        atx = jnp.einsum("whkt,whdt->whkd", px, xv8[l].astype(jnp.float32))
+                         xkv8[l][:, :H].astype(jnp.float32))
+        lgx = lgx * ks[:, :, None, :]
+        lgx = jnp.where(ks[:, :, None, :] == 0.0, NEG, lgx)  # TaP pad kill
+        px = jax.nn.softmax(lgx, axis=-1) * vs[:, :, None, :]
+        atx = jnp.einsum("whkt,whdt->whkd", px,
+                         xkv8[l][:, H:].astype(jnp.float32))
         atx = atx.transpose(0, 2, 1, 3).reshape(R, d).astype(x.dtype)
-        x = x + (jnp.dot(atx, wpack["wco"][l].astype(x.dtype),
-                         preferred_element_type=jnp.float32)
-                 + seg(7)).astype(x.dtype)
+        x = x + gemm(atx, wpack["wq8"][l][:, 5 * d:6 * d], 15, 7
+                     ).astype(x.dtype)
 
-        h = ln(x, seg(8), seg(9))
-        h1 = (jnp.dot(h, wpack["wf1"][l].astype(h.dtype),
-                      preferred_element_type=jnp.float32) + seg(10))
+        h = ln(x, vec[int(offs[8]):int(offs[9])],
+               vec[int(offs[9]):int(offs[10])])
+        h1 = gemm(h, wpack["wf18"][l], 16, 10)
         h1 = (0.5 * h1 * (1.0 + jax.lax.erf(h1 / np.sqrt(2.0)))
               ).astype(h.dtype)
-        x = x + (jnp.dot(h1, wpack["wf2"][l].astype(h1.dtype),
-                         preferred_element_type=jnp.float32)
-                 + seg(11)).astype(h1.dtype)
-    return x, ck, cv
+        x = x + gemm(h1, wpack["wf28"][l], 17, 11).astype(h1.dtype)
+    return x, jnp.stack(new_layers, axis=0)
 
 
 # ---------------------------------------------------------------------------
@@ -220,47 +286,117 @@ def fused_decoder_layers_reference(
 # ---------------------------------------------------------------------------
 
 def _make_kernel(RP: int, d: int, ff: int, H: int, dh: int, Bw: int,
-                 K: int, KP: int, M: int, Ta: int, NC: int, CT: int,
-                 HP: int, dtype):
-    """Build the layer-grid kernel body for static dims.
-
-    NC: weight chunk width (divides d, 3d and ff).
-    CT: cross-attention time-chunk width (divides Ta).
-    """
+                 K: int, KP: int, M: int, Ta: int, HP: int, dtype):
+    """Build the layer-grid kernel body for static dims."""
     offs, VEC = _vec_offsets(d, ff)
-    n_d = d // NC
-    n_3d = 3 * d // NC
-    n_ff = ff // NC
-    n_ct = Ta // CT
     rsq = float(dh) ** -0.5
+    n_bk = max(2, M // 128)   # x128 fetch buckets (M has a slack tile)
 
     def kernel(posk_ref,                                    # SMEM (1,)
                x_ref,                                       # (RP, d) VMEM
                amask_ref,                                   # (Bw,KP,M) VMEM
                cmask_ref,                                   # (8, Ta) VMEM
                vecs_ref,                                    # (L,1,VEC) HBM
-               wqkv_ref, wo_ref, wcq_ref, wco_ref,          # ANY
-               wf1_ref, wf2_ref,                            # ANY
-               ck_ref, cv_ref,                              # ANY
-               xk8_ref, xks_ref, xv8_ref, xvs_ref,          # ANY
+               wq_ref, wf1_ref, wf2_ref,                    # ANY int8
+               ckv_in_ref,                                  # ANY bf16
+               xkv_ref, xsc_ref,                            # ANY
                x_out_ref,                                   # (RP, d) VMEM
-               skout_ref, svout_ref,                        # (L,Bw,KP,d)
-               xs, wa, wb, vecv, sb, cbk, cbv, csck, cscv,
-               h3, skstage, svstage, h1s, accs,
-               sem_w, sem_v, sem_s, sem_c, sem_wr):
+               ckv_ref,                                     # ANY (aliased)
+               xs, wqb, wf1b, wf2b, vecv, sb, cb, csb, h3, h1s, accs,
+               sem_v, sem_wq, sem_wf1, sem_wf2, sem_s, sem_c, sem_cs,
+               sem_wb):
         l = pl.program_id(0)
         nL = pl.num_programs(0)
         posk = posk_ref[0]
+        # append window: 256 aligned lanes covering [posk, posk+K); the
+        # slack tile in M guarantees wtile*128+256 <= M AND the insert
+        # offset (posk - wtile*128) stays in [0, 256-K]
+        wtile = jnp.minimum(posk // 128, n_bk - 2)
+        # fetch extent covers both the valid history and the append
+        # window: (wtile + 2) x128 tiles
+        bid = jnp.clip(wtile + 2, 2, n_bk)
+
+        def w_get(ref, buf, sem, li):
+            slot = jax.lax.rem(li, 2)
+            return pltpu.make_async_copy(ref.at[li], buf.at[slot],
+                                         sem.at[slot])
+
+        def w_start_all(li):
+            w_get(vecs_ref, vecv, sem_v, li).start()
+            w_get(wq_ref, wqb, sem_wq, li).start()
+            w_get(wf1_ref, wf1b, sem_wf1, li).start()
+            w_get(wf2_ref, wf2b, sem_wf2, li).start()
+
+        def s_copy(slot, li, w):
+            # bucketed fetch: only the x128 tiles covering the valid
+            # history + append window stream; the VMEM tail beyond stays
+            # ZERO (init below) so the full-M dots read 0s that the NEG
+            # amask kills — correctness never depends on the bucket.
+            for bi in range(2, n_bk + 1):
+                @pl.when(bid == bi)
+                def _():
+                    pltpu.make_async_copy(
+                        ckv_in_ref.at[li, w, :, :, pl.ds(0, bi * 128)],
+                        sb.at[slot, :, :, pl.ds(0, bi * 128)],
+                        sem_s.at[slot]).start()
+
+        def s_wait(slot):
+            for bi in range(2, n_bk + 1):
+                @pl.when(bid == bi)
+                def _():
+                    pltpu.make_async_copy(
+                        ckv_in_ref.at[0, 0, :, :, pl.ds(0, bi * 128)],
+                        sb.at[slot, :, :, pl.ds(0, bi * 128)],
+                        sem_s.at[slot]).wait()
+
+        def wb_copy(slot, li, w):
+            # append write-back: the 256-wide ALIGNED window, into the
+            # ALIASED cache output (the rest of the buffer is untouched)
+            return pltpu.make_async_copy(
+                sb.at[slot, :, :, pl.ds(wtile * 128, 256)],
+                ckv_ref.at[li, w, :, :, pl.ds(wtile * 128, 256)],
+                sem_wb.at[slot])
+
+        def c_copy(slot, li, w):
+            pltpu.make_async_copy(xkv_ref.at[li, w], cb.at[slot],
+                                  sem_c.at[slot]).start()
+            pltpu.make_async_copy(xsc_ref.at[li, w], csb.at[slot],
+                                  sem_cs.at[slot]).start()
+
+        def c_wait(slot):
+            pltpu.make_async_copy(xkv_ref.at[0, 0], cb.at[slot],
+                                  sem_c.at[slot]).wait()
+            pltpu.make_async_copy(xsc_ref.at[0, 0], csb.at[slot],
+                                  sem_cs.at[slot]).wait()
 
         @pl.when(l == 0)
         def _():
             xs[:] = x_ref[:]
+            # dead-lane hygiene for the bucketed self fetch: zero ONLY
+            # the static tail [bid*128:] that no DMA of this call ever
+            # writes — the zero stores and the in-flight fetches touch
+            # DISJOINT bytes, so no VPU-store/DMA-write ordering is
+            # assumed (Mosaic does not synchronize the two).
+            for bi in range(2, n_bk):
+                @pl.when(bid == bi)
+                def _():
+                    sb[:, :, :, pl.ds(bi * 128, M - bi * 128)] = (
+                        jnp.zeros((2, 2 * H, dh, M - bi * 128), dtype))
+            w_start_all(0)
+            s_copy(0, 0, 0)
+            c_copy(0, 0, 0)
 
-        cvec = pltpu.make_async_copy(vecs_ref.at[l], vecv, sem_v)
-        cvec.start()
+        # prefetch the NEXT layer's weights into the other slot: slot
+        # (l+1)%2 was last read by layer l-1, which completed before this
+        # program ran (grid steps are sequential on one core)
+        @pl.when(l + 1 < nL)
+        def _():
+            w_start_all(l + 1)
+
+        slot_w = jax.lax.rem(l, 2)
 
         def seg(i):
-            return vecv[0, int(offs[i]):int(offs[i + 1])]
+            return vecv[slot_w, 0, int(offs[i]):int(offs[i + 1])]
 
         def lnorm(xf32, i):
             mu = jnp.mean(xf32, -1, keepdims=True)
@@ -268,44 +404,25 @@ def _make_kernel(RP: int, d: int, ff: int, H: int, dh: int, Bw: int,
             y = (xf32 - mu) * jax.lax.rsqrt(var + 1e-5)
             return (y * seg(i)[None, :] + seg(i + 1)[None, :]).astype(dtype)
 
-        # ---- chunked GEMM out of HBM weights (double-buffered) ----
-        def gemm_chunks(w_ref, h_in, n_chunks, out_cb, bias_seg):
-            bias_base = int(offs[bias_seg])
-
-            def get(slot, c):
-                return pltpu.make_async_copy(
-                    w_ref.at[l, :, pl.ds(c * NC, NC)],
-                    wa.at[slot], sem_w.at[slot])
-
-            get(0, 0).start()
-
-            def body(c, _):
-                slot = jax.lax.rem(c, 2)
-                nxt = jax.lax.rem(c + 1, 2)
-
-                @pl.when(c + 1 < n_chunks)
-                def _():
-                    get(nxt, c + 1).start()
-
-                get(slot, c).wait()
-                blk = jnp.dot(h_in, wa[slot],
-                              preferred_element_type=jnp.float32)
-                # bias chunk read straight off the vec ref (Mosaic has no
-                # dynamic_slice on values; pl.ds ref reads are fine)
-                blk = blk + vecv[0, pl.ds(bias_base + c * NC, NC)][None, :]
-                out_cb(c, blk)
-                return 0
-
-            jax.lax.fori_loop(0, n_chunks, body, 0)
+        def gemm(h_in, w8, si, bi):
+            # _quant_matmul_outscale numerics EXACTLY: bf16 MXU dot
+            # (int8 values are exact in bf16; bf16 even in f32 interpret
+            # mode, as outscale hard-casts), f32 accumulation, output
+            # -side per-channel scale + f32 bias
+            y = jax.lax.dot_general(
+                h_in.astype(jnp.bfloat16), w8.astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return y * seg(si)[None, :] + seg(bi)[None, :]
 
         # ---- Mosaic-compatible head handling --------------------------
         # Lane-splitting reshapes ((R, d) -> (.., H, dh)) do not lower;
         # row splits, 2D transposes and batched 3D dots do (probed on
-        # this backend). So per-window rows move by DMA (no alignment
-        # limits), the head axis comes from transpose -> LEADING-split
-        # reshape ((K, d) -> (d, K) -> (H, dh, K)), and the K-sublane
-        # attention output returns to row layout through a tiny identity
-        # matmul ((H, K, dh) x I_K -> (H, dh, K) -> (d, K) -> (K, d)).
+        # this backend). So per-window rows live in the window-major h3
+        # buffer (dynamic dim-0 indexing is untiled and always legal),
+        # the head axis comes from transpose -> LEADING-split reshape
+        # ((K, d) -> (d, K) -> (H, dh, K)), and the K-sublane attention
+        # output returns to row layout through a tiny identity matmul.
         i_k = (jax.lax.broadcasted_iota(jnp.int32, (KP, KP), 0)
                == jax.lax.broadcasted_iota(jnp.int32, (KP, KP), 1)
                ).astype(jnp.float32)
@@ -322,224 +439,150 @@ def _make_kernel(RP: int, d: int, ff: int, H: int, dh: int, Bw: int,
                 preferred_element_type=jnp.float32)     # (H, dh, KP)
             return t.reshape(d, KP).T                   # (KP, d)
 
-        # window-major staging buffer: per-window row access is a DYNAMIC
-        # index on the untiled dim 0 (always legal), where slicing 5 rows
-        # out of the (R, ...) row-major layout would need 8-row alignment.
-        # GEMM chunks land via a value row-split (R, NC) -> (Bw, K, NC)
-        # (row splits lower; lane splits don't).
-        def h3_out(c, blk):
-            h3[:, :, pl.ds(c * NC, NC)] = blk.reshape(
-                Bw, KP, NC).astype(dtype)
+        # one-hot placement: P[j, c] = (c == (posk - wtile*128) + j) for
+        # j < K — the MXU shifts the new K/V rows to their (unaligned)
+        # target lanes inside the aligned append window
+        off = posk - wtile * 128
+        cj = jax.lax.broadcasted_iota(jnp.int32, (KP, 256), 0)
+        cc = jax.lax.broadcasted_iota(jnp.int32, (KP, 256), 1)
+        p_place = ((cc == off + cj) & (cj < K)).astype(dtype)
+        # full-shape select mask: Mosaic cannot relayout a broadcast of
+        # a (1, 1, 256) bool into the (2H, dh, 256) where()
+        ci3 = jax.lax.broadcasted_iota(jnp.int32, (2 * H, dh, 256), 2)
+        lane_ins = (ci3 >= off) & (ci3 < off + K)       # (2H,dh,256)
 
         # ==================== self-attention block ====================
-        cvec.wait()
+        pltpu.make_async_copy(vecs_ref.at[l], vecv.at[slot_w],
+                              sem_v.at[slot_w]).wait()
         h = lnorm(xs[:].astype(jnp.float32), 0)
-        gemm_chunks(wqkv_ref, h, n_3d, h3_out, 2)
-
-
-        # ---- export the layer's new K/V slabs (the CACHE APPEND happens
-        # in XLA after the kernel: writing K unaligned minor columns of
-        # the tiled cache from inside the kernel is not expressible —
-        # Mosaic requires lane slices to be 128-aligned. The own-position
-        # scores instead come straight from VMEM as an extra concatenated
-        # softmax column, so the stale cache column is never read.)
-        skstage[:] = h3[:, :, d:2 * d]
-        svstage[:] = h3[:, :, 2 * d:3 * d]
-        dk = pltpu.make_async_copy(skstage, skout_ref.at[l], sem_wr.at[0])
-        dv = pltpu.make_async_copy(svstage, svout_ref.at[l], sem_wr.at[1])
-        dk.start()
-        dv.start()
-        # identity over dh: batched K<->dh transposes ride the MXU
-        i_dh = (jax.lax.broadcasted_iota(jnp.int32, (dh, dh), 0)
-                == jax.lax.broadcasted_iota(jnp.int32, (dh, dh), 1)
-                ).astype(dtype)
-
-        # ---- ancestry attention, double-buffered streams ---------------
-        def s_get(slot, w, ref):
-            return pltpu.make_async_copy(
-                ref.at[l, w], sb.at[slot], sem_s.at[slot])
-
-        s_get(0, 0, ck_ref).start()
+        pltpu.make_async_copy(wq_ref.at[l], wqb.at[slot_w],
+                              sem_wq.at[slot_w]).wait()
+        qkv = gemm(h, wqb[slot_w][:, :3 * d], 12, 2)
+        h3[:] = qkv.astype(dtype).reshape(Bw, KP, 3 * d)
 
         def self_window(w, _):
             slot = jax.lax.rem(w, 2)
-            nxt = jax.lax.rem(w + 1, 2)
+
+            @pl.when(w + 1 < Bw)
+            def _():
+                # slot (w+1)%2's append write-back (window w-1) must
+                # drain before the fetch overwrites the staging buffer
+                @pl.when(w >= 1)
+                def _():
+                    wb_copy(jax.lax.rem(w + 1, 2), 0, 0).wait()
+                s_copy(jax.lax.rem(w + 1, 2), l, w + 1)
+
             qh3 = rows_to_heads(
                 (h3[w][:, :d].astype(jnp.float32) * rsq
                  ).astype(dtype))                       # (H, dh, KP)
             kh3 = rows_to_heads(h3[w][:, d:2 * d])
             vh3 = rows_to_heads(h3[w][:, 2 * d:3 * d])
-            # (H, K, dh) variants for the own-column math
-            qT = jax.lax.dot_general(
-                qh3, i_dh, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)     # (H, K, dh)
-            s_get(slot, w, ck_ref).wait()
+            s_wait(slot)
+            # ---- in-kernel cache append ----
+            placed_k = jax.lax.dot_general(
+                kh3, p_place, dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)     # (H, dh, 256)
+            placed_v = jax.lax.dot_general(
+                vh3, p_place, dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            tile = sb[slot, :, :, pl.ds(wtile * 128, 256)]  # (2H,dh,256)
+            placed = jnp.concatenate(
+                [placed_k, placed_v], axis=0).astype(dtype)  # (2H,dh,256)
+            sb[slot, :, :, pl.ds(wtile * 128, 256)] = jnp.where(
+                lane_ins, placed, tile)
+            wb_copy(slot, l, w).start()
+            # ---- attention over the post-append cache ----
             lg = jax.lax.dot_general(
-                qh3, sb[slot],
+                qh3, sb[slot][:H],
                 dimension_numbers=(((1,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)     # (H, K, M)
-            lg = lg + amask_ref[w][None]                # hist+vs only
-            # own-position score: q_k . k_k per head, straight from VMEM
-            kT = jax.lax.dot_general(
-                kh3.astype(jnp.float32), i_dh.astype(jnp.float32),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)     # (H, K, dh)
-            own = jnp.sum(qT * kT, axis=-1, keepdims=True)  # (H, K, 1)
-            lg = jnp.concatenate([lg, own], axis=-1)    # (H, K, M+1)
+            lg = lg + amask_ref[w][None]                # hist+own+vs
             mx = jnp.max(lg, -1, keepdims=True)
             ex = jnp.exp(lg - mx)
             pr = (ex / jnp.sum(ex, -1, keepdims=True)).astype(dtype)
-            # v streams through the same slot after k is consumed
-            s_get(slot, w, cv_ref).start()
-            s_get(slot, w, cv_ref).wait()
             att = jax.lax.dot_general(
-                pr[:, :, :M], sb[slot],
+                pr, sb[slot][H:2 * H],
                 dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)     # (H, K, dh)
-            vT = jax.lax.dot_general(
-                vh3.astype(jnp.float32), i_dh.astype(jnp.float32),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)     # (H, K, dh)
-            att = att + pr[:, :, M:].astype(jnp.float32) * vT
-
-            @pl.when(w + 1 < Bw)
-            def _():
-                s_get(nxt, w + 1, ck_ref).start()
-
-            # window w's q/k/v were consumed above; reuse its q region
+            # window w's q was consumed above; reuse its q region
             h3[w, :, :d] = heads_to_rows(att).astype(dtype)
             return 0
 
         jax.lax.fori_loop(0, Bw, self_window, 0)
-        dk.wait()
-        dv.wait()
+        # drain the pending append write-backs: window Bw-1's, and
+        # window Bw-2's (its in-loop wait site — iteration Bw-1's
+        # prefetch block — never runs, as there is no window Bw)
+        wb_copy(jax.lax.rem(Bw - 1, 2), 0, 0).wait()
+        if Bw >= 2:
+            wb_copy(jax.lax.rem(Bw - 2, 2), 0, 0).wait()
+
+        # layer l+1's window-0 self fetch: both slots' reads completed
+        # inside the loop above; the data is needed only after l+1's qkv
+        # GEMM, a full cross+MLP block away
+        @pl.when(l + 1 < nL)
+        def _():
+            s_copy(0, l + 1, 0)
 
         att_all = h3[:, :, :d].reshape(RP, d)           # 8-row merge
-
-        def res_out(c, blk):
-            accs[:, pl.ds(c * NC, NC)] = (
-                xs[:, pl.ds(c * NC, NC)].astype(jnp.float32) + blk)
-
-        gemm_chunks(wo_ref, att_all, n_d, res_out, 3)
+        accs[:] = xs[:].astype(jnp.float32) + gemm(
+            att_all, wqb[slot_w][:, 3 * d:4 * d], 13, 3)
         xs[:] = accs[:].astype(dtype)
 
         # ==================== cross-attention block ====================
         h = lnorm(accs[:], 4)
-        gemm_chunks(wcq_ref, h, n_d, h3_out, 6)
-
-        def c_get(slot, w, t):
-            # scales arrive in the (L, Bw, HP, Ta) padded-head layout
-            # (models/whisper.py::pack_cross_mega — DMA tiling rules)
-            return (
-                pltpu.make_async_copy(
-                    xk8_ref.at[l, w, :, :, pl.ds(t * CT, CT)],
-                    cbk.at[slot], sem_c.at[0, slot]),
-                pltpu.make_async_copy(
-                    xks_ref.at[l, w, :, pl.ds(t * CT, CT)],
-                    csck.at[slot], sem_c.at[1, slot]),
-                pltpu.make_async_copy(
-                    xv8_ref.at[l, w, :, :, pl.ds(t * CT, CT)],
-                    cbv.at[slot], sem_c.at[2, slot]),
-                pltpu.make_async_copy(
-                    xvs_ref.at[l, w, :, pl.ds(t * CT, CT)],
-                    cscv.at[slot], sem_c.at[3, slot]),
-            )
-
-        for dma in c_get(0, 0, 0):
-            dma.start()
+        cq = gemm(h, wqb[slot_w][:, 4 * d:5 * d], 14, 6)
+        h3[:, :, :d] = cq.astype(dtype).reshape(Bw, KP, d)
 
         def cross_window(w, _):
+            slot = jax.lax.rem(w, 2)
+
+            @pl.when(w + 1 < Bw)
+            def _():
+                c_copy(jax.lax.rem(w + 1, 2), l, w + 1)
+
             qh3 = rows_to_heads(h3[w][:, :d])           # (H, dh, KP)
-            m0 = jnp.full((H, KP, 1), NEG, jnp.float32)
-            s0 = jnp.zeros((H, KP, 1), jnp.float32)
-            a0 = jnp.zeros((H, KP, dh), jnp.float32)
-
-            def chunk(t, carry):
-                m, s, acc = carry
-                # slot parity runs GLOBALLY across windows (w*n_ct + t):
-                # with odd n_ct a per-window slot would land the next
-                # window's first chunk in the wrong buffer
-                g = w * n_ct + t
-                slot = jax.lax.rem(g, 2)
-                for dma in c_get(slot, w, t):
-                    dma.wait()
-
-                @pl.when(t + 1 < n_ct)
-                def _():
-                    for dma in c_get(jax.lax.rem(g + 1, 2), w, t + 1):
-                        dma.start()
-
-                @pl.when((t + 1 >= n_ct) & (w + 1 < Bw))
-                def _():  # last chunk: prefetch the next window's first
-                    for dma in c_get(jax.lax.rem(g + 1, 2), w + 1, 0):
-                        dma.start()
-
-                lg = jax.lax.dot_general(
-                    qh3.astype(jnp.float32), cbk[slot].astype(jnp.float32),
-                    dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32)  # (H, KP, CT)
-                lg = lg * csck[slot][:H].reshape(H, 1, CT)  # ks
-                lg = lg + cmask_ref[0:1, pl.ds(t * CT, CT)][None]
-                mn = jnp.maximum(m, jnp.max(lg, -1, keepdims=True))
-                corr = jnp.exp(m - mn)
-                ex = jnp.exp(lg - mn)
-                pv = ex * cscv[slot][:H].reshape(H, 1, CT)  # probs * vs
-                upd = jax.lax.dot_general(
-                    pv, cbv[slot].astype(jnp.float32),
-                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32)  # (H, K, dh)
-                s = s * corr + jnp.sum(ex, -1, keepdims=True)
-                acc = acc * corr + upd
-                return (mn, s, acc)
-
-            m, s, acc = jax.lax.fori_loop(0, n_ct, chunk, (m0, s0, a0))
-            atx = acc / s
+            c_wait(slot)
+            lg = jax.lax.dot_general(
+                qh3, cb[slot][:H].astype(dtype),
+                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)     # (H, KP, Ta)
+            lg = lg * csb[slot][:H][:, None, :]         # ks (incl 1/sqrt)
+            lg = lg + cmask_ref[0:1, :][None]           # Ta-pad kill
+            mx = jnp.max(lg, -1, keepdims=True)
+            ex = jnp.exp(lg - mx)
+            pr = ex / jnp.sum(ex, -1, keepdims=True)
+            pv = (pr * csb[slot][HP:HP + H][:, None, :]).astype(dtype)
+            atx = jax.lax.dot_general(
+                pv, cb[slot][H:2 * H].astype(dtype),
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)     # (H, KP, dh)
             h3[w, :, :d] = heads_to_rows(atx).astype(dtype)
             return 0
 
         jax.lax.fori_loop(0, Bw, cross_window, 0)
 
+        # layer l+1's window-0 cross fetch (see the self-stream note)
+        @pl.when(l + 1 < nL)
+        def _():
+            c_copy(0, l + 1, 0)
+
         atx_all = h3[:, :, :d].reshape(RP, d)           # 8-row merge
-        gemm_chunks(wco_ref, atx_all, n_d, res_out, 7)
+        accs[:] = accs[:] + gemm(atx_all, wqb[slot_w][:, 5 * d:6 * d],
+                                 15, 7)
         xs[:] = accs[:].astype(dtype)
 
         # ==================== MLP block ====================
         h = lnorm(accs[:], 8)
-
-        def f1_out(c, blk):
-            # erf-GeLU with an in-kernel erf: Mosaic lowers neither erfc
-            # (jax.nn.gelu exact) nor lax.erf, so erf comes from the
-            # Abramowitz-Stegun 7.1.26 rational fit (|err| < 1.5e-7 —
-            # two decades below bf16 activation resolution)
-            g = 0.5 * blk * (1.0 + _erf_as(blk * np.float32(1 / np.sqrt(2.0))))
-            h1s[:, pl.ds(c * NC, NC)] = g.astype(dtype)
-
-        gemm_chunks(wf1_ref, h, n_ff, f1_out, 10)
-
-        accs[:] = xs[:].astype(jnp.float32) + seg(11)[None, :]
-
-        def f2_get(slot, c):
-            return pltpu.make_async_copy(
-                wf2_ref.at[l, pl.ds(c * NC, NC), :],
-                wb.at[slot], sem_w.at[slot])
-
-        f2_get(0, 0).start()
-
-        def f2_body(c, _):
-            slot = jax.lax.rem(c, 2)
-            nxt = jax.lax.rem(c + 1, 2)
-
-            @pl.when(c + 1 < n_ff)
-            def _():
-                f2_get(nxt, c + 1).start()
-
-            f2_get(slot, c).wait()
-            accs[:] = accs[:] + jnp.dot(
-                h1s[:, pl.ds(c * NC, NC)], wb[slot],
-                preferred_element_type=jnp.float32)
-            return 0
-
-        jax.lax.fori_loop(0, n_ff, f2_body, 0)
+        pltpu.make_async_copy(wf1_ref.at[l], wf1b.at[slot_w],
+                              sem_wf1.at[slot_w]).wait()
+        h1 = gemm(h, wf1b[slot_w], 16, 10)
+        # erf-GeLU with an in-kernel erf: Mosaic lowers neither erfc
+        # (jax.nn.gelu exact) nor lax.erf — Abramowitz-Stegun 7.1.26 fit
+        h1s[:] = (0.5 * h1 * (1.0 + _erf_as(
+            h1 * np.float32(1 / np.sqrt(2.0))))).astype(dtype)
+        pltpu.make_async_copy(wf2_ref.at[l], wf2b.at[slot_w],
+                              sem_wf2.at[slot_w]).wait()
+        accs[:] = accs[:] + gemm(h1s[:], wf2b[slot_w], 17, 11)
         xs[:] = accs[:].astype(dtype)
 
         @pl.when(l == nL - 1)
@@ -554,51 +597,43 @@ def _make_kernel(RP: int, d: int, ff: int, H: int, dh: int, Bw: int,
 def fused_decoder_layers(
     x: jax.Array,                 # (R, d) bf16
     wpack: Dict[str, jax.Array],
-    ck: jax.Array, cv: jax.Array,  # (L, Bw, H, dh, M)
-    xk8: jax.Array, xks: jax.Array, xv8: jax.Array, xvs: jax.Array,
-    cmask: jax.Array,             # (8, Ta) f32 — Ta-pad columns dead
-    amask: jax.Array,             # (Bw, K, M) f32
+    ckv: jax.Array,               # (L, Bw, 2H, dh, M) packed self-cache
+    xkv8: jax.Array,              # (L, Bw, 2H, dh, TaP) packed int8 cross
+    xsc: jax.Array,               # (L, Bw, 2HP, TaP) f32 packed scales
+    cmask: jax.Array,             # (8, TaP) f32 — TaP-pad columns dead
+    amask: jax.Array,             # (Bw, K, M) f32 (include_own mask)
     pos: jax.Array,
     n_head: int, beam_k: int,
     interpret: bool = False,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    L, Bw, H, dh, M = ck.shape
+) -> Tuple[jax.Array, jax.Array]:
+    """Run the full decoder layer stack for one beam step.
+
+    Returns (x_out (R, d), the APPENDED cache (L, Bw, 2H, dh, M)) — the
+    cache is an aliased in-place output (the kernel writes only the
+    256-lane append windows)."""
+    L, Bw, H2, dh, M = ckv.shape
     K = beam_k
+    H = n_head
     R, d = x.shape
-    ff = wpack["wf1"].shape[-1]
-    Ta = xk8.shape[-1]
-    HP = xks.shape[2]
-    # chunk width must be a multiple of 128: Mosaic requires dynamic
-    # vector-load offsets (the bias reads at c*NC) to be provably
-    # lane-aligned. Tiny test dims (d < 128, interpret mode) fall back to
-    # whatever divides.
-    NC = None
-    for cand in (256, 128):
-        if d % cand == 0 and (3 * d) % cand == 0 and ff % cand == 0:
-            NC = cand
-            break
-    if NC is None:
-        NC = d // 4 if d % 4 == 0 else d
-        while (3 * d) % NC or ff % NC:
-            NC //= 2
-    CT = Ta
-    for cand in (512, 384, 256):
-        if Ta % cand == 0:
-            CT = cand
-            break
+    ff = wpack["wf18"].shape[-1]
+    Ta = xkv8.shape[-1]
+    HP = xsc.shape[2] // 2
     dtype = x.dtype
+    if M < 256:
+        raise ValueError(
+            "mega cache minor must be >= 256 (init_kv_cache beam_k "
+            f"layout allocates the x128 slack tile); got M={M}")
     # rows pad K -> KP=8 per window: Mosaic's batched-dot lowering merges
     # (H, K, dh) -> (H*K, dh), which needs the second-minor to be a
     # multiple of the 8-row sublane tile. The pad rows carry garbage that
-    # the padded amask (NEG rows) and the final row slice discard; GEMMs
-    # run at RP = Bw*KP rows (+K/KP MXU work on a DMA-bound step).
+    # the padded amask (NEG rows) and the placement matrix discard.
     KP = ((K + 7) // 8) * 8
     RP = Bw * KP
     xp = jnp.zeros((Bw, KP, d), dtype).at[:, :K].set(
         x.reshape(Bw, K, d)).reshape(RP, d)
     amp = jnp.full((Bw, KP, M), NEG, jnp.float32).at[:, :K].set(amask)
-    kernel, VEC = _make_kernel(RP, d, ff, H, dh, Bw, K, KP, M, Ta, NC, CT,
-                               HP, dtype)
+    kernel, VEC = _make_kernel(RP, d, ff, H, dh, Bw, K, KP, M, Ta, HP,
+                               dtype)
 
     posk = (jnp.asarray(pos, jnp.int32) * K).reshape(1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -608,60 +643,57 @@ def fused_decoder_layers(
             pl.BlockSpec(memory_space=pltpu.VMEM),    # x
             pl.BlockSpec(memory_space=pltpu.VMEM),    # amask
             pl.BlockSpec(memory_space=pltpu.VMEM),    # cmask
-            pl.BlockSpec(memory_space=pltpu.HBM),  # vecs
-            pl.BlockSpec(memory_space=pl.ANY),     # wqkv
-            pl.BlockSpec(memory_space=pl.ANY),     # wo
-            pl.BlockSpec(memory_space=pl.ANY),     # wcq
-            pl.BlockSpec(memory_space=pl.ANY),     # wco
-            pl.BlockSpec(memory_space=pl.ANY),     # wf1
-            pl.BlockSpec(memory_space=pl.ANY),     # wf2
-            pl.BlockSpec(memory_space=pl.ANY),     # ck
-            pl.BlockSpec(memory_space=pl.ANY),     # cv
-            pl.BlockSpec(memory_space=pl.ANY),     # xk8
-            pl.BlockSpec(memory_space=pl.ANY),     # xks
-            pl.BlockSpec(memory_space=pl.ANY),     # xv8
-            pl.BlockSpec(memory_space=pl.ANY),     # xvs
+            pl.BlockSpec(memory_space=pl.ANY),        # vecs
+            pl.BlockSpec(memory_space=pl.ANY),        # wq8
+            pl.BlockSpec(memory_space=pl.ANY),        # wf18
+            pl.BlockSpec(memory_space=pl.ANY),        # wf28
+            pl.BlockSpec(memory_space=pl.ANY),        # ckv
+            pl.BlockSpec(memory_space=pl.ANY),        # xkv8
+            pl.BlockSpec(memory_space=pl.ANY),        # xsc
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),    # x_out
-            pl.BlockSpec(memory_space=pltpu.HBM),     # slabk
-            pl.BlockSpec(memory_space=pltpu.HBM),     # slabv
+            pl.BlockSpec(memory_space=pl.ANY),        # ckv (aliased)
         ],
         scratch_shapes=[
             pltpu.VMEM((RP, d), dtype),               # xs (persistent)
-            pltpu.VMEM((2, d, NC), dtype),            # wa (col chunks)
-            pltpu.VMEM((2, NC, d), dtype),            # wb (fc2 rows)
-            pltpu.VMEM((1, VEC), jnp.float32),        # vecv
-            pltpu.VMEM((2, H, dh, M), dtype),         # sb (self stream)
-            pltpu.VMEM((2, H, dh, CT), jnp.int8),     # cbk (cross k)
-            pltpu.VMEM((2, H, dh, CT), jnp.int8),     # cbv (cross v)
-            pltpu.VMEM((2, HP, CT), jnp.float32),     # csck
-            pltpu.VMEM((2, HP, CT), jnp.float32),     # cscv
+            pltpu.VMEM((2, d, 6 * d), jnp.int8),      # wqb
+            pltpu.VMEM((2, d, ff), jnp.int8),         # wf1b
+            pltpu.VMEM((2, ff, d), jnp.int8),         # wf2b
+            pltpu.VMEM((2, 1, VEC), jnp.float32),     # vecv
+            pltpu.VMEM((2, 2 * H, dh, M), dtype),     # sb (self stream)
+            pltpu.VMEM((2, 2 * H, dh, Ta), jnp.int8),  # cb (cross kv)
+            pltpu.VMEM((2, 2 * HP, Ta), jnp.float32),  # csb (cross sc)
             pltpu.VMEM((Bw, KP, 3 * d), dtype),       # h3 (window rows)
-            pltpu.VMEM((Bw, KP, d), dtype),           # skstage
-            pltpu.VMEM((Bw, KP, d), dtype),           # svstage
             pltpu.VMEM((RP, ff), dtype),              # h1s (MLP temp)
             pltpu.VMEM((RP, d), jnp.float32),         # accs
-            pltpu.SemaphoreType.DMA((2,)),            # sem_w
-            pltpu.SemaphoreType.DMA(()),              # sem_v
+            pltpu.SemaphoreType.DMA((2,)),            # sem_v
+            pltpu.SemaphoreType.DMA((2,)),            # sem_wq
+            pltpu.SemaphoreType.DMA((2,)),            # sem_wf1
+            pltpu.SemaphoreType.DMA((2,)),            # sem_wf2
             pltpu.SemaphoreType.DMA((2,)),            # sem_s
-            pltpu.SemaphoreType.DMA((4, 2)),          # sem_c
-            pltpu.SemaphoreType.DMA((2,)),            # sem_wr
+            pltpu.SemaphoreType.DMA((2,)),            # sem_c
+            pltpu.SemaphoreType.DMA((2,)),            # sem_cs
+            pltpu.SemaphoreType.DMA((2,)),            # sem_wb
         ],
     )
 
     out_shape = [
         jax.ShapeDtypeStruct((RP, d), dtype),
-        jax.ShapeDtypeStruct((L, Bw, KP, d), dtype),
-        jax.ShapeDtypeStruct((L, Bw, KP, d), dtype),
+        jax.ShapeDtypeStruct(ckv.shape, ckv.dtype),
     ]
-    x_out, slabk, slabv = pl.pallas_call(
+    # operand index 8 = ckv (posk scalar-prefetch is operand 0); output
+    # index 1 = the appended cache
+    x_out, ckv_new = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
+        input_output_aliases={8: 1},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=116 * 1024 * 1024,
+        ),
         interpret=interpret,
-    )(posk, xp, amp, cmask, wpack["vecs"], wpack["wqkv"], wpack["wo"],
-      wpack["wcq"], wpack["wco"], wpack["wf1"], wpack["wf2"],
-      ck, cv, xk8, xks, xv8, xvs)
+    )(posk, xp, amp, cmask, wpack["vecs"], wpack["wq8"], wpack["wf18"],
+      wpack["wf28"], ckv, xkv8, xsc)
     x_out = x_out.reshape(Bw, KP, d)[:, :K].reshape(R, d)
-    return x_out, slabk, slabv
+    return x_out, ckv_new

@@ -99,6 +99,7 @@ def auto_windows_per_device(
     from whisper_aries_tpu.models.whisper import PRESETS
 
     dims = PRESETS.get(model_name, PRESETS["large-v3"])
+    hbm_given = hbm_bytes is not None
     if hbm_bytes is None:
         try:
             import jax
@@ -144,12 +145,13 @@ def auto_windows_per_device(
     try:
         import jax
 
-        if jax.default_backend() == "cpu":
+        if not hbm_given and jax.default_backend() == "cpu":
             # CPU is the functional/test backend, usually 8 virtual
             # devices on one core: XLA:CPU compile time scales with the
             # padded batch (a 320-window program takes >10 min to build
             # for a 2-window file), and its "bytes_limit" is host RAM, so
-            # the HBM anchor is meaningless there anyway.
+            # the HBM anchor is meaningless there anyway. An EXPLICIT
+            # hbm_bytes bypasses the clamp (tests size for TPU budgets).
             n = min(n, 2)
     except Exception:
         pass
