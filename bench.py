@@ -268,14 +268,21 @@ def main() -> int:
     # Product-path companion metric: transcribe_file end to end on the same
     # chip, recorded in the SAME JSON artifact (the reference measures its
     # RTF on the product path, final_optimized_transcriber.py:506-511).
-    # Default-on for TPU driver runs; ARIES_BENCH_ENGINE=0 skips. The
-    # engine's beam decode reuses this process's compiled beam program
-    # (same static config), so the extra cost is reps + small compiles.
+    # Default-on for TPU driver runs; ARIES_BENCH_ENGINE=0 skips.
     want_engine = os.environ.get(
         "ARIES_BENCH_ENGINE", "1" if backend == "tpu" else "0"
     ) == "1"
     if want_engine:
         try:
+            # drop the core loop's device buffers FIRST: the engine builds
+            # its own param tree, and keeping the core's ~3.5 GB (params +
+            # audio + encoder output) live alongside it measured the
+            # engine at 178x vs 265x standalone (HBM pressure degrades the
+            # schedule well before the OOM ladder trips)
+            import gc
+
+            del params, audio_j, prompt_j, suppress
+            gc.collect()
             eng = measure_engine()
             result["engine_metric"] = eng["metric"]
             result["engine_value"] = eng["value"]
