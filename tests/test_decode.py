@@ -662,7 +662,8 @@ def test_beam_ancestry_reorder_parity(tiny_pair, self_kv_int8):
         )
 
 
-def test_beam_mega_kernel_parity(tiny_pair):
+@pytest.mark.parametrize("self_kv_int8", [False, True])
+def test_beam_mega_kernel_parity(tiny_pair, self_kv_int8):
     """beam_reorder="mega" (all-layers Pallas megakernel decode step,
     interpret mode off-TPU) must reproduce the XLA decode with the SAME
     int8 weights: identical tokens, scores within f32 tolerance. The
@@ -672,7 +673,10 @@ def test_beam_mega_kernel_parity(tiny_pair):
     kernel's GEMM mirrors that math term for term. Covers the kernel's
     whole-tensor int8 GEMMs, bucketed packed-cache ancestry
     self-attention, whole-window packed int8 cross-attention, and MLP
-    across multiple beam steps."""
+    across multiple beam steps. With ``self_kv_int8`` both sides ALSO
+    quantize the beam self-cache (the kernel in-kernel on append, the
+    XLA baseline quantize-on-write with the same absmax-over-dh grid),
+    exercising KV_CACHE int8 end-to-end."""
     from whisper_aries_tpu.ops.quant import quantize_model_params
 
     _, dims, params, mel = tiny_pair
@@ -680,7 +684,8 @@ def test_beam_mega_kernel_parity(tiny_pair):
     xa = W.encode(params, jnp.asarray(mel), dims)
     ids = _tiny_ids(dims)
     common = dict(beam_size=4, sample_len=6, with_timestamps=False,
-                  length_penalty=0.0, suppress_blank=False, kv_int8=True)
+                  length_penalty=0.0, suppress_blank=False, kv_int8=True,
+                  self_kv_int8=self_kv_int8)
     prompt = jnp.full((2, 1), 3, jnp.int32)
     base = G.beam_search_decode(
         qparams, xa, prompt, dims, ids,
@@ -699,3 +704,66 @@ def test_beam_mega_kernel_parity(tiny_pair):
         np.asarray(base["sum_logprob"]), np.asarray(mega["sum_logprob"]),
         rtol=1e-4, atol=1e-5,
     )
+
+
+def test_mega_kernel_int8_self_cache_reference_parity():
+    """Golden-model check of the megakernel's int8 self-cache mode
+    (self_kv_int8 + mega): the Pallas kernel in interpret mode must
+    reproduce fused_decoder_layers_reference — same activations (up to
+    the Abramowitz-Stegun erf fit), bit-identical appended int8 K/V
+    values, and identical per-(slot, head) scales. Covers the in-kernel
+    quantize-on-append, the scale-array aligned write-back, and the
+    scale-aware attention math."""
+    from whisper_aries_tpu.ops.pallas_decode_layers import (
+        fused_decoder_layers, fused_decoder_layers_reference,
+        pack_layer_weights,
+    )
+
+    dims = W.WhisperDims(80, 192, 384, 6, 2, 1000, 64, 384, 6, 2)
+    rng = np.random.default_rng(7)
+    params = W.fuse_decoder_qkv(W.init_params(dims, dtype=jnp.float32))
+    wpack = pack_layer_weights(params["decoder"]["blocks"])
+    Bw, K, KP = 2, 4, 8
+    H = dims.n_text_head
+    dh = dims.n_text_state // H
+    HP = ((H + 7) // 8) * 8
+    L = dims.n_text_layer
+    M = 256
+    xa = jnp.asarray(rng.standard_normal((Bw, dims.n_audio_ctx, 384)),
+                     jnp.float32) * 0.1
+    cm = W.precompute_cross_kv_int8_packed(params, xa, dims)
+    pos = 9          # posk = 36: mid-tile append, bucket 2 fetch
+    ckv = jnp.asarray(
+        rng.integers(-127, 128, (L, Bw, 2 * H, dh, M)), jnp.int8)
+    ksc = jnp.asarray(
+        0.01 + rng.random((L, Bw, 2 * HP, M)), jnp.float32)
+    anc = jnp.tile(jnp.arange(K, dtype=jnp.int32)[None, :, None],
+                   (Bw, 1, 40))
+    amask = W.ancestry_mask(anc, jnp.int32(pos), jnp.int32(0), 40,
+                            include_own=True, minor=M)
+    x = jnp.asarray(0.1 * rng.standard_normal((Bw * K, 384)), jnp.float32)
+
+    xr, ckv_r, ksc_r = fused_decoder_layers_reference(
+        x, wpack, ckv, cm["kv8"], cm["sc"], amask, jnp.int32(pos), H, K,
+        ksc=ksc)
+    xk, ckv_k, ksc_k = fused_decoder_layers(
+        x, wpack, ckv, cm["kv8"], cm["sc"], cm["cmask"], amask,
+        jnp.int32(pos), H, K, ksc=ksc, interpret=True)
+
+    # Quantization amplifies op-ordering noise: a ~3e-7 relative diff in
+    # an appended K/V value flips its int8 at a round(x)=x.5 boundary,
+    # and one flipped cache value moves attention outputs by ~scale/127
+    # (~1.6e-2 absolute here). So: activations compared at flip-scale
+    # tolerance, cache values required bit-exact except |delta|<=1 flips
+    # on <0.1% of elements, scales at op-ordering tolerance. A real
+    # logic bug (wrong placement column, k/v scale swap, stale tile)
+    # fails all three by orders of magnitude.
+    np.testing.assert_allclose(np.asarray(xk), np.asarray(xr),
+                               rtol=6e-2, atol=2e-2)
+    ck_r, ck_k = np.asarray(ckv_r), np.asarray(ckv_k)
+    delta = np.abs(ck_r.astype(np.int32) - ck_k.astype(np.int32))
+    assert delta.max() <= 1, f"int8 append differs by >1: {delta.max()}"
+    assert (delta != 0).mean() < 1e-3, (
+        f"too many int8 rounding flips: {(delta != 0).sum()}")
+    np.testing.assert_allclose(np.asarray(ksc_k), np.asarray(ksc_r),
+                               rtol=2e-3, atol=0)

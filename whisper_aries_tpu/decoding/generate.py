@@ -470,15 +470,17 @@ def beam_search_decode(
         import os as _os_knob
 
         beam_reorder = _os_knob.environ.get("ARIES_BEAM_REORDER", "default")
-    if (beam_reorder == "default" and not self_kv_int8 and kv_int8
+    if (beam_reorder == "default" and kv_int8
             and jax.default_backend() == "tpu"):
         # the all-layers int8 megakernel IS the default TPU beam path
-        # (bench: 228.7x vs 188.7x for the XLA one-hot permute step) —
+        # (bench: 351.9x vs 188.7x for the XLA one-hot permute step) —
         # and int8 decoder compute matches the reference's default
         # COMPUTE_TYPE=int8 (README.md:178). Opt out with
         # ARIES_BEAM_REORDER=xla; all prior modes remain selectable.
+        # self_kv_int8 additionally quantizes the beam KV cache
+        # IN-KERNEL (quantize-on-append, per-slot/head scales).
         beam_reorder = "mega"
-    use_mega = beam_reorder == "mega" and not self_kv_int8 and kv_int8
+    use_mega = beam_reorder == "mega" and kv_int8
     use_ancestry = beam_reorder in ("ancestry", "mega")
     B, P = prompt.shape
     K = beam_size
@@ -514,7 +516,8 @@ def beam_search_decode(
         prefill_len = P if use_mega else L
         cache = W.init_kv_cache(dims, B, dtype=xa.dtype,
                                 max_len=prefill_len,
-                                int8=self_kv_int8, beam_k=K)
+                                int8=self_kv_int8 and not use_mega,
+                                beam_k=K)
         logits_p, cache = W.decoder_step(
             params, prompt, jnp.int32(0), cache, cross_kv, dims,
             valid_start=prompt_start, beam_k=K,
@@ -525,9 +528,31 @@ def beam_search_decode(
         if use_mega:
             Mfull = ((L * K + 127) // 128) * 128 + 128
             small = jnp.concatenate([cache["k"], cache["v"]], axis=2)
-            big = jnp.zeros(small.shape[:-1] + (Mfull,), small.dtype)
-            cache = {"kv": jax.lax.dynamic_update_slice(
-                big, small, (0, 0, 0, 0, 0))}
+            if self_kv_int8:
+                # quantize the bf16 prefill KV into the kernel's int8
+                # cache + per-(slot, head) scale layout (the decode
+                # steps then quantize-on-append IN-KERNEL)
+                H = dims.n_text_head
+                HP = ((H + 7) // 8) * 8
+                Lx, Bw_, H2, dh_, Mp = small.shape
+                nf = small.astype(jnp.float32)
+                am = jnp.max(jnp.abs(nf), axis=3)       # (L,Bw,2H,Mp)
+                sc = jnp.where(am > 0.0, am / 127.0, 1.0)
+                q8 = jnp.clip(jnp.round(nf / sc[:, :, :, None, :]),
+                              -127, 127).astype(jnp.int8)
+                big8 = jnp.zeros(small.shape[:-1] + (Mfull,), jnp.int8)
+                scp = jnp.zeros((Lx, Bw_, 2 * HP, Mfull), jnp.float32)
+                scp = scp.at[:, :, :H, :Mp].set(sc[:, :, :H])
+                scp = scp.at[:, :, HP:HP + H, :Mp].set(sc[:, :, H:])
+                cache = {
+                    "kv8": jax.lax.dynamic_update_slice(
+                        big8, q8, (0, 0, 0, 0, 0)),
+                    "ksc": scp,
+                }
+            else:
+                big = jnp.zeros(small.shape[:-1] + (Mfull,), small.dtype)
+                cache = {"kv": jax.lax.dynamic_update_slice(
+                    big, small, (0, 0, 0, 0, 0))}
     else:
         cache = W.init_kv_cache(dims, B * K, dtype=xa.dtype, max_len=L,
                                 int8=self_kv_int8)

@@ -1196,11 +1196,12 @@ def decoder_step_fused(
     vs = (jnp.asarray(valid_start, jnp.int32) if valid_start is not None
           else jnp.int32(0))
 
-    ckv = cache["kv"]
+    self_int8 = "kv8" in cache
+    ckv = cache["kv8"] if self_int8 else cache["kv"]
     emb = dec["tok_emb"]
     pos_idx = jnp.clip(pos - vs, 0, dims.n_text_ctx - 1)
     x = (emb[jnp.maximum(tokens[:, 0], 0)] + dec["pos_emb"][pos_idx]
-         ).astype(ckv.dtype)
+         ).astype(emb.dtype)
 
     # the cache append happens IN-KERNEL (an aligned read-modify-write
     # of the covering 256-lane window into the aliased cache output —
@@ -1209,12 +1210,22 @@ def decoder_step_fused(
     # position: the kernel's attention reads the post-insert tiles
     amask = ancestry_mask(beam_anc, pos, vs, Tmax, include_own=True,
                           minor=ckv.shape[-1])
-    x, ckv = fused_decoder_layers(
-        x, wpack, ckv,
-        cross_mega["kv8"], cross_mega["sc"], cross_mega["cmask"],
-        amask, pos, dims.n_text_head, K, interpret=interpret,
-    )
+    if self_int8:
+        x, ckv, ksc = fused_decoder_layers(
+            x, wpack, ckv,
+            cross_mega["kv8"], cross_mega["sc"], cross_mega["cmask"],
+            amask, pos, dims.n_text_head, K, ksc=cache["ksc"],
+            interpret=interpret,
+        )
+        new_cache = {"kv8": ckv, "ksc": ksc}
+    else:
+        x, ckv = fused_decoder_layers(
+            x, wpack, ckv,
+            cross_mega["kv8"], cross_mega["sc"], cross_mega["cmask"],
+            amask, pos, dims.n_text_head, K, interpret=interpret,
+        )
+        new_cache = {"kv": ckv}
     x = layer_norm(dec["ln"], x)
     logits = jnp.dot(x, emb.T.astype(x.dtype),
                      preferred_element_type=jnp.float32)
-    return logits[:, None, :], {"kv": ckv}
+    return logits[:, None, :], new_cache

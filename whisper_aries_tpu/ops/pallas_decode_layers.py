@@ -199,10 +199,13 @@ def fused_decoder_layers_reference(
     amask: jax.Array,             # (Bw, K, M) f32 additive (hist+own+vs)
     pos: jax.Array,               # scalar int32
     n_head: int, beam_k: int,
-) -> Tuple[jax.Array, jax.Array]:
+    ksc: "jax.Array | None" = None,  # (L, Bw, 2HP, M) f32 — int8 cache
+) -> Tuple[jax.Array, ...]:
     """The math the kernel implements, in plain jnp (CPU tests).
 
-    Returns (x_out (R, d), the appended cache (L, Bw, 2H, dh, M))."""
+    Returns (x_out (R, d), the appended cache (L, Bw, 2H, dh, M)[, the
+    appended scales]) — int8 ``ckv`` (with ``ksc``) mirrors the kernel's
+    in-kernel quantize-on-append self-cache."""
     L, Bw, H2, dh, M = ckv.shape
     H = n_head
     HP = xsc.shape[2] // 2
@@ -210,6 +213,7 @@ def fused_decoder_layers_reference(
     R, d = x.shape
     ff = wpack["wf18"].shape[-1]
     offs, _ = _vec_offsets(d, ff)
+    self_int8 = ckv.dtype == jnp.int8
 
     def ln(xx, s, b, eps=1e-5):
         xf = xx.astype(jnp.float32)
@@ -227,6 +231,7 @@ def fused_decoder_layers_reference(
         return y + vec[int(offs[bi]):int(offs[bi + 1])][None, :]
 
     new_layers = []
+    new_scales = []
     for l in range(L):
         vec = wpack["vecs"][l, 0]
         h = ln(x, vec[int(offs[0]):int(offs[1])],
@@ -238,6 +243,19 @@ def fused_decoder_layers_reference(
             return z.reshape(Bw, K, H, dh).transpose(0, 2, 3, 1)
 
         new_kv = jnp.concatenate([slab(k), slab(v)], axis=1)  # (Bw,2H,..)
+        if self_int8:
+            # per-(slot, head) absmax-over-dh quantization (quant_heads)
+            nf = new_kv.astype(jnp.float32)
+            am = jnp.max(jnp.abs(nf), axis=2)          # (Bw, 2H, K)
+            sc = jnp.where(am > 0.0, am / 127.0, 1.0)
+            q8 = jnp.clip(jnp.round(nf / sc[:, :, None, :]), -127, 127)
+            new_kv = q8.astype(jnp.int8)
+            scp = jnp.zeros((Bw, 2 * HP, K), jnp.float32)
+            scp = scp.at[:, :H].set(sc[:, :H])
+            scp = scp.at[:, HP:HP + H].set(sc[:, H:2 * H])
+            ksc_l = jax.lax.dynamic_update_slice(
+                ksc[l], scp, (0, 0, pos * K))
+            new_scales.append(ksc_l)
         ckv_l = jax.lax.dynamic_update_slice(
             ckv[l], new_kv.astype(ckv.dtype), (0, 0, 0, pos * K))
         new_layers.append(ckv_l)
@@ -245,11 +263,18 @@ def fused_decoder_layers_reference(
         # the own position: t == pos, j == k)
         qw = (q.astype(jnp.float32) * (dh ** -0.5)).astype(q.dtype)
         qw = qw.reshape(Bw, K, H, dh).transpose(0, 2, 1, 3)   # (Bw,H,K,dh)
-        lg = jnp.einsum("whkd,whdm->whkm", qw, ckv_l[:, :H],
+        lg = jnp.einsum("whkd,whdm->whkm", qw,
+                        ckv_l[:, :H].astype(qw.dtype),
                         preferred_element_type=jnp.float32)
+        if self_int8:
+            lg = lg * ksc_l[:, :H][:, :, None, :]
         lg = lg + amask[:, None]
-        pr = jax.nn.softmax(lg, axis=-1).astype(ckv.dtype)
-        att = jnp.einsum("whkm,whdm->whkd", pr, ckv_l[:, H:],
+        pr = jax.nn.softmax(lg, axis=-1)
+        if self_int8:
+            pr = pr * ksc_l[:, HP:HP + H][:, :, None, :]
+        pr = pr.astype(x.dtype)
+        att = jnp.einsum("whkm,whdm->whkd", pr,
+                         ckv_l[:, H:].astype(pr.dtype),
                          preferred_element_type=jnp.float32)
         att = att.transpose(0, 2, 1, 3).reshape(R, d).astype(x.dtype)
         x = x + gemm(att, wpack["wq8"][l][:, 3 * d:4 * d], 13, 3
@@ -275,9 +300,15 @@ def fused_decoder_layers_reference(
         h = ln(x, vec[int(offs[8]):int(offs[9])],
                vec[int(offs[9]):int(offs[10])])
         h1 = gemm(h, wpack["wf18"][l], 16, 10)
-        h1 = (0.5 * h1 * (1.0 + jax.lax.erf(h1 / np.sqrt(2.0)))
+        # the kernel's A-S erf fit, not lax.erf: this function is the
+        # golden model of the KERNEL's math, and in int8 self-cache mode
+        # a 1e-6 erf delta flips quantized values at rounding boundaries
+        h1 = (0.5 * h1 * (1.0 + _erf_as(h1 / np.sqrt(2.0)))
               ).astype(h.dtype)
         x = x + gemm(h1, wpack["wf28"][l], 17, 11).astype(h1.dtype)
+    if self_int8:
+        return (x, jnp.stack(new_layers, axis=0),
+                jnp.stack(new_scales, axis=0))
     return x, jnp.stack(new_layers, axis=0)
 
 
@@ -286,11 +317,20 @@ def fused_decoder_layers_reference(
 # ---------------------------------------------------------------------------
 
 def _make_kernel(RP: int, d: int, ff: int, H: int, dh: int, Bw: int,
-                 K: int, KP: int, M: int, Ta: int, HP: int, dtype):
-    """Build the layer-grid kernel body for static dims."""
+                 K: int, KP: int, M: int, Ta: int, HP: int, dtype,
+                 self_int8: bool):
+    """Build the layer-grid kernel body for static dims.
+
+    ``self_int8``: the self-cache is int8 with per-(slot, head) f32
+    scales in a companion (L, Bw, 2HP, M) array — the kernel quantises
+    the appended K/V in-kernel (absmax over dh, the ops/quant.py grid)
+    and applies the scales on the logits (k) / probabilities (v) exactly
+    like the int8 cross attention. Halves the dominant self stream and
+    the cache HBM. When False the scale operands are unused dummies."""
     offs, VEC = _vec_offsets(d, ff)
     rsq = float(dh) ** -0.5
     n_bk = max(2, M // 128)   # x128 fetch buckets (M has a slack tile)
+    cdt = jnp.int8 if self_int8 else dtype
 
     def kernel(posk_ref,                                    # SMEM (1,)
                x_ref,                                       # (RP, d) VMEM
@@ -298,13 +338,16 @@ def _make_kernel(RP: int, d: int, ff: int, H: int, dh: int, Bw: int,
                cmask_ref,                                   # (8, Ta) VMEM
                vecs_ref,                                    # (L,1,VEC) HBM
                wq_ref, wf1_ref, wf2_ref,                    # ANY int8
-               ckv_in_ref,                                  # ANY bf16
+               ckv_in_ref,                                  # ANY bf16/int8
                xkv_ref, xsc_ref,                            # ANY
+               ksc_in_ref,                                  # ANY f32 scales
                x_out_ref,                                   # (RP, d) VMEM
                ckv_ref,                                     # ANY (aliased)
-               xs, wqb, wf1b, wf2b, vecv, sb, cb, csb, h3, h1s, accs,
-               sem_v, sem_wq, sem_wf1, sem_wf2, sem_s, sem_c, sem_cs,
-               sem_wb):
+               ksc_ref,                                     # ANY (aliased)
+               xs, wqb, wf1b, wf2b, vecv, sb, ssb, cb, csb, h3, h1s,
+               accs,
+               sem_v, sem_wq, sem_wf1, sem_wf2, sem_s, sem_ss, sem_c,
+               sem_cs, sem_wb, sem_wbs):
         l = pl.program_id(0)
         nL = pl.num_programs(0)
         posk = posk_ref[0]
@@ -339,6 +382,11 @@ def _make_kernel(RP: int, d: int, ff: int, H: int, dh: int, Bw: int,
                         ckv_in_ref.at[li, w, :, :, pl.ds(0, bi * 128)],
                         sb.at[slot, :, :, pl.ds(0, bi * 128)],
                         sem_s.at[slot]).start()
+                    if self_int8:
+                        pltpu.make_async_copy(
+                            ksc_in_ref.at[li, w, :, pl.ds(0, bi * 128)],
+                            ssb.at[slot, :, pl.ds(0, bi * 128)],
+                            sem_ss.at[slot]).start()
 
         def s_wait(slot):
             for bi in range(2, n_bk + 1):
@@ -348,6 +396,11 @@ def _make_kernel(RP: int, d: int, ff: int, H: int, dh: int, Bw: int,
                         ckv_in_ref.at[0, 0, :, :, pl.ds(0, bi * 128)],
                         sb.at[slot, :, :, pl.ds(0, bi * 128)],
                         sem_s.at[slot]).wait()
+                    if self_int8:
+                        pltpu.make_async_copy(
+                            ksc_in_ref.at[0, 0, :, pl.ds(0, bi * 128)],
+                            ssb.at[slot, :, pl.ds(0, bi * 128)],
+                            sem_ss.at[slot]).wait()
 
         def wb_copy(slot, li, w):
             # append write-back: the 256-wide ALIGNED window, into the
@@ -356,6 +409,13 @@ def _make_kernel(RP: int, d: int, ff: int, H: int, dh: int, Bw: int,
                 sb.at[slot, :, :, pl.ds(wtile * 128, 256)],
                 ckv_ref.at[li, w, :, :, pl.ds(wtile * 128, 256)],
                 sem_wb.at[slot])
+
+        def wbs_copy(slot, li, w):
+            # scale write-back companion (int8 self-cache mode)
+            return pltpu.make_async_copy(
+                ssb.at[slot, :, pl.ds(wtile * 128, 256)],
+                ksc_ref.at[li, w, :, pl.ds(wtile * 128, 256)],
+                sem_wbs.at[slot])
 
         def c_copy(slot, li, w):
             pltpu.make_async_copy(xkv_ref.at[li, w], cb.at[slot],
@@ -381,7 +441,11 @@ def _make_kernel(RP: int, d: int, ff: int, H: int, dh: int, Bw: int,
                 @pl.when(bid == bi)
                 def _():
                     sb[:, :, :, pl.ds(bi * 128, M - bi * 128)] = (
-                        jnp.zeros((2, 2 * H, dh, M - bi * 128), dtype))
+                        jnp.zeros((2, 2 * H, dh, M - bi * 128), cdt))
+                    if self_int8:
+                        ssb[:, :, pl.ds(bi * 128, M - bi * 128)] = (
+                            jnp.zeros((2, 2 * HP, M - bi * 128),
+                                      jnp.float32))
             w_start_all(0)
             s_copy(0, 0, 0)
             c_copy(0, 0, 0)
@@ -446,10 +510,13 @@ def _make_kernel(RP: int, d: int, ff: int, H: int, dh: int, Bw: int,
         cj = jax.lax.broadcasted_iota(jnp.int32, (KP, 256), 0)
         cc = jax.lax.broadcasted_iota(jnp.int32, (KP, 256), 1)
         p_place = ((cc == off + cj) & (cj < K)).astype(dtype)
-        # full-shape select mask: Mosaic cannot relayout a broadcast of
+        p_place_f = p_place.astype(jnp.float32)
+        # full-shape select masks: Mosaic cannot relayout a broadcast of
         # a (1, 1, 256) bool into the (2H, dh, 256) where()
         ci3 = jax.lax.broadcasted_iota(jnp.int32, (2 * H, dh, 256), 2)
         lane_ins = (ci3 >= off) & (ci3 < off + K)       # (2H,dh,256)
+        ci2 = jax.lax.broadcasted_iota(jnp.int32, (2 * HP, 256), 1)
+        lane_ins2 = (ci2 >= off) & (ci2 < off + K)      # (2HP,256)
 
         # ==================== self-attention block ====================
         pltpu.make_async_copy(vecs_ref.at[l], vecv.at[slot_w],
@@ -459,6 +526,15 @@ def _make_kernel(RP: int, d: int, ff: int, H: int, dh: int, Bw: int,
                               sem_wq.at[slot_w]).wait()
         qkv = gemm(h, wqb[slot_w][:, :3 * d], 12, 2)
         h3[:] = qkv.astype(dtype).reshape(Bw, KP, 3 * d)
+
+        def quant_heads(x_hdk):
+            # (H, dh, KP) -> int8-valued f32 (H, dh, KP) + scales (H, KP)
+            # — the ops/quant.py grid, per (slot, head) over dh
+            xf = x_hdk.astype(jnp.float32)
+            am = jnp.max(jnp.abs(xf), axis=1)           # (H, KP)
+            sc = jnp.where(am > 0.0, am / 127.0, 1.0)
+            q = jnp.clip(jnp.round(xf / sc[:, None, :]), -127.0, 127.0)
+            return q, sc
 
         def self_window(w, _):
             slot = jax.lax.rem(w, 2)
@@ -470,6 +546,8 @@ def _make_kernel(RP: int, d: int, ff: int, H: int, dh: int, Bw: int,
                 @pl.when(w >= 1)
                 def _():
                     wb_copy(jax.lax.rem(w + 1, 2), 0, 0).wait()
+                    if self_int8:
+                        wbs_copy(jax.lax.rem(w + 1, 2), 0, 0).wait()
                 s_copy(jax.lax.rem(w + 1, 2), l, w + 1)
 
             qh3 = rows_to_heads(
@@ -477,6 +555,10 @@ def _make_kernel(RP: int, d: int, ff: int, H: int, dh: int, Bw: int,
                  ).astype(dtype))                       # (H, dh, KP)
             kh3 = rows_to_heads(h3[w][:, d:2 * d])
             vh3 = rows_to_heads(h3[w][:, 2 * d:3 * d])
+            if self_int8:
+                kq, ksc_new = quant_heads(kh3)
+                vq, vsc_new = quant_heads(vh3)
+                kh3, vh3 = kq.astype(dtype), vq.astype(dtype)
             s_wait(slot)
             # ---- in-kernel cache append ----
             placed_k = jax.lax.dot_general(
@@ -487,21 +569,42 @@ def _make_kernel(RP: int, d: int, ff: int, H: int, dh: int, Bw: int,
                 preferred_element_type=jnp.float32)
             tile = sb[slot, :, :, pl.ds(wtile * 128, 256)]  # (2H,dh,256)
             placed = jnp.concatenate(
-                [placed_k, placed_v], axis=0).astype(dtype)  # (2H,dh,256)
+                [placed_k, placed_v], axis=0).astype(cdt)   # (2H,dh,256)
             sb[slot, :, :, pl.ds(wtile * 128, 256)] = jnp.where(
                 lane_ins, placed, tile)
             wb_copy(slot, l, w).start()
+            if self_int8:
+                # scales ride the same placement matmul; rows :H = k,
+                # HP:HP+H = v (8-row-padded head axis, DMA tiling)
+                ksc_p = jax.lax.dot_general(
+                    ksc_new.astype(jnp.float32), p_place_f,
+                    dimension_numbers=(((1,), (0,)), ((), ())))  # (H,256)
+                vsc_p = jax.lax.dot_general(
+                    vsc_new.astype(jnp.float32), p_place_f,
+                    dimension_numbers=(((1,), (0,)), ((), ())))
+                stile = ssb[slot, :, pl.ds(wtile * 128, 256)]  # (2HP,256)
+                sc_p = jnp.concatenate([
+                    ksc_p, jnp.zeros((HP - H, 256), jnp.float32),
+                    vsc_p, jnp.zeros((HP - H, 256), jnp.float32),
+                ], axis=0)
+                ssb[slot, :, pl.ds(wtile * 128, 256)] = jnp.where(
+                    lane_ins2, sc_p, stile)
+                wbs_copy(slot, l, w).start()
             # ---- attention over the post-append cache ----
             lg = jax.lax.dot_general(
-                qh3, sb[slot][:H],
+                qh3, sb[slot][:H].astype(dtype),
                 dimension_numbers=(((1,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)     # (H, K, M)
+            if self_int8:
+                lg = lg * ssb[slot][:H][:, None, :]     # per-slot k scale
             lg = lg + amask_ref[w][None]                # hist+own+vs
             mx = jnp.max(lg, -1, keepdims=True)
             ex = jnp.exp(lg - mx)
-            pr = (ex / jnp.sum(ex, -1, keepdims=True)).astype(dtype)
+            pr = ex / jnp.sum(ex, -1, keepdims=True)
+            if self_int8:
+                pr = pr * ssb[slot][HP:HP + H][:, None, :]  # v scale
             att = jax.lax.dot_general(
-                pr, sb[slot][H:2 * H],
+                pr.astype(dtype), sb[slot][H:2 * H].astype(dtype),
                 dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)     # (H, K, dh)
             # window w's q was consumed above; reuse its q region
@@ -513,8 +616,12 @@ def _make_kernel(RP: int, d: int, ff: int, H: int, dh: int, Bw: int,
         # window Bw-2's (its in-loop wait site — iteration Bw-1's
         # prefetch block — never runs, as there is no window Bw)
         wb_copy(jax.lax.rem(Bw - 1, 2), 0, 0).wait()
+        if self_int8:
+            wbs_copy(jax.lax.rem(Bw - 1, 2), 0, 0).wait()
         if Bw >= 2:
             wb_copy(jax.lax.rem(Bw - 2, 2), 0, 0).wait()
+            if self_int8:
+                wbs_copy(jax.lax.rem(Bw - 2, 2), 0, 0).wait()
 
         # layer l+1's window-0 self fetch: both slots' reads completed
         # inside the loop above; the data is needed only after l+1's qkv
@@ -604,13 +711,16 @@ def fused_decoder_layers(
     amask: jax.Array,             # (Bw, K, M) f32 (include_own mask)
     pos: jax.Array,
     n_head: int, beam_k: int,
+    ksc: "jax.Array | None" = None,  # (L, Bw, 2HP, M) f32 — int8 cache
     interpret: bool = False,
-) -> Tuple[jax.Array, jax.Array]:
+) -> Tuple[jax.Array, ...]:
     """Run the full decoder layer stack for one beam step.
 
-    Returns (x_out (R, d), the APPENDED cache (L, Bw, 2H, dh, M)) — the
-    cache is an aliased in-place output (the kernel writes only the
-    256-lane append windows)."""
+    Returns (x_out (R, d), the APPENDED cache (L, Bw, 2H, dh, M)[, the
+    appended scales]) — cache (and scales, when the cache is int8) are
+    aliased in-place outputs (the kernel writes only the 256-lane append
+    windows). An int8 ``ckv`` requires ``ksc``, the per-(slot, head)
+    scale array; the kernel quantises appended K/V in-kernel."""
     L, Bw, H2, dh, M = ckv.shape
     K = beam_k
     H = n_head
@@ -619,6 +729,9 @@ def fused_decoder_layers(
     Ta = xkv8.shape[-1]
     HP = xsc.shape[2] // 2
     dtype = x.dtype
+    self_int8 = ckv.dtype == jnp.int8
+    if self_int8 and ksc is None:
+        raise ValueError("int8 self-cache requires the ksc scale array")
     if M < 256:
         raise ValueError(
             "mega cache minor must be >= 256 (init_kv_cache beam_k "
@@ -633,7 +746,10 @@ def fused_decoder_layers(
         x.reshape(Bw, K, d)).reshape(RP, d)
     amp = jnp.full((Bw, KP, M), NEG, jnp.float32).at[:, :K].set(amask)
     kernel, VEC = _make_kernel(RP, d, ff, H, dh, Bw, K, KP, M, Ta, HP,
-                               dtype)
+                               dtype, self_int8)
+    if ksc is None:
+        # unused dummy (uniform kernel operand layout); never DMA'd
+        ksc = jnp.zeros((1, 1, 8, 128), jnp.float32)
 
     posk = (jnp.asarray(pos, jnp.int32) * K).reshape(1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -650,10 +766,12 @@ def fused_decoder_layers(
             pl.BlockSpec(memory_space=pl.ANY),        # ckv
             pl.BlockSpec(memory_space=pl.ANY),        # xkv8
             pl.BlockSpec(memory_space=pl.ANY),        # xsc
+            pl.BlockSpec(memory_space=pl.ANY),        # ksc
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),    # x_out
             pl.BlockSpec(memory_space=pl.ANY),        # ckv (aliased)
+            pl.BlockSpec(memory_space=pl.ANY),        # ksc (aliased)
         ],
         scratch_shapes=[
             pltpu.VMEM((RP, d), dtype),               # xs (persistent)
@@ -661,7 +779,10 @@ def fused_decoder_layers(
             pltpu.VMEM((2, d, ff), jnp.int8),         # wf1b
             pltpu.VMEM((2, ff, d), jnp.int8),         # wf2b
             pltpu.VMEM((2, 1, VEC), jnp.float32),     # vecv
-            pltpu.VMEM((2, 2 * H, dh, M), dtype),     # sb (self stream)
+            pltpu.VMEM((2, 2 * H, dh, M),
+                       jnp.int8 if self_int8 else dtype),  # sb
+            pltpu.VMEM((2, 2 * HP, M) if self_int8 else (2, 8, 128),
+                       jnp.float32),                  # ssb (self scales)
             pltpu.VMEM((2, 2 * H, dh, Ta), jnp.int8),  # cb (cross kv)
             pltpu.VMEM((2, 2 * HP, Ta), jnp.float32),  # csb (cross sc)
             pltpu.VMEM((Bw, KP, 3 * d), dtype),       # h3 (window rows)
@@ -672,28 +793,33 @@ def fused_decoder_layers(
             pltpu.SemaphoreType.DMA((2,)),            # sem_wf1
             pltpu.SemaphoreType.DMA((2,)),            # sem_wf2
             pltpu.SemaphoreType.DMA((2,)),            # sem_s
+            pltpu.SemaphoreType.DMA((2,)),            # sem_ss
             pltpu.SemaphoreType.DMA((2,)),            # sem_c
             pltpu.SemaphoreType.DMA((2,)),            # sem_cs
             pltpu.SemaphoreType.DMA((2,)),            # sem_wb
+            pltpu.SemaphoreType.DMA((2,)),            # sem_wbs
         ],
     )
 
     out_shape = [
         jax.ShapeDtypeStruct((RP, d), dtype),
         jax.ShapeDtypeStruct(ckv.shape, ckv.dtype),
+        jax.ShapeDtypeStruct(ksc.shape, jnp.float32),
     ]
-    # operand index 8 = ckv (posk scalar-prefetch is operand 0); output
-    # index 1 = the appended cache
-    x_out, ckv_new = pl.pallas_call(
+    # operand index 8 = ckv, 11 = ksc (posk scalar-prefetch is operand
+    # 0); outputs 1/2 = the appended cache and scales, aliased in-place
+    x_out, ckv_new, ksc_new = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
-        input_output_aliases={8: 1},
+        input_output_aliases={8: 1, 11: 2},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=116 * 1024 * 1024,
         ),
         interpret=interpret,
     )(posk, xp, amp, cmask, wpack["vecs"], wpack["wq8"], wpack["wf18"],
-      wpack["wf28"], ckv, xkv8, xsc)
+      wpack["wf28"], ckv, xkv8, xsc, ksc)
     x_out = x_out.reshape(Bw, KP, d)[:, :K].reshape(R, d)
+    if self_int8:
+        return x_out, ckv_new, ksc_new
     return x_out, ckv_new
