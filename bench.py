@@ -17,13 +17,16 @@ Prints exactly ONE JSON line on stdout:
 vs_baseline is measured against the reference's best claimed speed
 (~10x real-time on its RTX-3050-class GPU setup, reference README.md:122).
 
-Env knobs: ARIES_BENCH_BATCH (windows per step, default 8),
-ARIES_BENCH_TOKENS (decode length, default 100), ARIES_BENCH_BEAM
-(default 5), ARIES_BENCH_MODEL (default large-v3; "tiny-cpu" runs a scaled
-model for CPU smoke runs), ARIES_BENCH_REPS (timed reps, default 3),
+Env knobs: ARIES_BENCH_BATCH (windows per step, default 48 on TPU — the
+measured int8-self-cache capacity/throughput peak), ARIES_BENCH_TOKENS
+(decode length, default 100), ARIES_BENCH_BEAM (default 5),
+ARIES_BENCH_MODEL (default large-v3; "tiny-cpu" runs a scaled model for
+CPU smoke runs), ARIES_BENCH_REPS (timed reps, default 3),
 ARIES_BENCH_MODE=engine (full AriesTranscriber.transcribe_file product path
-on a synthetic 10-minute WAV — includes VAD planning, host parse, outputs),
-ARIES_BENCH_KV=int8, ARIES_BENCH_COMPUTE=int8.
+on a synthetic 36-minute WAV — includes VAD planning, host parse, outputs),
+ARIES_BENCH_KV=int8, ARIES_BENCH_COMPUTE=int8, ARIES_BENCH_SELFKV=bf16
+(opt out of the TPU-default int8 self-cache), ARIES_BEAM_TAIL=xla (opt out
+of the fused beam-tail kernel).
 """
 
 from __future__ import annotations
@@ -129,7 +132,10 @@ def main() -> int:
 
     backend = jax.default_backend()
     model_name = os.environ.get("ARIES_BENCH_MODEL", "large-v3")
-    batch = int(os.environ.get("ARIES_BENCH_BATCH", "24"))
+    # 48 is the measured int8-self-cache HBM capacity (and the throughput
+    # peak: 24->352x, 36->361x, 48->366x, 56 OOMs — the megakernel has no
+    # row-tile cliff; parallel/mesh.py auto-sizing uses the same anchor)
+    batch = int(os.environ.get("ARIES_BENCH_BATCH", "48"))
     n_tokens = int(os.environ.get("ARIES_BENCH_TOKENS", "100"))
     beam = int(os.environ.get("ARIES_BENCH_BEAM", "5"))
     reps = int(os.environ.get("ARIES_BENCH_REPS", "3"))
@@ -191,11 +197,14 @@ def main() -> int:
     kv_int8 = os.environ.get("ARIES_BENCH_KV", kv_default) == "int8"
     if kv_int8:
         log("cross-attention K/V quantized to int8")
-    # self-attention cache int8 (ARIES_BENCH_SELFKV=int8) halves the beam
-    # cache HBM but costs step latency — off by default (see ROADMAP.md)
-    self_kv_int8 = os.environ.get("ARIES_BENCH_SELFKV", "bf16") == "int8"
+    # self-attention cache: int8 by default on TPU (the megakernel
+    # quantizes appended K/V in-kernel at zero measured latency cost and
+    # the halved cache enables batch 48); ARIES_BENCH_SELFKV=bf16 opts out
+    selfkv_default = "int8" if backend == "tpu" else "bf16"
+    self_kv_int8 = os.environ.get(
+        "ARIES_BENCH_SELFKV", selfkv_default) == "int8"
     if self_kv_int8:
-        log("self-attention KV cache quantized to int8 (quantize-on-write)")
+        log("self-attention KV cache quantized to int8 (in-kernel append)")
 
     def step():
         mel = log_mel_spectrogram(audio_j, n_mels=dims.n_mels)

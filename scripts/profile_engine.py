@@ -53,7 +53,7 @@ def wrap(obj, name):
     setattr(obj, name, timed)
 
 
-for m in ("_upload_audio", "_plan", "_decode_batch", "_parse_one",
+for m in ("_make_uploader", "_gather_span", "_plan", "_decode_batch", "_parse_one",
           "_mel", "_encode_batch", "_gather_windows",
           "_window_starts_lengths"):
     wrap(eng, m)

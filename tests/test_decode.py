@@ -706,6 +706,37 @@ def test_beam_mega_kernel_parity(tiny_pair, self_kv_int8):
     )
 
 
+def test_beam_tail_kernel_end_to_end_parity(tiny_pair):
+    """beam_tail="kernel" (fused filters+log_softmax+top-k tail,
+    interpret mode off-TPU) must reproduce the XLA tail through full
+    beam decodes: identical tokens and scores, with timestamps on and
+    off."""
+    _, dims, params, mel = tiny_pair
+    xa = W.encode(params, jnp.asarray(mel), dims)
+    ids = _tiny_ids(dims)
+    for with_ts in (True, False):
+        common = dict(beam_size=4, sample_len=6, with_timestamps=with_ts,
+                      length_penalty=0.0, suppress_blank=True)
+        prompt = jnp.full((2, 1), 3, jnp.int32)
+        base = G.beam_search_decode(
+            params, xa, prompt, dims, ids,
+            jnp.zeros((dims.n_vocab,), jnp.float32), jnp.int32(0),
+            beam_reorder="xla", beam_tail="xla", **common,
+        )
+        kern = G.beam_search_decode(
+            params, xa, prompt, dims, ids,
+            jnp.zeros((dims.n_vocab,), jnp.float32), jnp.int32(0),
+            beam_reorder="xla", beam_tail="kernel", **common,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(base["tokens"]), np.asarray(kern["tokens"])
+        )
+        np.testing.assert_allclose(
+            np.asarray(base["sum_logprob"]),
+            np.asarray(kern["sum_logprob"]), rtol=1e-5, atol=1e-6,
+        )
+
+
 def test_mega_kernel_int8_self_cache_reference_parity():
     """Golden-model check of the megakernel's int8 self-cache mode
     (self_kv_int8 + mega): the Pallas kernel in interpret mode must

@@ -96,16 +96,30 @@ def test_export_safetensors(tmp_path, tiny_setup):
 def test_auto_windows_per_device():
     from whisper_aries_tpu.parallel.mesh import auto_windows_per_device
 
-    # v5e-like 16GB budget at beam 5 / 100 tokens -> around the measured
-    # batch-24 throughput knee (honest-bench sweep; above 24 the XLA
-    # schedule flips and throughput halves)
+    # XLA-step regime (mega=False; also the CPU-backend default): 16GB at
+    # beam 5 / 100 tokens -> around the measured batch-24 throughput knee
+    # (honest-bench sweep; above 24 the XLA schedule flips and halves)
     n = auto_windows_per_device("large-v3", beam_size=5, sample_len=100,
-                                hbm_bytes=16 * 1024**3)
+                                hbm_bytes=16 * 1024**3, mega=False)
     assert 20 <= n <= 28 and n % 4 == 0
     # the full 224-token budget costs more cache -> fewer windows
     n224 = auto_windows_per_device("large-v3", beam_size=5,
-                                   hbm_bytes=16 * 1024**3)
+                                   hbm_bytes=16 * 1024**3, mega=False)
     assert 10 <= n224 < n
+    # megakernel regime: no row-tile cliff — sized to the measured int8
+    # self-cache capacity (48 @ beam 5 / 100 tokens in 16 GB)
+    nm = auto_windows_per_device("large-v3", beam_size=5, sample_len=100,
+                                 hbm_bytes=16 * 1024**3, mega=True)
+    assert nm == 48
+    # 224-token budget -> bigger cache minor -> fewer windows; bf16
+    # self-cache -> fewer still
+    nm224 = auto_windows_per_device("large-v3", beam_size=5,
+                                    hbm_bytes=16 * 1024**3, mega=True)
+    assert 28 <= nm224 < nm
+    nmb = auto_windows_per_device("large-v3", beam_size=5, sample_len=100,
+                                  hbm_bytes=16 * 1024**3, mega=True,
+                                  self_kv_int8=False)
+    assert nmb < nm
     # tiny model fits far more (clamped at 56)
     assert auto_windows_per_device("tiny", 1, hbm_bytes=16 * 1024**3) == 56
     # small memory -> clamped at 1

@@ -99,11 +99,13 @@ class DecodeConfig:
     #: cross-attention KV cache storage: "auto" (int8 on TPU via the fused
     #: Pallas dequant-attention kernel, bf16 elsewhere), "int8", or "bf16".
     kv_cache_dtype: str = "auto"
-    #: SELF-attention KV cache storage: "bf16" (default — fastest measured)
-    #: or "int8" (quantize-on-write; halves the beam-cache HBM footprint at
-    #: a per-step latency cost — an HBM-capacity escape hatch, not a
-    #: throughput win; see ROADMAP.md).
-    self_kv_cache_dtype: str = "bf16"
+    #: SELF-attention KV cache storage: "auto" (default — int8 on the TPU
+    #: beam megakernel path, where the appended K/V are quantized
+    #: IN-KERNEL at zero measured latency cost and the halved cache HBM
+    #: raises the window-batch capacity from 24 to 48; bf16 elsewhere —
+    #: the XLA quantize-on-write path costs step latency), "int8", or
+    #: "bf16".
+    self_kv_cache_dtype: str = "auto"
     #: log-mel frontend: "auto" (fused Pallas kernel on TPU, XLA FFT
     #: elsewhere), "pallas", or "xla".
     mel_backend: str = "auto"

@@ -412,7 +412,7 @@ class BeamState(NamedTuple):
     static_argnames=("dims", "ids", "beam_size", "sample_len",
                      "with_timestamps", "length_penalty", "suppress_blank",
                      "kv_int8", "self_kv_int8", "patience",
-                     "no_repeat_ngram_size", "beam_reorder"),
+                     "no_repeat_ngram_size", "beam_reorder", "beam_tail"),
 )
 def beam_search_decode(
     params: Dict[str, Any],
@@ -434,6 +434,7 @@ def beam_search_decode(
     no_repeat_ngram_size: int = 0,
     prompt_start: Optional[jax.Array] = None,
     beam_reorder: Optional[str] = None,
+    beam_tail: Optional[str] = None,
 ) -> Dict[str, jax.Array]:
     """Batched beam search, beams flattened into the batch axis.
 
@@ -470,6 +471,20 @@ def beam_search_decode(
         import os as _os_knob
 
         beam_reorder = _os_knob.environ.get("ARIES_BEAM_REORDER", "default")
+    if beam_tail is None:
+        import os as _os_knob2
+
+        # same trace-time caveat as beam_reorder: the jit cache keys on
+        # the resolved static, not the env — pass explicitly to flip live
+        beam_tail = _os_knob2.environ.get("ARIES_BEAM_TAIL", "default")
+    # fused filters+log_softmax+top-k tail kernel (ops/pallas_beam_tail):
+    # the XLA tail is ~15 separate full-vocab ops (~0.7 ms/step at batch
+    # 24, ~2.1 ms at 48 — scripts/profile_beam_tail.py); the kernel is
+    # one program. "xla" opts out; "kernel" forces it (interpret mode
+    # off-TPU — parity tests).
+    use_tail_kernel = (beam_tail == "kernel"
+                       or (beam_tail != "xla"
+                           and jax.default_backend() == "tpu"))
     if (beam_reorder == "default" and kv_int8
             and jax.default_backend() == "tpu"):
         # the all-layers int8 megakernel IS the default TPU beam path
@@ -613,20 +628,40 @@ def beam_search_decode(
                 no_repeat_ngram_size, V,
             )
             logits_flat = jnp.where(banned, NEG_INF, logits_flat)
-        f = _apply_filters(
-            logits_flat, ids, suppress_mask, is_first,
-            state.last_tok.reshape(-1), state.penult_tok.reshape(-1),
-            state.max_ts_tok.reshape(-1), with_timestamps, suppress_blank,
-        )
-        logprobs = jax.nn.log_softmax(f, axis=-1).reshape(B, K, V)
+        if use_tail_kernel:
+            # ONE fused program for filters + log_softmax + score
+            # accumulation + eot routing + top-k (semantics identical to
+            # the XLA branch below; tests/test_beam_tail.py)
+            from whisper_aries_tpu.ops.pallas_beam_tail import beam_tail
 
-        total = state.sum_logprob[:, :, None] + logprobs  # (B, K, V)
-        # eot candidates are exactly the eot column — one per live beam —
-        # so they never need a top-k over V; mask them out of the flat
-        # expansion and keep the round-1-cost top_k(K) for the live refill.
-        eot_scores = total[:, :, ids.eot]  # (B, K)
-        flat = total.at[:, :, ids.eot].set(NEG_INF).reshape(B, K * V)
-        live_score, top_idx = _top_k_unrolled(flat, K)  # (B, K)
+            live_score, top_idx, eot_scores = beam_tail(
+                logits_flat, state.sum_logprob, state.last_tok,
+                state.penult_tok, state.max_ts_tok, suppress_mask,
+                is_first, K=K, tsb=ids.timestamp_begin, eot=ids.eot,
+                blank=ids.blank, no_ts=ids.no_timestamps,
+                init_cap=(ids.timestamp_begin
+                          + ids.max_initial_timestamp_index),
+                with_timestamps=with_timestamps,
+                suppress_blank=suppress_blank,
+                interpret=jax.default_backend() != "tpu",
+            )
+        else:
+            f = _apply_filters(
+                logits_flat, ids, suppress_mask, is_first,
+                state.last_tok.reshape(-1), state.penult_tok.reshape(-1),
+                state.max_ts_tok.reshape(-1), with_timestamps,
+                suppress_blank,
+            )
+            logprobs = jax.nn.log_softmax(f, axis=-1).reshape(B, K, V)
+
+            total = state.sum_logprob[:, :, None] + logprobs  # (B, K, V)
+            # eot candidates are exactly the eot column — one per live
+            # beam — so they never need a top-k over V; mask them out of
+            # the flat expansion and keep the round-1-cost top_k(K) for
+            # the live refill.
+            eot_scores = total[:, :, ids.eot]  # (B, K)
+            flat = total.at[:, :, ids.eot].set(NEG_INF).reshape(B, K * V)
+            live_score, top_idx = _top_k_unrolled(flat, K)  # (B, K)
         live_src = top_idx // V
         next_tok = (top_idx % V).astype(jnp.int32)
 

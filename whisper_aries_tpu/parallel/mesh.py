@@ -78,23 +78,51 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _mega_path_default(beam_size: int) -> bool:
+    """Whether beam decode will take the Pallas megakernel step path
+    (generate.py resolves ARIES_BEAM_REORDER="default" to "mega" on TPU
+    for beam search with int8 cross-KV — the engine's TPU defaults)."""
+    if beam_size <= 1:
+        return False  # greedy has its own (non-mega) step path
+    import os
+
+    mode = os.environ.get("ARIES_BEAM_REORDER", "default")
+    if mode not in ("default", "mega"):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def auto_windows_per_device(
     model_name: str = "large-v3",
     beam_size: int = 5,
     sample_len: int = 224,
     hbm_bytes: Optional[int] = None,
+    mega: Optional[bool] = None,
+    self_kv_int8: Optional[bool] = None,
 ) -> int:
     """Derive the per-device window batch from available HBM.
 
     TPU-native replacement for the reference's VRAM-based worker heuristics
     (final_optimized_transcriber.py:219-240, complete_fixed_whisper.py:
-    638-678). Anchored empirically: large-v3 at beam 5 / 103 cache
-    positions fits 40 windows in a 16 GB v5e chip with the transposed
-    int8 cross-K/V, transposed beam self-cache, and the sequenced
-    cache-reorder gathers (measured round 2: batch 40 runs at 367x
-    realtime; pre-barrier it exceeded HBM by ~1 GB). The engine
-    additionally retries with a halved batch on an HBM OOM, so this only
-    needs to be a good first guess. Clamped to [1, 56].
+    638-678). Two regimes:
+
+    * ``mega`` (the TPU beam default, Pallas decode megakernel): sized by
+      HBM BYTES — the kernel tiles its own windows, so the XLA 128-row
+      tile cliff does not apply and throughput rises monotonically with
+      batch (measured: 24→352x, 36→361x, 48→366x; 56 OOMs). Anchored at
+      the measured capacity: 48 windows @ beam 5 / 108 cache positions /
+      int8 self-cache in 16 GB. ``self_kv_int8=None`` assumes the engine
+      TPU default (int8).
+    * non-mega (XLA decode step): anchored at the batch-24 throughput
+      knee and HARD-CAPPED at batch*beam <= 128 rows — per-op cost steps
+      up ~2x when the row count of every decode-step GEMM crosses the
+      128-lane tile (measured 24x5=120 rows → 155x, 26x5=130 → 87x).
+
+    The engine additionally retries with a halved batch on an HBM OOM,
+    so this only needs to be a good first guess. Clamped to [1, 56].
     """
     from whisper_aries_tpu.models.whisper import PRESETS
 
@@ -113,6 +141,30 @@ def auto_windows_per_device(
 
     dh = dims.n_text_state // dims.n_text_head
     cache_len = sample_len + 8
+    if mega is None:
+        mega = _mega_path_default(beam_size)
+    if mega:
+        # BYTE model of the mega path's per-window HBM residents, anchored
+        # at the measured 16 GB capacity (48 windows @ beam 5 / cache 108 /
+        # int8 self-cache fit at 366x; 56 OOMs — round-3 sweep):
+        #   * packed int8 cross-KV: 2 (k&v) x L x H x dh x TaP bytes
+        #   * packed beam self-cache, FULL K-minor allocation (the x128-
+        #     rounded (cache_len*beam + slack) minor, init_kv_cache)
+        #   * ~40 MB/window of encoder/mel/logit activation transients
+        if self_kv_int8 is None:
+            self_kv_int8 = True  # engine TPU default (auto -> int8)
+        tap = ((dims.n_audio_ctx + 127) // 128) * 128
+        m_minor = ((cache_len * beam_size + 127) // 128) * 128 + 128
+        kbytes = 2 * dims.n_text_layer * dims.n_text_head * dh
+        cost = (kbytes * (tap + m_minor * (1 if self_kv_int8 else 2))
+                + 40e6)
+        anchor_cost = (2 * 32 * 20 * 64 * (1536 + 768) + 40e6)
+        n = (48.0 * (hbm_bytes / (16 * 1024**3))
+             * anchor_cost / max(cost, 1.0))
+        # FLOOR to the x4 batch grid: n * cost is then <= the measured
+        # 48-window budget (rounding up overshoots it and trips the OOM
+        # halve-retry, a ~60-90 s recompile on the product path)
+        return int(np.clip(int(n // 4) * 4, 1, 56))
     # relative cost vs the measured anchor configuration (int8 cross-KV,
     # bf16 self-cache kept twice across the beam-reorder gather)
     anchor_cost = (
@@ -124,22 +176,23 @@ def auto_windows_per_device(
         + 2 * 2 * dims.n_text_layer * beam_size * dims.n_text_head
         * cache_len * dh * 2
     )
-    # 24 is the measured THROUGHPUT knee, not the HBM ceiling: the batch
-    # sweep is non-monotonic (16->88x, 24->155x, 26->87x — ROADMAP.md) and
-    # auto-sizing anchors at the knee rather than at capacity (bf16
-    # self-cache OOMs near 40)
+    # 24 is the measured THROUGHPUT knee of the XLA step, not the HBM
+    # ceiling: its batch sweep is non-monotonic (16->88x, 24->155x,
+    # 26->87x — ROADMAP.md) and auto-sizing anchors at the knee
     anchor_windows = 24.0 * (hbm_bytes / (16 * 1024**3))
     n = anchor_windows * anchor_cost / max(cost, 1)
     # round to a multiple of 4: friendlier XLA tiles, and window counts
     # (files tile into whole windows) pad less often against odd batches
     n = round(n / 4.0) * 4
-    # HARD CAP at the 128-row tile tier: decode is per-op-overhead-bound,
-    # and per-op cost steps up ~2x when batch*beam (the row count of every
-    # decode-step GEMM) crosses the 128-lane tile boundary — measured
-    # 24x5=120 rows -> 155x, 25x5=125 -> 149x, 26x5=130 -> 87x, and the
-    # whole >128 tier fits throughput = (batch/24)*155/2 (26->87, 32->99).
-    # Crossing the boundary is never a win until batch/24 > 2, which HBM
-    # can't hold at beam 5 — so cap rows at 128.
+    # HARD CAP at the 128-row tile tier: the XLA decode step is per-op-
+    # overhead-bound, and per-op cost steps up ~2x when batch*beam (the
+    # row count of every decode-step GEMM) crosses the 128-lane tile
+    # boundary — measured 24x5=120 rows -> 155x, 25x5=125 -> 149x,
+    # 26x5=130 -> 87x, and the whole >128 tier fits
+    # throughput = (batch/24)*155/2 (26->87, 32->99). Crossing the
+    # boundary is never a win until batch/24 > 2, which HBM can't hold
+    # at beam 5 — so cap rows at 128. (The mega path above has no such
+    # cliff: the kernel tiles per-window rows itself.)
     if beam_size >= 1:
         n = min(n, (128 // beam_size // 4) * 4)
     try:

@@ -185,6 +185,70 @@ class DummyTokenizer:
         return []
 
 
+class _AudioUploader:
+    """Pipelined host->device audio transfer in per-batch SPANS.
+
+    The axon tunnel moves host arrays at a measured (and variable)
+    5-30 MB/s, so eagerly uploading a whole file's int16 samples costs
+    2-14 s of serial prefix on a 36-minute file (scripts/probe_upload.py)
+    — ~20% of the engine-path wall time. Transfers DO overlap device
+    compute (probe 3/3b), so this uploader runs every jax.device_put on
+    a single background worker: the first batch blocks only on its own
+    span, and later spans stream through the tunnel while earlier
+    batches decode. Spans also skip VAD-silence gaps entirely (the old
+    whole-file upload paid for them). int16 quantization of float
+    sources happens per-span on the worker, off the critical path.
+
+    ``whole=True`` degrades to one whole-file transfer — used when the
+    batch spans would overlap enough to exceed the file size (the
+    audio_ctx_bucket sort can interleave batch time ranges).
+    """
+
+    def __init__(self, audio_f32, audio_i16=None, pad: int = 480_000):
+        import concurrent.futures as _cf
+
+        self._f32 = audio_f32
+        self._i16 = audio_i16
+        self._pad = pad
+        self.n = int(len(audio_i16 if audio_i16 is not None else audio_f32))
+        self._futs: Dict[Tuple[int, int], Any] = {}
+        self._pool = _cf.ThreadPoolExecutor(max_workers=1)
+        self.whole = False
+
+    def _slice16(self, s: int, e: int) -> np.ndarray:
+        """int16 samples for [s, e), zero-padded past EOF (the window
+        overhang the old whole-file upload pre-padded)."""
+        if self._i16 is not None:
+            a = self._i16[s:min(e, self.n)]
+        else:
+            # 16-bit wire fidelity matches the reference exactly: its
+            # pipeline ingests via ffmpeg pcm_s16le (utils.py:107-123)
+            a = np.clip(
+                np.asarray(self._f32[s:min(e, self.n)], np.float32)
+                * 32768.0, -32768, 32767,
+            ).astype(np.int16)
+        if e > self.n:
+            a = np.pad(a, (0, e - self.n))
+        return a
+
+    def _key(self, s: int, e: int) -> Tuple[int, int]:
+        if self.whole:
+            return (0, self.n + self._pad)
+        return (max(0, int(s)), int(e))
+
+    def prefetch(self, s: int, e: int) -> None:
+        key = self._key(s, e)
+        if key not in self._futs:
+            self._futs[key] = self._pool.submit(
+                lambda: jax.device_put(self._slice16(*key)))
+
+    def get(self, s: int, e: int) -> Tuple[jax.Array, int]:
+        """Device int16 span covering [s, e) and its base offset."""
+        key = self._key(s, e)
+        self.prefetch(s, e)
+        return self._futs[key].result(), key[0]
+
+
 @dataclasses.dataclass(frozen=True)
 class _CallOpts:
     """Per-call decode options threaded through the window loops.
@@ -267,10 +331,12 @@ class AriesTranscriber:
             if jax.default_backend() == "tpu":
                 from whisper_aries_tpu.parallel.mesh import auto_windows_per_device
 
+                skvd = self.config.decode.self_kv_cache_dtype
                 wpd = auto_windows_per_device(
                     model_size,
                     beam_size=self.config.decode.beam_size or 5,
                     sample_len=self.config.decode.max_new_tokens,
+                    self_kv_int8=None if skvd == "auto" else skvd == "int8",
                 )
             else:
                 wpd = 8
@@ -287,9 +353,14 @@ class AriesTranscriber:
         # the dominant decode-step HBM stream; "auto" enables it on TPU.
         kvd = kv_cache_dtype or self.config.decode.kv_cache_dtype
         self.kv_int8 = kvd == "int8" or (kvd == "auto" and on_tpu)
-        # self-attention cache: int8 is an HBM-capacity escape hatch (halves
-        # the beam cache) that costs step latency — off unless asked for
-        self.self_kv_int8 = self.config.decode.self_kv_cache_dtype == "int8"
+        # self-attention cache: "auto" resolves to int8 exactly where the
+        # beam megakernel quantizes appended K/V in-kernel (TPU beam path;
+        # zero measured latency cost, 2x window-batch capacity). The XLA
+        # quantize-on-write variant costs step latency, so auto keeps
+        # greedy/CPU at bf16. Resolved per-call in _decode_batch.
+        skvd = self.config.decode.self_kv_cache_dtype
+        self._self_kv_auto = skvd == "auto"
+        self.self_kv_int8 = skvd == "int8"
         melb = mel_backend or self.config.decode.mel_backend
         self.use_pallas_mel = melb == "pallas" or (melb == "auto" and on_tpu)
         # opt-in short-window encoder bucketing (whisper.cpp audio_ctx
@@ -373,21 +444,35 @@ class AriesTranscriber:
     SHORT_WINDOW_SAMPLES = 256_000  # 16 s @ 16 kHz
     SHORT_WINDOW_S = 16.0
 
-    def _upload_audio(self, audio: np.ndarray,
-                      audio_i16: Optional[np.ndarray] = None) -> jax.Array:
-        # 16-bit wire fidelity matches the reference exactly: its pipeline
-        # ingests via ffmpeg pcm_s16le extraction (utils.py:107-123), so
-        # every sample it ever decoded was 16-bit. When the source was a
-        # PCM16 WAV the preloader hands back its raw samples and the whole
-        # quantize pass (3 full-file host passes) is skipped — bit-exact,
-        # because round(clip(s/32768 * 32768)) == s and the device gather
-        # divides by the same 32768.
-        if audio_i16 is None:
-            audio_i16 = np.clip(
-                np.asarray(audio, np.float32) * 32768.0, -32768, 32767
-            ).astype(np.int16)
-        a16 = np.pad(audio_i16, (0, self.WINDOW_SAMPLES))  # windows overhang
-        return jax.device_put(a16)
+    def _make_uploader(self, pre) -> _AudioUploader:
+        """Span-pipelined device transfer for this file's samples. When
+        the source was a PCM16 WAV the preloader hands back its raw
+        samples and the quantize pass is skipped — bit-exact, because
+        round(clip(s/32768 * 32768)) == s and the device gather divides
+        by the same 32768."""
+        return _AudioUploader(pre.audio, getattr(pre, "audio_i16", None),
+                              pad=self.WINDOW_SAMPLES)
+
+    def _batch_span(self, windows: Sequence[Window], batch_idx,
+                    win: Optional[int] = None) -> Tuple[int, int]:
+        """Sample range covering a batch's windows (+ the gather extent)."""
+        win = win or self.WINDOW_SAMPLES
+        sr = 16_000
+        s0 = min(int(round(windows[i].start * sr)) for i in batch_idx)
+        s1 = max(int(round(windows[i].start * sr)) for i in batch_idx) + win
+        return s0, s1
+
+    def _gather_span(self, uploader: _AudioUploader,
+                     windows: Sequence[Window], batch_idx, B: int,
+                     win: Optional[int] = None) -> jax.Array:
+        """Gather a window batch from the uploader's covering span.
+        Pad rows (start 0 / length 0) rebase to negative starts, which
+        dynamic_slice clamps and the length mask zeroes."""
+        win = win or self.WINDOW_SAMPLES
+        starts, lens = self._window_starts_lengths(windows, batch_idx, B,
+                                                   win=win)
+        arr, base = uploader.get(*self._batch_span(windows, batch_idx, win))
+        return self._gather_windows(arr, starts - base, lens, win=win)
 
     def _gather_windows(self, audio_dev: jax.Array, starts: np.ndarray,
                         lengths: np.ndarray,
@@ -529,18 +614,26 @@ class AriesTranscriber:
         if beam_size > 1 and temperature == 0.0:
             import os as _os
 
+            reorder = _os.environ.get("ARIES_BEAM_REORDER", "default")
+            self_int8 = self.self_kv_int8
+            if self._self_kv_auto:
+                # auto: int8 exactly on the megakernel path (in-kernel
+                # quantize-on-append — parity-exact tokens, free capacity)
+                self_int8 = (self.kv_int8 and reorder in ("default", "mega")
+                             and jax.default_backend() == "tpu")
             out = G.beam_search_decode(
                 self.params, xa, prompt_j, self.dims, ids,
                 suppress_mask, sot_index, beam_size=beam_size,
                 sample_len=sample_len, length_penalty=length_penalty,
                 repetition_penalty=rep, patience=float(patience or 1.0),
                 no_repeat_ngram_size=ngram, kv_int8=self.kv_int8,
-                self_kv_int8=self.self_kv_int8, prompt_start=ps,
+                self_kv_int8=self_int8, prompt_start=ps,
                 with_timestamps=with_ts,
                 # read at CALL time and passed as a static arg so flipping
                 # the A/B knob mid-process retraces instead of silently
                 # hitting the stale jit cache entry
-                beam_reorder=_os.environ.get("ARIES_BEAM_REORDER", "default"),
+                beam_reorder=reorder,
+                beam_tail=_os.environ.get("ARIES_BEAM_TAIL", "default"),
             )
         else:
             out = G.greedy_decode(
@@ -676,9 +769,11 @@ class AriesTranscriber:
             from whisper_aries_tpu.parallel.mesh import auto_windows_per_device
 
             n_dev = int(np.prod(self.mesh.devices.shape))
+            skvd = self.config.decode.self_kv_cache_dtype
             self.batch_size = max(1, n_dev * auto_windows_per_device(
                 self.model_size, beam_size=beam or 1,
                 sample_len=max_new_tokens,
+                self_kv_int8=None if skvd == "auto" else skvd == "int8",
             ))
         temps = (temperature if temperature is not None
                  else self.config.decode.temperature)
@@ -722,14 +817,14 @@ class AriesTranscriber:
         }
 
         if windows:
-            # one int16 upload of the whole file; windows gather on device
-            audio_dev = self._upload_audio(pre.audio,
-                                           getattr(pre, "audio_i16", None))
+            # per-batch int16 SPAN uploads, pipelined behind device compute
+            # (_AudioUploader); windows gather on device from their span
+            uploader = self._make_uploader(pre)
 
             # language detection on the first window if not specified
             if language is None:
-                s0, l0 = self._window_starts_lengths(windows, [0], 1)
-                mel0 = self._mel(self._gather_windows(audio_dev, s0, l0))
+                mel0 = self._mel(
+                    self._gather_span(uploader, windows, [0], 1))
                 language, lang_prob = self.detect_language(mel0)
                 info["language"], info["language_probability"] = language, lang_prob
 
@@ -771,7 +866,7 @@ class AriesTranscriber:
                 )
             if condition_on_previous_text:
                 segments = self._transcribe_windows_sequential(
-                    pre.audio, audio_dev, windows, prompt_ids, sot_idx, beam,
+                    pre.audio, uploader, windows, prompt_ids, sot_idx, beam,
                     temps,
                     length_penalty, max_new_tokens,
                     compression_ratio_threshold, log_prob_threshold,
@@ -788,7 +883,7 @@ class AriesTranscriber:
                     # FIRST window's transcript; decode it alone via the
                     # sequential machinery, then batch the rest without it
                     segments += self._transcribe_windows_sequential(
-                        pre.audio, audio_dev, windows[:1], prompt_ids,
+                        pre.audio, uploader, windows[:1], prompt_ids,
                         sot_idx, beam, temps,
                         length_penalty, max_new_tokens,
                         compression_ratio_threshold, log_prob_threshold,
@@ -799,7 +894,7 @@ class AriesTranscriber:
                     )
                     skip = {0}
                 segments += self._transcribe_windows(
-                    pre.audio, audio_dev, windows, prompt_ids, sot_idx, beam,
+                    pre.audio, uploader, windows, prompt_ids, sot_idx, beam,
                     temps,
                     length_penalty, max_new_tokens,
                     compression_ratio_threshold, log_prob_threshold,
@@ -871,7 +966,7 @@ class AriesTranscriber:
     # ------------------------------------------------------------------
 
     def _transcribe_windows(
-        self, audio_np, audio_dev, windows, prompt_ids, sot_idx, beam, temps,
+        self, audio_np, uploader, windows, prompt_ids, sot_idx, beam, temps,
         length_penalty, sample_len, cr_thresh, lp_thresh, ns_thresh,
         progress_callback=None, best_of: int = 5, rep_penalty: float = 1.0,
         patience: float = 1.0, ngram: int = 0, journal=None,
@@ -899,10 +994,44 @@ class AriesTranscriber:
             # segment sort restores time order)
             pending.sort(key=lambda i: (
                 windows[i].duration > self.SHORT_WINDOW_S, i))
+        if pending:
+            # size the dispatch batch to the FILE: ceil-divide the pending
+            # count over the batch count the cap implies, then round up to
+            # the x4 compile grid. Removes pad-window waste — a 72-window
+            # file at the batch-48 cap would run 2x48 slots (33% padding,
+            # measured 220x vs 256x engine RTF); 2x36 runs none. The x4
+            # grid keeps the set of compile shapes small and reusable
+            # across files in a server process.
+            n_b = -(-len(pending) // B)
+            per = -(-len(pending) // n_b)
+            B = min(B, -(-per // 4) * 4)
         monitor = PerformanceMonitor(
             total_audio_s=sum(windows[i].duration for i in pending)
         )
         self.last_monitor = monitor
+
+        def batch_win(batch_idx) -> int:
+            return (self.SHORT_WINDOW_SAMPLES
+                    if self.audio_ctx_bucket and all(
+                        windows[i].duration <= self.SHORT_WINDOW_S
+                        for i in batch_idx)
+                    else self.WINDOW_SAMPLES)
+
+        if pending:
+            # queue every batch's span on the uploader's worker NOW: the
+            # first batch blocks only on its own span; the rest stream
+            # through the tunnel while earlier batches decode. If the
+            # bucket sort interleaved batch time ranges enough that spans
+            # would re-upload more than ~1.25x the file, degrade to one
+            # whole-file transfer instead.
+            grid = [pending[p:p + B] for p in range(0, len(pending), B)]
+            spans = [self._batch_span(windows, bi, batch_win(bi))
+                     for bi in grid]
+            if sum(e - s for s, e in spans) > 1.25 * (uploader.n
+                                                      + uploader._pad):
+                uploader.whole = True
+            for s, e in spans:
+                uploader.prefetch(s, e)
 
         def dispatch(p: int) -> Dict[str, Any]:
             """Enqueue gather/mel/encode/decode for pending[p:p+B] on the
@@ -911,15 +1040,9 @@ class AriesTranscriber:
             batch_idx = pending[p : p + B]
             wb = [windows[i] for i in batch_idx]
             prompt = np.tile(np.asarray(prompt_ids, np.int32), (B, 1))
-            win = (self.SHORT_WINDOW_SAMPLES
-                   if self.audio_ctx_bucket and all(
-                       windows[i].duration <= self.SHORT_WINDOW_S
-                       for i in batch_idx)
-                   else self.WINDOW_SAMPLES)
-            starts, lens = self._window_starts_lengths(
-                windows, batch_idx, B, win=win
-            )
-            chunk_j = self._gather_windows(audio_dev, starts, lens, win=win)
+            win = batch_win(batch_idx)
+            chunk_j = self._gather_span(uploader, windows, batch_idx, B,
+                                        win=win)
             mel = self._mel(chunk_j)
             xa = self._encode_batch(mel)
             win_langs = None
@@ -1056,7 +1179,7 @@ class AriesTranscriber:
         return all_segments
 
     def _transcribe_windows_sequential(
-        self, audio_np, audio_dev, windows, prompt_ids, sot_idx, beam, temps,
+        self, audio_np, uploader, windows, prompt_ids, sot_idx, beam, temps,
         length_penalty, sample_len, cr_thresh, lp_thresh, ns_thresh,
         progress_callback=None, rep_penalty: float = 1.0,
         patience: float = 1.0, ngram: int = 0, journal=None,
@@ -1110,8 +1233,12 @@ class AriesTranscriber:
             w_sot = P_max - len(sot_seq) - len(pfx)
             pad = P_max - len(prompt)
             prompt = [-1] * pad + prompt  # -1 pads are masked in the decoder
-            s1, l1 = self._window_starts_lengths(windows, [wi], 1)
-            mel = self._mel(self._gather_windows(audio_dev, s1, l1))
+            # queue this window's span, then the NEXT one (single upload
+            # worker: order matters) so it streams while this one decodes
+            uploader.prefetch(*self._batch_span(windows, [wi]))
+            if wi + 1 < len(windows):
+                uploader.prefetch(*self._batch_span(windows, [wi + 1]))
+            mel = self._mel(self._gather_span(uploader, windows, [wi], 1))
             xa = self._encode_batch(mel)
             win_lang = None
             if opts is not None and opts.multilingual and len(sot_seq) >= 2:
