@@ -45,14 +45,24 @@ L = dims.n_text_layer
 
 xa = jnp.asarray(
     (0.02 * rng.standard_normal((B, 1500, 1280))).astype(np.float32), dtype)
-cross = W.precompute_cross_kv_int8(params, xa, dims)
-cross_mega = W.pack_cross_mega(cross, H)
+# packed-layout precompute straight from the scan (the engine path):
+# going through the unpacked quad + pack_cross_mega keeps TWO multi-GB
+# cross buffers live at once and OOMs batch 48
+cross_mega = jax.jit(
+    W.precompute_cross_kv_int8_packed, static_argnames=("dims",)
+)(params, xa, dims)
 wpack = pack_layer_weights(params["decoder"]["blocks"])
 Lm = P + TOK
 M = ((Lm * K + 127) // 128) * 128 + 128  # init_kv_cache K-minor + slack
 # zero cache: timing is data-independent (a host gaussian at this shape
-# would be a 10 GB f64 array + a multi-GB tunnel upload)
-ckv = jnp.zeros((dims.n_text_layer, B, 2 * H, dh, M), dtype)
+# would be a 10 GB f64 array + a multi-GB tunnel upload).
+# SELFKV=int8 (the TPU default since round 3) halves it + adds scales.
+self_int8 = os.environ.get("SELFKV", "int8") == "int8"
+cdt = jnp.int8 if self_int8 else dtype
+HP = ((H + 7) // 8) * 8
+ckv = jnp.zeros((dims.n_text_layer, B, 2 * H, dh, M), cdt)
+ksc = (jnp.ones((dims.n_text_layer, B, 2 * HP, M), jnp.float32)
+       if self_int8 else None)
 anc = jnp.tile(jnp.arange(K, dtype=jnp.int32)[None, :, None], (B, 1, Lm))
 x0 = jnp.asarray(
     (0.02 * rng.standard_normal((B * K, d))).astype(np.float32), dtype)
@@ -83,18 +93,23 @@ def kernel_only(pos):
                             include_own=True, minor=M)
 
     @jax.jit
-    def run(x0, wpack, ckv, km, sc, cm, amask):
+    def run(x0, wpack, ckv, ksc, km, sc, cm, amask):
         def body(carry, _):
-            x, ckv = carry
-            xo, ckv = fused_decoder_layers(
-                x, wpack, ckv, km, sc, cm, amask, jnp.int32(pos), H, K)
-            return (xo, ckv), ()
+            x, ckv, ksc = carry
+            if self_int8:
+                xo, ckv, ksc = fused_decoder_layers(
+                    x, wpack, ckv, km, sc, cm, amask, jnp.int32(pos), H,
+                    K, ksc=ksc)
+            else:
+                xo, ckv = fused_decoder_layers(
+                    x, wpack, ckv, km, sc, cm, amask, jnp.int32(pos), H, K)
+            return (xo, ckv, ksc), ()
 
-        (x, _), _ = jax.lax.scan(body, (x0, ckv), None, length=N)
+        (x, _, _), _ = jax.lax.scan(body, (x0, ckv, ksc), None, length=N)
         return x
 
     return lambda: np.asarray(run(
-        x0, wpack, ckv, cross_mega["kv8"], cross_mega["sc"],
+        x0, wpack, ckv, ksc, cross_mega["kv8"], cross_mega["sc"],
         cross_mega["cmask"], amask))
 
 
@@ -110,8 +125,9 @@ def full_step(pos0):
             nxt = jnp.argmax(logits[:, -1, :1000], axis=-1).astype(jnp.int32)
             return (nxt[:, None], pos + 1, cache), ()
 
+        cache0 = ({"kv8": ckv, "ksc": ksc} if self_int8 else {"kv": ckv})
         (tok, _, _), _ = jax.lax.scan(
-            body, (tok0, jnp.int32(pos0), {"kv": ckv}), None, length=N)
+            body, (tok0, jnp.int32(pos0), cache0), None, length=N)
         return tok
 
     return lambda: np.asarray(run(params, wpack, tok0, ckv, cross_mega))
@@ -131,12 +147,17 @@ def step_parts(pos0, vocab=False, emb=False, amask_in=True):
             x, pos, ckv = carry
             if emb:
                 x = (dec["tok_emb"][jnp.maximum(tok0[:, 0], 0)]
-                     + dec["pos_emb"][pos]).astype(ckv.dtype)
+                     + dec["pos_emb"][pos]).astype(dec["tok_emb"].dtype)
             am = (amask0 if amask_in else W.ancestry_mask(
                 anc, pos, jnp.int32(0), Lm, include_own=True, minor=M))
-            xo, ckv = fused_decoder_layers(
-                x, wpack, ckv, cm["kv8"], cm["sc"], cm["cmask"], am,
-                pos, H, K)
+            if self_int8:
+                xo, ckv, _ksc2 = fused_decoder_layers(
+                    x, wpack, ckv, cm["kv8"], cm["sc"], cm["cmask"], am,
+                    pos, H, K, ksc=ksc)
+            else:
+                xo, ckv = fused_decoder_layers(
+                    x, wpack, ckv, cm["kv8"], cm["sc"], cm["cmask"], am,
+                    pos, H, K)
             if vocab:
                 from whisper_aries_tpu.models.layers import layer_norm
                 xn = layer_norm(dec["ln"], xo)
