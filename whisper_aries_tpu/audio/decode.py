@@ -320,8 +320,9 @@ class AudioPreloader:
         self.sample_rate = sample_rate
         #: raw int16 samples when the source is already PCM16 mono at the
         #: target rate (the reference's pcm_s16le ingest contract) — lets
-        #: the engine upload the file verbatim (see _upload_audio)
+        #: the engine upload the file verbatim (_AudioUploader)
         self.audio_i16: Optional[np.ndarray] = None
+        self._audio_f32: Optional[np.ndarray] = None
         if Path(path).suffix.lower() == ".wav":
             try:
                 self.audio_i16 = peek_wav_s16_mono(
@@ -329,12 +330,23 @@ class AudioPreloader:
                 )
             except OSError:
                 pass
-        if self.audio_i16 is not None:
-            # same float contract as load_audio's s16 branch (x / 32768)
-            self.audio = self.audio_i16.astype(np.float32) / 32768.0
-        else:
-            self.audio = load_audio(path, sample_rate)
-        self.duration = len(self.audio) / sample_rate
+        if self.audio_i16 is None:
+            self._audio_f32 = load_audio(path, sample_rate)
+        n = len(self.audio_i16 if self.audio_i16 is not None
+                else self._audio_f32)
+        self.duration = n / sample_rate
+
+    @property
+    def audio(self) -> np.ndarray:
+        """Mono float32 samples. For PCM16 sources the conversion is
+        LAZY: materializing the 4-byte copy of a long file costs ~1 s of
+        first-touch page faults (measured on a 36-min WAV), and the
+        engine's common path (int16 span upload, VAD off or energy VAD)
+        may never need it. Same float contract as load_audio's s16
+        branch (x / 32768)."""
+        if self._audio_f32 is None:
+            self._audio_f32 = self.audio_i16.astype(np.float32) / 32768.0
+        return self._audio_f32
 
     def get_chunk(self, start_sec: float, end_sec: float) -> np.ndarray:
         i0 = max(0, int(round(start_sec * self.sample_rate)))

@@ -450,8 +450,12 @@ class AriesTranscriber:
         samples and the quantize pass is skipped — bit-exact, because
         round(clip(s/32768 * 32768)) == s and the device gather divides
         by the same 32768."""
-        return _AudioUploader(pre.audio, getattr(pre, "audio_i16", None),
-                              pad=self.WINDOW_SAMPLES)
+        i16 = getattr(pre, "audio_i16", None)
+        # PCM16 sources never touch pre.audio here: the f32 conversion
+        # is lazy (AudioPreloader.audio) and costs ~1 s of first-touch
+        # page faults on a long file
+        return _AudioUploader(None if i16 is not None else pre.audio,
+                              i16, pad=self.WINDOW_SAMPLES)
 
     def _batch_span(self, windows: Sequence[Window], batch_idx,
                     win: Optional[int] = None) -> Tuple[int, int]:
@@ -543,8 +547,8 @@ class AriesTranscriber:
     # Window planning
     # ------------------------------------------------------------------
 
-    def _plan(self, audio: np.ndarray, duration: float, vad_filter: bool,
-              vad_parameters: Optional[dict],
+    def _plan(self, pre: AudioPreloader, duration: float,
+              vad_filter: bool, vad_parameters: Optional[dict],
               chunking_mode: str = "vad") -> List[Window]:
         if chunking_mode == "fixed":
             # reference-compatible coarse chunks with overlap
@@ -563,6 +567,7 @@ class AriesTranscriber:
                     t += 30.0
             return windows
         if vad_filter:
+            audio = pre.audio  # f32 materializes here (VAD needs it)
             opts = VadOptions(**(vad_parameters or {}))
             probs = self._speech_scorer(audio)
             speech = collect_speech_segments(probs, opts, total_samples=len(audio))
@@ -757,7 +762,7 @@ class AriesTranscriber:
         self.last_monitor = None
         pre = AudioPreloader(audio_path)
         duration = pre.duration
-        windows = self._plan(pre.audio, duration, vad_filter, vad_parameters,
+        windows = self._plan(pre, duration, vad_filter, vad_parameters,
                              chunking_mode=chunking_mode)
         log.info("planned %d windows for %.1fs audio", len(windows), duration)
 
@@ -866,7 +871,7 @@ class AriesTranscriber:
                 )
             if condition_on_previous_text:
                 segments = self._transcribe_windows_sequential(
-                    pre.audio, uploader, windows, prompt_ids, sot_idx, beam,
+                    pre, uploader, windows, prompt_ids, sot_idx, beam,
                     temps,
                     length_penalty, max_new_tokens,
                     compression_ratio_threshold, log_prob_threshold,
@@ -883,7 +888,7 @@ class AriesTranscriber:
                     # FIRST window's transcript; decode it alone via the
                     # sequential machinery, then batch the rest without it
                     segments += self._transcribe_windows_sequential(
-                        pre.audio, uploader, windows[:1], prompt_ids,
+                        pre, uploader, windows[:1], prompt_ids,
                         sot_idx, beam, temps,
                         length_penalty, max_new_tokens,
                         compression_ratio_threshold, log_prob_threshold,
@@ -894,7 +899,7 @@ class AriesTranscriber:
                     )
                     skip = {0}
                 segments += self._transcribe_windows(
-                    pre.audio, uploader, windows, prompt_ids, sot_idx, beam,
+                    pre, uploader, windows, prompt_ids, sot_idx, beam,
                     temps,
                     length_penalty, max_new_tokens,
                     compression_ratio_threshold, log_prob_threshold,
@@ -966,7 +971,7 @@ class AriesTranscriber:
     # ------------------------------------------------------------------
 
     def _transcribe_windows(
-        self, audio_np, uploader, windows, prompt_ids, sot_idx, beam, temps,
+        self, pre, uploader, windows, prompt_ids, sot_idx, beam, temps,
         length_penalty, sample_len, cr_thresh, lp_thresh, ns_thresh,
         progress_callback=None, best_of: int = 5, rep_penalty: float = 1.0,
         patience: float = 1.0, ngram: int = 0, journal=None,
@@ -1131,7 +1136,7 @@ class AriesTranscriber:
                         continue
                     if quality["needs_fallback"] and len(temps) > 1:
                         segs, _ = self._fallback_window(
-                            windows_to_batch(audio_np, [window])[0], window,
+                            windows_to_batch(pre.audio, [window])[0], window,
                             # multilingual: keep this window's detected
                             # language token in the fallback prompt
                             (prompt[w_i].tolist() if win_langs is not None
@@ -1179,7 +1184,7 @@ class AriesTranscriber:
         return all_segments
 
     def _transcribe_windows_sequential(
-        self, audio_np, uploader, windows, prompt_ids, sot_idx, beam, temps,
+        self, pre, uploader, windows, prompt_ids, sot_idx, beam, temps,
         length_penalty, sample_len, cr_thresh, lp_thresh, ns_thresh,
         progress_callback=None, rep_penalty: float = 1.0,
         patience: float = 1.0, ngram: int = 0, journal=None,
@@ -1278,7 +1283,7 @@ class AriesTranscriber:
             was_fallback = False
             if quality["needs_fallback"] and len(temps) > 1:
                 segs, used_t = self._fallback_window(
-                    windows_to_batch(audio_np, [window])[0], window, prompt,
+                    windows_to_batch(pre.audio, [window])[0], window, prompt,
                     temps[1:], sample_len,
                     cr_thresh, lp_thresh, ns_thresh, segs, sot_idx=w_sot,
                     prompt_start=pad, parse_skip=len(prompt) - len(pfx),
