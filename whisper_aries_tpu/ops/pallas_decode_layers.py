@@ -351,13 +351,18 @@ def _make_kernel(RP: int, d: int, ff: int, H: int, dh: int, Bw: int,
         l = pl.program_id(0)
         nL = pl.num_programs(0)
         posk = posk_ref[0]
-        # append window: 256 aligned lanes covering [posk, posk+K); the
-        # slack tile in M guarantees wtile*128+256 <= M AND the insert
-        # offset (posk - wtile*128) stays in [0, 256-K]
-        wtile = jnp.minimum(posk // 128, n_bk - 2)
-        # fetch extent covers both the valid history and the append
-        # window: (wtile + 2) x128 tiles
-        bid = jnp.clip(wtile + 2, 2, n_bk)
+        # append window: the K new lanes land at [posk, posk+K). ~96% of
+        # steps (posk % 128 <= 128-K) they fit ONE 128-lane tile; the
+        # rest straddle two, where the slack tile in M guarantees
+        # atile*128 + 256 <= M. Narrow (128-wide) appends halve the
+        # placement/select work AND the write-back bytes vs an
+        # always-256 window.
+        atile = posk // 128
+        aoff = posk - atile * 128
+        straddle = aoff + K > 128
+        # fetch extent: the x128 tiles covering the post-append valid
+        # prefix [0, posk+K) — which also covers the append window
+        bid = jnp.clip((posk + K + 127) // 128, 2, n_bk)
 
         def w_get(ref, buf, sem, li):
             slot = jax.lax.rem(li, 2)
@@ -402,20 +407,36 @@ def _make_kernel(RP: int, d: int, ff: int, H: int, dh: int, Bw: int,
                             ssb.at[slot, :, pl.ds(0, bi * 128)],
                             sem_ss.at[slot]).wait()
 
-        def wb_copy(slot, li, w):
-            # append write-back: the 256-wide ALIGNED window, into the
+        def wb_copy(slot, li, w, wd):
+            # append write-back: the wd-wide ALIGNED window, into the
             # ALIASED cache output (the rest of the buffer is untouched)
             return pltpu.make_async_copy(
-                sb.at[slot, :, :, pl.ds(wtile * 128, 256)],
-                ckv_ref.at[li, w, :, :, pl.ds(wtile * 128, 256)],
+                sb.at[slot, :, :, pl.ds(atile * 128, wd)],
+                ckv_ref.at[li, w, :, :, pl.ds(atile * 128, wd)],
                 sem_wb.at[slot])
 
-        def wbs_copy(slot, li, w):
+        def wbs_copy(slot, li, w, wd):
             # scale write-back companion (int8 self-cache mode)
             return pltpu.make_async_copy(
-                ssb.at[slot, :, pl.ds(wtile * 128, 256)],
-                ksc_ref.at[li, w, :, pl.ds(wtile * 128, 256)],
+                ssb.at[slot, :, pl.ds(atile * 128, wd)],
+                ksc_ref.at[li, w, :, pl.ds(atile * 128, wd)],
                 sem_wbs.at[slot])
+
+        def wb_wait(slot):
+            # the wait descriptor's byte count must match the started
+            # copy's, and the width is straddle-dependent — branch the
+            # same way the start did (straddle is uniform per call)
+            @pl.when(straddle)
+            def _():
+                wb_copy(slot, 0, 0, 256).wait()
+                if self_int8:
+                    wbs_copy(slot, 0, 0, 256).wait()
+
+            @pl.when(jnp.logical_not(straddle))
+            def _():
+                wb_copy(slot, 0, 0, 128).wait()
+                if self_int8:
+                    wbs_copy(slot, 0, 0, 128).wait()
 
         def c_copy(slot, li, w):
             pltpu.make_async_copy(xkv_ref.at[li, w], cb.at[slot],
@@ -432,20 +453,9 @@ def _make_kernel(RP: int, d: int, ff: int, H: int, dh: int, Bw: int,
         @pl.when(l == 0)
         def _():
             xs[:] = x_ref[:]
-            # dead-lane hygiene for the bucketed self fetch: zero ONLY
-            # the static tail [bid*128:] that no DMA of this call ever
-            # writes — the zero stores and the in-flight fetches touch
-            # DISJOINT bytes, so no VPU-store/DMA-write ordering is
-            # assumed (Mosaic does not synchronize the two).
-            for bi in range(2, n_bk):
-                @pl.when(bid == bi)
-                def _():
-                    sb[:, :, :, pl.ds(bi * 128, M - bi * 128)] = (
-                        jnp.zeros((2, 2 * H, dh, M - bi * 128), cdt))
-                    if self_int8:
-                        ssb[:, :, pl.ds(bi * 128, M - bi * 128)] = (
-                            jnp.zeros((2, 2 * HP, M - bi * 128),
-                                      jnp.float32))
+            # no dead-lane hygiene needed: the self-attention dots below
+            # are BUCKETED to the fetched width (pl.ds(0, bid*128)), so
+            # lanes the DMA never writes are never read either.
             w_start_all(0)
             s_copy(0, 0, 0)
             c_copy(0, 0, 0)
@@ -503,20 +513,23 @@ def _make_kernel(RP: int, d: int, ff: int, H: int, dh: int, Bw: int,
                 preferred_element_type=jnp.float32)     # (H, dh, KP)
             return t.reshape(d, KP).T                   # (KP, d)
 
-        # one-hot placement: P[j, c] = (c == (posk - wtile*128) + j) for
-        # j < K — the MXU shifts the new K/V rows to their (unaligned)
-        # target lanes inside the aligned append window
-        off = posk - wtile * 128
-        cj = jax.lax.broadcasted_iota(jnp.int32, (KP, 256), 0)
-        cc = jax.lax.broadcasted_iota(jnp.int32, (KP, 256), 1)
-        p_place = ((cc == off + cj) & (cj < K)).astype(dtype)
-        p_place_f = p_place.astype(jnp.float32)
-        # full-shape select masks: Mosaic cannot relayout a broadcast of
-        # a (1, 1, 256) bool into the (2H, dh, 256) where()
-        ci3 = jax.lax.broadcasted_iota(jnp.int32, (2 * H, dh, 256), 2)
-        lane_ins = (ci3 >= off) & (ci3 < off + K)       # (2H,dh,256)
-        ci2 = jax.lax.broadcasted_iota(jnp.int32, (2 * HP, 256), 1)
-        lane_ins2 = (ci2 >= off) & (ci2 < off + K)      # (2HP,256)
+        # one-hot placement: P[j, c] = (c == aoff + j) for j < K — the
+        # MXU shifts the new K/V rows to their (unaligned) target lanes
+        # inside the aligned append window. Built at BOTH widths; the
+        # straddle branch picks one.
+        def place_mats(wd):
+            cj = jax.lax.broadcasted_iota(jnp.int32, (KP, wd), 0)
+            cc = jax.lax.broadcasted_iota(jnp.int32, (KP, wd), 1)
+            pp = ((cc == aoff + cj) & (cj < K)).astype(dtype)
+            # full-shape select masks: Mosaic cannot relayout a broadcast
+            # of a (1, 1, wd) bool into the (2H, dh, wd) where()
+            ci3 = jax.lax.broadcasted_iota(jnp.int32, (2 * H, dh, wd), 2)
+            li3 = (ci3 >= aoff) & (ci3 < aoff + K)      # (2H,dh,wd)
+            ci2 = jax.lax.broadcasted_iota(jnp.int32, (2 * HP, wd), 1)
+            li2 = (ci2 >= aoff) & (ci2 < aoff + K)      # (2HP,wd)
+            return pp, pp.astype(jnp.float32), li3, li2
+
+        pmats = {wd: place_mats(wd) for wd in (128, 256)}
 
         # ==================== self-attention block ====================
         pltpu.make_async_copy(vecs_ref.at[l], vecv.at[slot_w],
@@ -545,9 +558,7 @@ def _make_kernel(RP: int, d: int, ff: int, H: int, dh: int, Bw: int,
                 # drain before the fetch overwrites the staging buffer
                 @pl.when(w >= 1)
                 def _():
-                    wb_copy(jax.lax.rem(w + 1, 2), 0, 0).wait()
-                    if self_int8:
-                        wbs_copy(jax.lax.rem(w + 1, 2), 0, 0).wait()
+                    wb_wait(jax.lax.rem(w + 1, 2))
                 s_copy(jax.lax.rem(w + 1, 2), l, w + 1)
 
             qh3 = rows_to_heads(
@@ -560,68 +571,88 @@ def _make_kernel(RP: int, d: int, ff: int, H: int, dh: int, Bw: int,
                 vq, vsc_new = quant_heads(vh3)
                 kh3, vh3 = kq.astype(dtype), vq.astype(dtype)
             s_wait(slot)
-            # ---- in-kernel cache append ----
-            placed_k = jax.lax.dot_general(
-                kh3, p_place, dimension_numbers=(((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)     # (H, dh, 256)
-            placed_v = jax.lax.dot_general(
-                vh3, p_place, dimension_numbers=(((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            tile = sb[slot, :, :, pl.ds(wtile * 128, 256)]  # (2H,dh,256)
-            placed = jnp.concatenate(
-                [placed_k, placed_v], axis=0).astype(cdt)   # (2H,dh,256)
-            sb[slot, :, :, pl.ds(wtile * 128, 256)] = jnp.where(
-                lane_ins, placed, tile)
-            wb_copy(slot, l, w).start()
-            if self_int8:
-                # scales ride the same placement matmul; rows :H = k,
-                # HP:HP+H = v (8-row-padded head axis, DMA tiling)
-                ksc_p = jax.lax.dot_general(
-                    ksc_new.astype(jnp.float32), p_place_f,
-                    dimension_numbers=(((1,), (0,)), ((), ())))  # (H,256)
-                vsc_p = jax.lax.dot_general(
-                    vsc_new.astype(jnp.float32), p_place_f,
-                    dimension_numbers=(((1,), (0,)), ((), ())))
-                stile = ssb[slot, :, pl.ds(wtile * 128, 256)]  # (2HP,256)
-                sc_p = jnp.concatenate([
-                    ksc_p, jnp.zeros((HP - H, 256), jnp.float32),
-                    vsc_p, jnp.zeros((HP - H, 256), jnp.float32),
-                ], axis=0)
-                ssb[slot, :, pl.ds(wtile * 128, 256)] = jnp.where(
-                    lane_ins2, sc_p, stile)
-                wbs_copy(slot, l, w).start()
+
+            # ---- in-kernel cache append (width-parameterized) ----
+            def append_at(wd):
+                pp, ppf, li3, li2 = pmats[wd]
+                placed_k = jax.lax.dot_general(
+                    kh3, pp, dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (H, dh, wd)
+                placed_v = jax.lax.dot_general(
+                    vh3, pp, dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                tile = sb[slot, :, :, pl.ds(atile * 128, wd)]
+                placed = jnp.concatenate(
+                    [placed_k, placed_v], axis=0).astype(cdt)  # (2H,..)
+                sb[slot, :, :, pl.ds(atile * 128, wd)] = jnp.where(
+                    li3, placed, tile)
+                wb_copy(slot, l, w, wd).start()
+                if self_int8:
+                    # scales ride the same placement matmul; rows :H = k,
+                    # HP:HP+H = v (8-row-padded head axis, DMA tiling)
+                    ksc_p = jax.lax.dot_general(
+                        ksc_new.astype(jnp.float32), ppf,
+                        dimension_numbers=(((1,), (0,)), ((), ())))
+                    vsc_p = jax.lax.dot_general(
+                        vsc_new.astype(jnp.float32), ppf,
+                        dimension_numbers=(((1,), (0,)), ((), ())))
+                    stile = ssb[slot, :, pl.ds(atile * 128, wd)]
+                    sc_p = jnp.concatenate([
+                        ksc_p, jnp.zeros((HP - H, wd), jnp.float32),
+                        vsc_p, jnp.zeros((HP - H, wd), jnp.float32),
+                    ], axis=0)
+                    ssb[slot, :, pl.ds(atile * 128, wd)] = jnp.where(
+                        li2, sc_p, stile)
+                    wbs_copy(slot, l, w, wd).start()
+
+            @pl.when(straddle)
+            def _():
+                append_at(256)
+
+            @pl.when(jnp.logical_not(straddle))
+            def _():
+                append_at(128)
             # ---- attention over the post-append cache ----
-            lg = jax.lax.dot_general(
-                qh3, sb[slot][:H].astype(dtype),
-                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)     # (H, K, M)
-            if self_int8:
-                lg = lg * ssb[slot][:H][:, None, :]     # per-slot k scale
-            lg = lg + amask_ref[w][None]                # hist+own+vs
-            mx = jnp.max(lg, -1, keepdims=True)
-            ex = jnp.exp(lg - mx)
-            pr = ex / jnp.sum(ex, -1, keepdims=True)
-            if self_int8:
-                pr = pr * ssb[slot][HP:HP + H][:, None, :]  # v scale
-            att = jax.lax.dot_general(
-                pr.astype(dtype), sb[slot][H:2 * H].astype(dtype),
-                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)     # (H, K, dh)
-            # window w's q was consumed above; reuse its q region
-            h3[w, :, :d] = heads_to_rows(att).astype(dtype)
+            # BUCKETED to the fetched width: lanes in [posk+K, bi*128)
+            # are init-zeros under a NEG amask (exp -> exactly 0.0), so
+            # the narrow dots are bit-identical to full-M dots while the
+            # MXU/VPU work tracks the cache fill instead of staying
+            # fill-independent (the full-M dots measured 3.06 ms/step of
+            # UN-HIDDEN compute at B=36 — the DMA can't hide them).
+            def attend(wd):
+                lg = jax.lax.dot_general(
+                    qh3, sb[slot, :H, :, pl.ds(0, wd)].astype(dtype),
+                    dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)  # (H, K, wd)
+                if self_int8:
+                    lg = lg * ssb[slot, :H, pl.ds(0, wd)][:, None, :]
+                lg = lg + amask_ref[w, :, pl.ds(0, wd)][None]
+                mx = jnp.max(lg, -1, keepdims=True)
+                ex = jnp.exp(lg - mx)
+                pr = ex / jnp.sum(ex, -1, keepdims=True)
+                if self_int8:
+                    pr = pr * ssb[slot, HP:HP + H, pl.ds(0, wd)][:, None]
+                att = jax.lax.dot_general(
+                    pr.astype(dtype),
+                    sb[slot, H:2 * H, :, pl.ds(0, wd)].astype(dtype),
+                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)  # (H, K, dh)
+                # window w's q was consumed above; reuse its q region
+                h3[w, :, :d] = heads_to_rows(att).astype(dtype)
+
+            for bi in range(2, n_bk + 1):
+                @pl.when(bid == bi)
+                def _(bi=bi):
+                    attend(bi * 128)
             return 0
 
         jax.lax.fori_loop(0, Bw, self_window, 0)
         # drain the pending append write-backs: window Bw-1's, and
         # window Bw-2's (its in-loop wait site — iteration Bw-1's
         # prefetch block — never runs, as there is no window Bw)
-        wb_copy(jax.lax.rem(Bw - 1, 2), 0, 0).wait()
-        if self_int8:
-            wbs_copy(jax.lax.rem(Bw - 1, 2), 0, 0).wait()
+        wb_wait(jax.lax.rem(Bw - 1, 2))
         if Bw >= 2:
-            wb_copy(jax.lax.rem(Bw - 2, 2), 0, 0).wait()
-            if self_int8:
-                wbs_copy(jax.lax.rem(Bw - 2, 2), 0, 0).wait()
+            wb_wait(jax.lax.rem(Bw - 2, 2))
 
         # layer l+1's window-0 self fetch: both slots' reads completed
         # inside the loop above; the data is needed only after l+1's qkv
