@@ -86,20 +86,25 @@ def test_reference_vs_xla_encoder(enc_setup):
     assert err < 0.08, f"relative error {err}"
 
 
-def _assert_bitexact_mod_ulp(got, want, min_exact=0.999):
-    """Bit-equal except for isolated 1-bf16-ulp flips.
+def _assert_bitexact_mod_ulp(got, want, min_exact=0.99):
+    """Bit-equal except for 1-bf16-ulp-at-tensor-scale flips.
 
-    XLA CPU fuses the GEMM scale/bias/GeLU epilogues differently inside
-    the one big traced interpret program than in the eager op-by-op
-    reference, which shifts a handful of f32 values by sub-ulp amounts
-    that flip the final bf16 rounding (observed: 1 element in 51200).
-    Anything structural (mask, block schedule, stale slab) errs at
-    full-ulp scale across whole blocks, which this still catches."""
+    XLA CPU computes exp/reciprocal by different codepaths inside the
+    one big traced interpret program than in the eager op-by-op
+    reference, shifting f32 values by ~1 ulp before the bf16 rounding.
+    The late-divide softmax (normalisation AFTER the PV dot) broadcasts
+    one row's exp-sum rounding to all dh outputs, so flips are ~0.7% of
+    elements (they were 1 in 51200 with the in-probs divide) — and the
+    residual add can cancel, so RELATIVE error at near-zero outputs is
+    unbounded while ABSOLUTE error stays <= 1 bf16 ulp at tensor scale.
+    Anything structural (mask, block schedule, stale slab) errs at full
+    tensor scale across whole blocks, which this still catches."""
     g = np.asarray(got, np.float32)
     w = np.asarray(want, np.float32)
     exact = np.mean(g == w)
     assert exact >= min_exact, f"only {exact:.4%} bit-equal"
-    np.testing.assert_allclose(g, w, rtol=2 ** -7, atol=1e-30)
+    scale = max(1.0, float(np.abs(w).max()))
+    np.testing.assert_allclose(g, w, atol=2 ** -7 * scale)
 
 
 def test_kernel_interpret_exact_vs_reference(enc_setup):

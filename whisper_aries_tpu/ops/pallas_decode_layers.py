@@ -318,7 +318,7 @@ def fused_decoder_layers_reference(
 
 def _make_kernel(RP: int, d: int, ff: int, H: int, dh: int, Bw: int,
                  K: int, KP: int, M: int, Ta: int, HP: int, dtype,
-                 self_int8: bool):
+                 self_int8: bool, enc_cfg: "Dict[str, int] | None" = None):
     """Build the layer-grid kernel body for static dims.
 
     ``self_int8``: the self-cache is int8 with per-(slot, head) f32
@@ -326,13 +326,34 @@ def _make_kernel(RP: int, d: int, ff: int, H: int, dh: int, Bw: int,
     the appended K/V in-kernel (absmax over dh, the ops/quant.py grid)
     and applies the scales on the logits (k) / probabilities (v) exactly
     like the int8 cross attention. Halves the dominant self stream and
-    the cache HBM. When False the scale operands are unused dummies."""
+    the cache HBM. When False the scale operands are unused dummies.
+
+    ``enc_cfg`` (encode-while-decode RIDER): when set (keys Ne, Le, d,
+    ff, H, Tp, T — the NEXT batch's encoder geometry), the kernel gains
+    the encoder-megakernel operands/scratch (ops/pallas_encoder_layers)
+    and runs ONE encoder micro-op per (layer, cross-window) site — L*Bw
+    sites per decode step — while the per-window cross-KV DMA streams.
+    The decode step is DMA-bound with an idle MXU (ROADMAP megakernel
+    cost attribution: compute-free ablation still costs the DMA floor),
+    so the encoder's MXU work rides in that slack. Micro cursor [ec0,
+    eclim) arrives in the scalar-prefetch operand; the caller keeps
+    call boundaries on encoder window-layer multiples (the K/V VMEM
+    slabs do not survive a pallas call)."""
     offs, VEC = _vec_offsets(d, ff)
     rsq = float(dh) ** -0.5
     n_bk = max(2, M // 128)   # x128 fetch buckets (M has a slack tile)
     cdt = jnp.int8 if self_int8 else dtype
+    if enc_cfg is not None:
+        # deferred import: pallas_encoder_layers imports _erf_as from here
+        from whisper_aries_tpu.ops.pallas_encoder_layers import (
+            make_enc_micro,
+        )
 
-    def kernel(posk_ref,                                    # SMEM (1,)
+        enc_micro, _enc_n, _ = make_enc_micro(
+            enc_cfg["Ne"], enc_cfg["Le"], enc_cfg["d"], enc_cfg["ff"],
+            enc_cfg["H"], enc_cfg["Tp"], enc_cfg["T"], dtype)
+
+    def kernel(posk_ref,                                    # SMEM (1|3,)
                x_ref,                                       # (RP, d) VMEM
                amask_ref,                                   # (Bw,KP,M) VMEM
                cmask_ref,                                   # (8, Ta) VMEM
@@ -341,16 +362,27 @@ def _make_kernel(RP: int, d: int, ff: int, H: int, dh: int, Bw: int,
                ckv_in_ref,                                  # ANY bf16/int8
                xkv_ref, xsc_ref,                            # ANY
                ksc_in_ref,                                  # ANY f32 scales
-               x_out_ref,                                   # (RP, d) VMEM
-               ckv_ref,                                     # ANY (aliased)
-               ksc_ref,                                     # ANY (aliased)
-               xs, wqb, wf1b, wf2b, vecv, sb, ssb, cb, csb, h3, h1s,
-               accs,
-               sem_v, sem_wq, sem_wf1, sem_wf2, sem_s, sem_ss, sem_c,
-               sem_cs, sem_wb, sem_wbs):
+               *rest):
+        if enc_cfg is None:
+            (x_out_ref, ckv_ref, ksc_ref) = rest[:3]
+            dec_scr = rest[3:]
+        else:
+            (exe_in_ref, ewq_ref, ewf1_ref, ewf2_ref, evec_ref,
+             x_out_ref, ckv_ref, ksc_ref, exe_out_ref) = rest[:9]
+            dec_scr = rest[9:31]
+            enc_bufs = list(rest[31:41])
+            enc_sems = list(rest[41:44])
+            del exe_in_ref  # aliased with exe_out_ref; access via out
+        (xs, wqb, wf1b, wf2b, vecv, sb, ssb, cb, csb, h3, h1s,
+         accs,
+         sem_v, sem_wq, sem_wf1, sem_wf2, sem_s, sem_ss, sem_c,
+         sem_cs, sem_wb, sem_wbs) = dec_scr
         l = pl.program_id(0)
         nL = pl.num_programs(0)
         posk = posk_ref[0]
+        if enc_cfg is not None:
+            ec0 = posk_ref[1]
+            eclim = posk_ref[2]
         # append window: the K new lanes land at [posk, posk+K). ~96% of
         # steps (posk % 128 <= 128-K) they fit ONE 128-lane tile; the
         # rest straddle two, where the slack tile in M guarantees
@@ -459,6 +491,10 @@ def _make_kernel(RP: int, d: int, ff: int, H: int, dh: int, Bw: int,
             w_start_all(0)
             s_copy(0, 0, 0)
             c_copy(0, 0, 0)
+            if enc_cfg is not None:
+                # encoder-rider weight slot is call-fresh: force the
+                # first live micro of this call to fetch its layer
+                enc_bufs[9][0] = -1
 
         # prefetch the NEXT layer's weights into the other slot: slot
         # (l+1)%2 was last read by layer l-1, which completed before this
@@ -678,6 +714,21 @@ def _make_kernel(RP: int, d: int, ff: int, H: int, dh: int, Bw: int,
             def _():
                 c_copy(jax.lax.rem(w + 1, 2), l, w + 1)
 
+            if enc_cfg is not None:
+                # ---- encoder-rider site: one micro while window w+1's
+                # cross KV streams. Sites are strided (static knob) so
+                # the ridden micro work spreads across the whole step
+                # instead of front-loading the first layers; the cursor
+                # guard keeps call totals on window-layer boundaries.
+                stride = enc_cfg["stride"]
+                site = l * Bw + w
+                em = jnp.where(
+                    (jax.lax.rem(site, stride) == 0)
+                    & (ec0 + site // stride < eclim),
+                    ec0 + site // stride, -1)
+                enc_micro(em, exe_out_ref, ewq_ref, ewf1_ref, ewf2_ref,
+                          evec_ref, enc_bufs, enc_sems)
+
             qh3 = rows_to_heads(h3[w][:, :d])           # (H, dh, KP)
             c_wait(slot)
             lg = jax.lax.dot_general(
@@ -731,7 +782,8 @@ def _make_kernel(RP: int, d: int, ff: int, H: int, dh: int, Bw: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n_head", "beam_k", "interpret"))
+                   static_argnames=("n_head", "beam_k", "interpret",
+                                    "enc_n_head", "enc_T", "enc_stride"))
 def fused_decoder_layers(
     x: jax.Array,                 # (R, d) bf16
     wpack: Dict[str, jax.Array],
@@ -744,6 +796,11 @@ def fused_decoder_layers(
     n_head: int, beam_k: int,
     ksc: "jax.Array | None" = None,  # (L, Bw, 2HP, M) f32 — int8 cache
     interpret: bool = False,
+    enc: "Dict[str, jax.Array] | None" = None,
+    enc_c0: "jax.Array | int | None" = None,
+    enc_n_head: int = 0,
+    enc_T: int = 0,
+    enc_stride: int = 2,
 ) -> Tuple[jax.Array, ...]:
     """Run the full decoder layer stack for one beam step.
 
@@ -751,7 +808,19 @@ def fused_decoder_layers(
     appended scales]) — cache (and scales, when the cache is int8) are
     aliased in-place outputs (the kernel writes only the 256-lane append
     windows). An int8 ``ckv`` requires ``ksc``, the per-(slot, head)
-    scale array; the kernel quantises appended K/V in-kernel."""
+    scale array; the kernel quantises appended K/V in-kernel.
+
+    ``enc`` (encode-while-decode rider): the NEXT batch's encoder state —
+    {"xeT": (Ne, d, Tp) bf16 post-stem activations (encode_pre)} plus the
+    pack_encoder_weights arrays. The kernel then advances the encoder
+    megakernel's micro cursor from ``enc_c0`` by up to one micro per
+    ``enc_stride`` cross-window sites (ops/pallas_encoder_layers), riding
+    in the decode step's DMA slack, and the return tuple gains
+    (xeT_new, cursor_new). Cursor deltas are always multiples of the
+    micro count per window-layer, so the VMEM K/V slab state never
+    straddles a pallas call; finish leftovers with fused_encoder_layers
+    (c0=cursor). ``enc_n_head``/``enc_T`` are the encoder head count and
+    real frame count (static)."""
     L, Bw, H2, dh, M = ckv.shape
     K = beam_k
     H = n_head
@@ -776,62 +845,76 @@ def fused_decoder_layers(
     xp = jnp.zeros((Bw, KP, d), dtype).at[:, :K].set(
         x.reshape(Bw, K, d)).reshape(RP, d)
     amp = jnp.full((Bw, KP, M), NEG, jnp.float32).at[:, :K].set(amask)
+    enc_cfg = None
+    if enc is not None:
+        from whisper_aries_tpu.ops.pallas_encoder_layers import (
+            enc_micro_counts,
+            enc_scratch_shapes,
+        )
+
+        Ne_e, d_e, Tp_e = enc["xeT"].shape
+        Le_e = enc["wqkvo8"].shape[0]
+        ff_e = enc["wf18"].shape[-1]
+        enc_cfg = dict(Ne=Ne_e, Le=Le_e, d=d_e, ff=ff_e, H=enc_n_head,
+                       Tp=Tp_e, T=enc_T, stride=enc_stride)
+        per_wl, n_mic = enc_micro_counts(Ne_e, Le_e, Tp_e)
+        n_sites = -(-L * Bw // enc_stride)        # ceil
+        b48 = (n_sites // per_wl) * per_wl        # wl-boundary floor
+        ec0 = jnp.asarray(enc_c0, jnp.int32).reshape(())
+        eclim = jnp.minimum(ec0 + b48, n_mic)
     kernel, VEC = _make_kernel(RP, d, ff, H, dh, Bw, K, KP, M, Ta, HP,
-                               dtype, self_int8)
+                               dtype, self_int8, enc_cfg=enc_cfg)
     if ksc is None:
         # unused dummy (uniform kernel operand layout); never DMA'd
         ksc = jnp.zeros((1, 1, 8, 128), jnp.float32)
 
     posk = (jnp.asarray(pos, jnp.int32) * K).reshape(1)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(L,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),    # x
-            pl.BlockSpec(memory_space=pltpu.VMEM),    # amask
-            pl.BlockSpec(memory_space=pltpu.VMEM),    # cmask
-            pl.BlockSpec(memory_space=pl.ANY),        # vecs
-            pl.BlockSpec(memory_space=pl.ANY),        # wq8
-            pl.BlockSpec(memory_space=pl.ANY),        # wf18
-            pl.BlockSpec(memory_space=pl.ANY),        # wf28
-            pl.BlockSpec(memory_space=pl.ANY),        # ckv
-            pl.BlockSpec(memory_space=pl.ANY),        # xkv8
-            pl.BlockSpec(memory_space=pl.ANY),        # xsc
-            pl.BlockSpec(memory_space=pl.ANY),        # ksc
-        ],
-        out_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),    # x_out
-            pl.BlockSpec(memory_space=pl.ANY),        # ckv (aliased)
-            pl.BlockSpec(memory_space=pl.ANY),        # ksc (aliased)
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((RP, d), dtype),               # xs (persistent)
-            pltpu.VMEM((2, d, 6 * d), jnp.int8),      # wqb
-            pltpu.VMEM((2, d, ff), jnp.int8),         # wf1b
-            pltpu.VMEM((2, ff, d), jnp.int8),         # wf2b
-            pltpu.VMEM((2, 1, VEC), jnp.float32),     # vecv
-            pltpu.VMEM((2, 2 * H, dh, M),
-                       jnp.int8 if self_int8 else dtype),  # sb
-            pltpu.VMEM((2, 2 * HP, M) if self_int8 else (2, 8, 128),
-                       jnp.float32),                  # ssb (self scales)
-            pltpu.VMEM((2, 2 * H, dh, Ta), jnp.int8),  # cb (cross kv)
-            pltpu.VMEM((2, 2 * HP, Ta), jnp.float32),  # csb (cross sc)
-            pltpu.VMEM((Bw, KP, 3 * d), dtype),       # h3 (window rows)
-            pltpu.VMEM((RP, ff), dtype),              # h1s (MLP temp)
-            pltpu.VMEM((RP, d), jnp.float32),         # accs
-            pltpu.SemaphoreType.DMA((2,)),            # sem_v
-            pltpu.SemaphoreType.DMA((2,)),            # sem_wq
-            pltpu.SemaphoreType.DMA((2,)),            # sem_wf1
-            pltpu.SemaphoreType.DMA((2,)),            # sem_wf2
-            pltpu.SemaphoreType.DMA((2,)),            # sem_s
-            pltpu.SemaphoreType.DMA((2,)),            # sem_ss
-            pltpu.SemaphoreType.DMA((2,)),            # sem_c
-            pltpu.SemaphoreType.DMA((2,)),            # sem_cs
-            pltpu.SemaphoreType.DMA((2,)),            # sem_wb
-            pltpu.SemaphoreType.DMA((2,)),            # sem_wbs
-        ],
-    )
-
+    if enc is not None:
+        posk = jnp.concatenate([posk, ec0.reshape(1), eclim.reshape(1)])
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),    # x
+        pl.BlockSpec(memory_space=pltpu.VMEM),    # amask
+        pl.BlockSpec(memory_space=pltpu.VMEM),    # cmask
+        pl.BlockSpec(memory_space=pl.ANY),        # vecs
+        pl.BlockSpec(memory_space=pl.ANY),        # wq8
+        pl.BlockSpec(memory_space=pl.ANY),        # wf18
+        pl.BlockSpec(memory_space=pl.ANY),        # wf28
+        pl.BlockSpec(memory_space=pl.ANY),        # ckv
+        pl.BlockSpec(memory_space=pl.ANY),        # xkv8
+        pl.BlockSpec(memory_space=pl.ANY),        # xsc
+        pl.BlockSpec(memory_space=pl.ANY),        # ksc
+    ]
+    out_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),    # x_out
+        pl.BlockSpec(memory_space=pl.ANY),        # ckv (aliased)
+        pl.BlockSpec(memory_space=pl.ANY),        # ksc (aliased)
+    ]
+    scratch_shapes = [
+        pltpu.VMEM((RP, d), dtype),               # xs (persistent)
+        pltpu.VMEM((2, d, 6 * d), jnp.int8),      # wqb
+        pltpu.VMEM((2, d, ff), jnp.int8),         # wf1b
+        pltpu.VMEM((2, ff, d), jnp.int8),         # wf2b
+        pltpu.VMEM((2, 1, VEC), jnp.float32),     # vecv
+        pltpu.VMEM((2, 2 * H, dh, M),
+                   jnp.int8 if self_int8 else dtype),  # sb
+        pltpu.VMEM((2, 2 * HP, M) if self_int8 else (2, 8, 128),
+                   jnp.float32),                  # ssb (self scales)
+        pltpu.VMEM((2, 2 * H, dh, Ta), jnp.int8),  # cb (cross kv)
+        pltpu.VMEM((2, 2 * HP, Ta), jnp.float32),  # csb (cross sc)
+        pltpu.VMEM((Bw, KP, 3 * d), dtype),       # h3 (window rows)
+        pltpu.VMEM((RP, ff), dtype),              # h1s (MLP temp)
+        pltpu.VMEM((RP, d), jnp.float32),         # accs
+        pltpu.SemaphoreType.DMA((2,)),            # sem_v
+        pltpu.SemaphoreType.DMA((2,)),            # sem_wq
+        pltpu.SemaphoreType.DMA((2,)),            # sem_wf1
+        pltpu.SemaphoreType.DMA((2,)),            # sem_wf2
+        pltpu.SemaphoreType.DMA((2,)),            # sem_s
+        pltpu.SemaphoreType.DMA((2,)),            # sem_ss
+        pltpu.SemaphoreType.DMA((2,)),            # sem_c
+        pltpu.SemaphoreType.DMA((2,)),            # sem_cs
+        pltpu.SemaphoreType.DMA((2,)),            # sem_wb
+        pltpu.SemaphoreType.DMA((2,)),            # sem_wbs
+    ]
     out_shape = [
         jax.ShapeDtypeStruct((RP, d), dtype),
         jax.ShapeDtypeStruct(ckv.shape, ckv.dtype),
@@ -839,18 +922,41 @@ def fused_decoder_layers(
     ]
     # operand index 8 = ckv, 11 = ksc (posk scalar-prefetch is operand
     # 0); outputs 1/2 = the appended cache and scales, aliased in-place
-    x_out, ckv_new, ksc_new = pl.pallas_call(
+    aliases = {8: 1, 11: 2}
+    operands = [posk, xp, amp, cmask, wpack["vecs"], wpack["wq8"],
+                wpack["wf18"], wpack["wf28"], ckv, xkv8, xsc, ksc]
+    if enc is not None:
+        in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * 5
+        out_specs += [pl.BlockSpec(memory_space=pl.ANY)]  # xeT (aliased)
+        out_shape += [jax.ShapeDtypeStruct(enc["xeT"].shape, dtype)]
+        aliases[12] = 3                           # xeT operand -> out 3
+        operands += [enc["xeT"], enc["wqkvo8"], enc["wf18"],
+                     enc["wf28"], enc["vecsT"]]
+        ebufs, esems = enc_scratch_shapes(d_e, ff_e, enc_n_head, Tp_e,
+                                          dtype)
+        scratch_shapes += ebufs + esems
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(L,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch_shapes,
+    )
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
-        input_output_aliases={8: 1, 11: 2},
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=116 * 1024 * 1024,
+            vmem_limit_bytes=(120 if enc is not None else 116)
+            * 1024 * 1024,
         ),
         interpret=interpret,
-    )(posk, xp, amp, cmask, wpack["vecs"], wpack["wq8"], wpack["wf18"],
-      wpack["wf28"], ckv, xkv8, xsc, ksc)
+    )(*operands)
+    x_out, ckv_new, ksc_new = outs[:3]
     x_out = x_out.reshape(Bw, KP, d)[:, :K].reshape(R, d)
-    if self_int8:
-        return x_out, ckv_new, ksc_new
-    return x_out, ckv_new
+    ret = (x_out, ckv_new, ksc_new) if self_int8 else (x_out, ckv_new)
+    if enc is not None:
+        ret = ret + (outs[3], eclim)
+    return ret

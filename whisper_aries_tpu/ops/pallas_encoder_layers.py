@@ -262,11 +262,12 @@ def fused_encoder_layers_reference(
                 lg = jnp.where(ci < T, lg, NEG)
                 mx = jnp.max(lg, -1, keepdims=True)
                 ex = jnp.exp(lg - mx)
-                pr = ex / jnp.sum(ex, -1, keepdims=True)
+                sm = jnp.sum(ex, -1, keepdims=True)
                 att = jax.lax.dot_general(
-                    pr.astype(dt), vts,
+                    ex.astype(dt), vts,
                     dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32)  # (H, bq, dh)
+                att = att * (1.0 / sm)
                 attT = att.astype(dt).transpose(0, 2, 1).reshape(d, bq)
                 of = gemm(w4[:, 3 * d:], attT, col("so"), col("ob"))
                 qouts.append((xb.astype(jnp.float32) + of).astype(dt))
@@ -401,6 +402,17 @@ def make_enc_micro(Ne: int, Le: int, d: int, ff: int, H: int, Tp: int,
                 vf.astype(dtype).reshape(H, dh, bq))
 
         # ---- q-attention micro: full attention for one q block ----
+        # LATE-DIVIDE softmax (scripts/probe_qa_bisect.py): normalisation
+        # happens AFTER the PV dot — att (H, bq, dh) scales by the
+        # (H, bq, 1) exp-sum reciprocal, dh-wide instead of Tp-wide (164k
+        # vs 3.9M multiplies). The unnormalised exp max is 1.0 (row max
+        # subtracted), so the bf16 probs cast keeps the same relative
+        # precision as normalised probs. The Tp-pad kill stays the 3D
+        # iota+where: every (1, 1, Tp)-row-mask broadcast over the
+        # bq=128 SUBLANE dim SIGABRTs Mosaic's ApplyVectorLayoutPass
+        # (vector_extract_slice 16-vs-1 inside scf.if — probe FAILED
+        # rows), as does the V-major PV dot that would kill the identity
+        # transpose.
         @pl.when(live & is_qa if "q" in phases else jnp.bool_(False))
         def _():
             h = lnb("ln1s", "ln1b")
@@ -414,13 +426,16 @@ def make_enc_micro(Ne: int, Le: int, d: int, ff: int, H: int, Tp: int,
             lg = jnp.where(ci < T, lg, NEG)
             mx = jnp.max(lg, -1, keepdims=True)
             ex = jnp.exp(lg - mx)
-            pr = ex / jnp.sum(ex, -1, keepdims=True)
+            sm = jnp.sum(ex, -1, keepdims=True)       # (H, bq, 1)
             att = jax.lax.dot_general(
-                pr.astype(dtype), vts[:],
+                ex.astype(dtype), vts[:],
                 dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)   # (H, bq, dh)
-            # MXU-identity bq<->dh swap (decode's heads_to_rows trick),
-            # bf16 like the reference
+            # explicit reciprocal-multiply: a / would invite XLA's
+            # div->recip*mul rewrite in ONE of kernel/reference, breaking
+            # the bit-exact interpret contract
+            att = att * (1.0 / sm)                    # lane broadcast
+            # MXU-identity bq<->dh swap (decode's heads_to_rows trick)
             i_b = (jax.lax.broadcasted_iota(jnp.int32, (bq, bq), 0)
                    == jax.lax.broadcasted_iota(jnp.int32, (bq, bq), 1)
                    ).astype(dtype)
@@ -565,6 +580,7 @@ def fused_encoder_layers(
 # XLA pre/post stages (conv stem in, ln_post out)
 # ---------------------------------------------------------------------------
 
+@functools.partial(jax.jit, static_argnames=("dims", "Tp"))
 def encode_pre(params: Dict[str, Any], mel: jax.Array, dims,
                Tp: Optional[int] = None) -> jax.Array:
     """mel (Ne, n_mels, 2T) -> TRANSPOSED padded activations (Ne, d, Tp).
@@ -590,6 +606,7 @@ def encode_pre(params: Dict[str, Any], mel: jax.Array, dims,
     return xT
 
 
+@functools.partial(jax.jit, static_argnames=("T",))
 def encode_post(params: Dict[str, Any], xeT: jax.Array, T: int
                 ) -> jax.Array:
     """(Ne, d, Tp) kernel output -> (Ne, T, d) encoded audio (ln_post)."""

@@ -584,6 +584,18 @@ class AriesTranscriber:
     def _encode_batch(self, mel: jax.Array) -> jax.Array:
         return W.encode(self.params, mel.astype(self.activation_dtype), self.dims)
 
+    def _enc_pack(self) -> Dict[str, jax.Array]:
+        """int8 encoder weight pack for the encode-while-decode rider
+        (ops/pallas_encoder_layers.pack_encoder_weights), built once."""
+        if getattr(self, "_enc_pack_cache", None) is None:
+            from whisper_aries_tpu.ops.pallas_encoder_layers import (
+                pack_encoder_weights,
+            )
+
+            self._enc_pack_cache = pack_encoder_weights(
+                self.params["encoder"]["blocks"])
+        return self._enc_pack_cache
+
     def _decode_batch(
         self,
         xa: jax.Array,
@@ -600,6 +612,8 @@ class AriesTranscriber:
         prompt_start: int = 0,
         opts: Optional[_CallOpts] = None,
         fetch: bool = True,
+        enc_ride: Optional[Dict[str, jax.Array]] = None,
+        enc_meta: Optional[Tuple[int, int, int]] = None,
     ) -> Dict[str, np.ndarray]:
         ids = opts.ids if opts is not None else self.ids
         suppress_mask = (opts.suppress_mask if opts is not None
@@ -639,6 +653,9 @@ class AriesTranscriber:
                 # hitting the stale jit cache entry
                 beam_reorder=reorder,
                 beam_tail=_os.environ.get("ARIES_BEAM_TAIL", "default"),
+                # encode-while-decode rider: NEXT batch's encoder state
+                # advances inside this decode's DMA slack (mega only)
+                enc_ride=enc_ride, enc_meta=enc_meta,
             )
         else:
             out = G.greedy_decode(
@@ -652,6 +669,8 @@ class AriesTranscriber:
             )
         keep = ("tokens", "n_sampled", "sum_logprob", "avg_logprob",
                 "no_speech_prob")
+        if enc_ride is not None and "enc_x" in out:
+            keep = keep + ("enc_x", "enc_c")
         if not fetch:
             # leave results on device: jit dispatch is async, so the caller
             # can enqueue the NEXT batch's gather/mel/encode/decode before
@@ -1038,18 +1057,69 @@ class AriesTranscriber:
             for s, e in spans:
                 uploader.prefetch(s, e)
 
+        # encode-while-decode rider (ARIES_ENC_RIDE=<stride>, TPU beam
+        # mega path): batch k's decode advances batch k+1's encoder in
+        # its DMA slack. ride_next[p] holds what dispatch(p) needs to
+        # FINISH that encode (the previous decode's enc_x/enc_c device
+        # arrays — popped from its out dict so the host never fetches
+        # the 100+ MB activations through the tunnel).
+        ride_stride = 0
+        if (jax.default_backend() == "tpu" and beam > 1
+                and temps[0] == 0.0 and self.kv_int8):
+            try:
+                ride_stride = int(os.environ.get("ARIES_ENC_RIDE", "0"))
+            except ValueError:
+                ride_stride = 0
+        ride_next: Dict[int, Dict[str, Any]] = {}
+
         def dispatch(p: int) -> Dict[str, Any]:
             """Enqueue gather/mel/encode/decode for pending[p:p+B] on the
             device WITHOUT blocking (jit dispatch is async; results stay on
             device until the caller fetches them)."""
+            from whisper_aries_tpu.ops.pallas_encoder_layers import (
+                encode_post,
+                encode_pre,
+                fused_encoder_layers,
+            )
+
             batch_idx = pending[p : p + B]
             wb = [windows[i] for i in batch_idx]
             prompt = np.tile(np.asarray(prompt_ids, np.int32), (B, 1))
             win = batch_win(batch_idx)
-            chunk_j = self._gather_span(uploader, windows, batch_idx, B,
-                                        win=win)
-            mel = self._mel(chunk_j)
-            xa = self._encode_batch(mel)
+            rided = ride_next.pop(p, None)
+            if rided is not None:
+                # previous batch's decode advanced this batch's encoder
+                # to cursor enc_c; finish the leftover micros standalone
+                # (c0 is a dynamic scalar — no host sync) and ln_post
+                xeT = fused_encoder_layers(
+                    rided["enc_x"], self._enc_pack(),
+                    self.dims.n_audio_head, rided["T"],
+                    c0=rided["enc_c"])
+                xa = encode_post(self.params, xeT, rided["T"])
+            else:
+                chunk_j = self._gather_span(uploader, windows, batch_idx,
+                                            B, win=win)
+                mel = self._mel(chunk_j)
+                xa = self._encode_batch(mel)
+            enc_ride = enc_meta = None
+            np_ = p + B
+            if (ride_stride > 0 and np_ < len(pending)
+                    and win == self.WINDOW_SAMPLES
+                    and batch_win(pending[np_:np_ + B])
+                    == self.WINDOW_SAMPLES):
+                # prepare the NEXT batch's post-stem activations for the
+                # rider (gather+mel+conv stem are cheap; the 32-layer
+                # stack rides in this decode's DMA slack)
+                nidx = pending[np_:np_ + B]
+                nchunk = self._gather_span(uploader, windows, nidx, B,
+                                           win=self.WINDOW_SAMPLES)
+                xeT_n = encode_pre(
+                    self.params,
+                    self._mel(nchunk).astype(self.activation_dtype),
+                    self.dims)
+                enc_ride = dict(self._enc_pack(), xeT=xeT_n)
+                enc_meta = (self.dims.n_audio_head, self.dims.n_audio_ctx,
+                            ride_stride)
             win_langs = None
             if opts is not None and opts.multilingual:
                 # faster-whisper `multilingual`: every window decodes with
@@ -1067,7 +1137,12 @@ class AriesTranscriber:
                 repetition_penalty=rep_penalty, sot_index=sot_idx,
                 patience=patience, no_repeat_ngram_size=ngram,
                 opts=opts, fetch=False,
+                enc_ride=enc_ride, enc_meta=enc_meta,
             )
+            if enc_ride is not None and "enc_x" in out:
+                ride_next[np_] = {"enc_x": out.pop("enc_x"),
+                                  "enc_c": out.pop("enc_c"),
+                                  "T": self.dims.n_audio_ctx}
             return {"pos": p, "batch_idx": batch_idx, "wb": wb,
                     "prompt": prompt, "out": out, "win_langs": win_langs,
                     "t0": time.time()}
@@ -1110,6 +1185,10 @@ class AriesTranscriber:
                     if inflight:
                         pos = inflight[0]["pos"]
                     inflight = []
+                    # ridden encoder states reference the old batch
+                    # geometry — drop them; rewound batches re-encode
+                    # standalone
+                    ride_next.clear()
                     continue
                 raise
             wb = head["wb"]
