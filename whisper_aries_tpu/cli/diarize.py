@@ -7,6 +7,8 @@ validated against the checked-in "Small Talk Everyday English" goldens):
   * CSV with header ``start,end,speaker``
   * JSON array of {start, end, speaker} rounded to 2 dp
   * TXT lines ``12.39s - 14.35s: SPEAKER_01``
+  * unfiltered (pre-dedupe) JSON (speaker_diarizer.py:202-206)
+  * timestamped run log (speaker_diarizer.py:127,209-216)
 """
 
 from __future__ import annotations
@@ -33,12 +35,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "backend — 0.53 neural, 0.7045 classical)")
     p.add_argument("--model-dir", default=None,
                    help="dir with segmentation/embedding safetensors")
-    p.add_argument("--formats", default="csv,json,txt")
+    p.add_argument("--formats", default="csv,json,txt,unfiltered,log")
     p.add_argument("--verbose", "-v", action="store_true")
     return p
 
 
-def write_outputs(turns, base: Path, formats) -> dict:
+def write_outputs(turns, base: Path, formats, unfiltered=None,
+                  audio_file: str = "") -> dict:
     out = {}
     if "csv" in formats:
         p = base.with_name(base.name + "_diarization.csv")
@@ -63,6 +66,30 @@ def write_outputs(turns, base: Path, formats) -> dict:
             for t in turns:
                 f.write(f"{t['start']:.2f}s - {t['end']:.2f}s: {t['speaker']}\n")
         out["txt"] = str(p)
+    if "unfiltered" in formats and unfiltered is not None:
+        p = base.with_name(base.name + "_diarization_unfiltered.json")
+        with open(p, "w", encoding="utf-8") as f:
+            json.dump(
+                [{"start": round(t["start"], 2), "end": round(t["end"], 2),
+                  "speaker": t["speaker"]} for t in unfiltered],
+                f, indent=2,
+            )
+        out["unfiltered"] = str(p)
+    if "log" in formats:
+        import datetime
+
+        stamp = datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
+        p = base.parent / f"diarization_log_{stamp}.txt"
+        speakers = sorted({t["speaker"] for t in turns})
+        total = sum(t["end"] - t["start"] for t in turns)
+        with open(p, "w", encoding="utf-8") as f:
+            f.write(f"Diarization run for: {audio_file}\n")
+            f.write(f"Speakers: {len(speakers)}\n")
+            f.write(f"Total speech: {total:.2f}s\n")
+            f.write(f"Segments: {len(turns)}\n")
+            for t in turns:
+                f.write(f"{t['start']:.2f}s - {t['end']:.2f}s: {t['speaker']}\n")
+        out["log"] = str(p)
     return out
 
 
@@ -75,11 +102,12 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     pipe = DiarizationPipeline(
         model_dir=args.model_dir, clustering_threshold=args.threshold
     )
-    turns = pipe(
+    turns, unfiltered = pipe(
         args.audio,
         num_speakers=args.num_speakers,
         min_speakers=args.min_speakers,
         max_speakers=args.max_speakers,
+        return_unfiltered=True,
     )
     speakers = sorted({t["speaker"] for t in turns})
     print(f"{len(turns)} turns, {len(speakers)} speakers: {', '.join(speakers)}")
@@ -93,7 +121,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     if args.output_dir:
         Path(args.output_dir).mkdir(parents=True, exist_ok=True)
     outs = write_outputs(turns, base,
-                         [f.strip() for f in args.formats.split(",")])
+                         [f.strip() for f in args.formats.split(",")],
+                         unfiltered=unfiltered, audio_file=args.audio)
     for kind, path in outs.items():
         print(f"  {kind}: {path}")
     return 0

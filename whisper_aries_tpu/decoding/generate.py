@@ -943,6 +943,22 @@ def detect_language_batched(
 
 
 @functools.partial(jax.jit, static_argnames=("dims", "sot", "lang0", "n_lang"))
+def detect_language_ids(
+    params: Dict[str, Any], xa: jax.Array, dims: W.WhisperDims,
+    sot: int, lang0: int, n_lang: int,
+) -> jax.Array:
+    """(B,) per-window language TOKEN ids, kept on device.
+
+    The ``multilingual`` engine path injects these straight into the
+    device prompt rows — fetching probabilities to host per batch (the
+    round-3 _window_languages flow) serialised the double-buffered
+    pipeline on a tunnel round-trip; the ids come back to host with the
+    decode outputs instead (engine.py dispatch)."""
+    probs = detect_language_batched(params, xa, dims, sot, lang0, n_lang)
+    return lang0 + jnp.argmax(probs, axis=-1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("dims", "sot", "lang0", "n_lang"))
 def detect_language_logits(
     params: Dict[str, Any], xa: jax.Array, dims: W.WhisperDims,
     sot: int, lang0: int, n_lang: int,

@@ -103,7 +103,8 @@ class DiarizationPipeline:
         min_speakers: Optional[int] = None,
         max_speakers: Optional[int] = None,
         num_speakers: Optional[int] = None,
-    ) -> List[Dict[str, Any]]:
+        return_unfiltered: bool = False,
+    ) -> Any:
         if isinstance(audio, str):
             wav = load_audio(audio)
         else:
@@ -111,6 +112,7 @@ class DiarizationPipeline:
         if num_speakers is not None:
             min_speakers = max_speakers = num_speakers
 
+        empty: Any = ([], []) if return_unfiltered else []
         if self.seg_params is not None:
             subsegs = self._neural_active_regions(wav)
         else:
@@ -118,10 +120,10 @@ class DiarizationPipeline:
                 get_speech_probs(wav), self.vad_options, total_samples=len(wav)
             )
             if not speech:
-                return []
+                return empty
             subsegs = self._subsegment(speech)
         if not subsegs:
-            return []
+            return empty
         embeddings = self._embed(wav, subsegs)
         labels = agglomerative_cluster(
             embeddings,
@@ -134,6 +136,10 @@ class DiarizationPipeline:
         order = np.argsort([s for s, _ in subsegs], kind="stable")
         labels = relabel_by_first_appearance(labels, order)
         turns = self._merge_turns(subsegs, labels)
+        if return_unfiltered:
+            # pre-dedupe turns are the reference's "unfiltered" artifact
+            # (speaker_diarizer.py:144-149, saved at :202-206)
+            return self.dedupe(turns), turns
         return self.dedupe(turns)
 
     # ------------------------------------------------------------------

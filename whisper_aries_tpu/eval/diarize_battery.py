@@ -129,11 +129,14 @@ def main(argv=None) -> int:
     ap.add_argument("--seed", type=int, default=7000)
     ap.add_argument("--collar", type=float, default=0.25)
     ap.add_argument("--duration", type=float, default=45.0)
+    ap.add_argument("--weights", default=None,
+                    help="checkpoint dir (default: shipped weights) — lets "
+                         "a retrain be battery-scored before shipping")
     args = ap.parse_args(argv)
 
     from whisper_aries_tpu.diarize.pipeline import DiarizationPipeline
 
-    pipeline = DiarizationPipeline()
+    pipeline = DiarizationPipeline(model_dir=args.weights)
     rep = run_battery(pipeline, n_scenes=args.scenes, seed=args.seed,
                       strength=args.strength, collar_s=args.collar,
                       dur_s=args.duration)

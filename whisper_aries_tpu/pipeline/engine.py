@@ -614,12 +614,19 @@ class AriesTranscriber:
         fetch: bool = True,
         enc_ride: Optional[Dict[str, jax.Array]] = None,
         enc_meta: Optional[Tuple[int, int, int]] = None,
+        row_lang: Optional[jax.Array] = None,
     ) -> Dict[str, np.ndarray]:
         ids = opts.ids if opts is not None else self.ids
         suppress_mask = (opts.suppress_mask if opts is not None
                          else self.suppress_mask)
         with_ts = opts.with_timestamps if opts is not None else True
         prompt_j = jnp.asarray(prompt, jnp.int32)
+        if row_lang is not None:
+            # `multilingual`: per-row detected language token ids, still on
+            # device (G.detect_language_ids) — injected here as DATA so the
+            # pipeline never blocks on a host fetch; they return to host
+            # with the decode outputs (out["row_lang"] below)
+            prompt_j = prompt_j.at[:, sot_index + 1].set(row_lang)
         # index of <|sot|> inside the prompt — with a <|startofprev|> prefix
         # (initial_prompt / condition_on_previous_text) it is not 0, and
         # no_speech_prob must be read at the sot position's logits.
@@ -671,6 +678,10 @@ class AriesTranscriber:
                 "no_speech_prob")
         if enc_ride is not None and "enc_x" in out:
             keep = keep + ("enc_x", "enc_c")
+        if row_lang is not None:
+            out = dict(out)
+            out["row_lang"] = row_lang
+            keep = keep + ("row_lang",)
         if not fetch:
             # leave results on device: jit dispatch is async, so the caller
             # can enqueue the NEXT batch's gather/mel/encode/decode before
@@ -1121,23 +1132,29 @@ class AriesTranscriber:
                 enc_meta = (self.dims.n_audio_head, self.dims.n_audio_ctx,
                             ride_stride)
             win_langs = None
+            row_lang = None
             if opts is not None and opts.multilingual:
                 # faster-whisper `multilingual`: every window decodes with
                 # its own detected language token — one batched single-step
-                # probe, then per-ROW prompt language ids (prompt rows are
-                # data, so one compiled decode serves mixed-language
-                # batches). The probe fetches to host, which serialises the
-                # pipeline for this rare option.
-                det = self._window_languages(xa)
-                if det is not None:
-                    prompt[:, sot_idx + 1] = det[0]
-                    win_langs = det[1]
+                # probe whose (B,) token ids STAY ON DEVICE (prompt rows
+                # are data, so one compiled decode serves mixed-language
+                # batches); the ids come back with the decode outputs, so
+                # the probe no longer serialises the double-buffered
+                # pipeline on a host fetch.
+                sp = self.tokenizer.specials
+                lang_tokens = getattr(sp, "language_tokens", None)
+                if lang_tokens:
+                    lang0 = min(lang_tokens.values())
+                    row_lang = G.detect_language_ids(
+                        self.params, xa, self.dims, sp.sot, lang0,
+                        sp.num_languages)
+                    win_langs = lang0  # parse resolves codes from row_lang
             out = self._decode_batch(
                 xa, prompt, beam, temps[0], sample_len, length_penalty,
                 repetition_penalty=rep_penalty, sot_index=sot_idx,
                 patience=patience, no_repeat_ngram_size=ngram,
                 opts=opts, fetch=False,
-                enc_ride=enc_ride, enc_meta=enc_meta,
+                enc_ride=enc_ride, enc_meta=enc_meta, row_lang=row_lang,
             )
             if enc_ride is not None and "enc_x" in out:
                 ride_next[np_] = {"enc_x": out.pop("enc_x"),
@@ -1195,6 +1212,14 @@ class AriesTranscriber:
             n_real = len(head["batch_idx"])
             win_langs = head["win_langs"]
             prompt = head["prompt"]
+            if win_langs is not None:
+                # multilingual: the detected token ids arrived with the
+                # fetched outputs; resolve codes and write the ids into the
+                # HOST prompt rows (the fallback ladder re-prompts from it)
+                lang0 = win_langs
+                lang_ids = out.pop("row_lang")
+                prompt[:, sot_idx + 1] = lang_ids
+                win_langs = [LANGUAGES[int(t) - lang0] for t in lang_ids]
             t_batch = head["t0"]
             # temperature fallback ladder per window
             for w_i in range(n_real):

@@ -416,19 +416,30 @@ def _save_verified(path: str, params) -> None:
     host2 = jax.tree_util.tree_map(lambda a: np.asarray(a), params)
     for a, b in zip(jax.tree_util.tree_leaves(host),
                     jax.tree_util.tree_leaves(host2)):
-        if not np.array_equal(a, b):
+        if a.tobytes() != b.tobytes():
             raise RuntimeError(
                 f"unstable device->host fetch while saving {path}; "
                 "refusing to write a corrupt checkpoint"
             )
     save_params(path, host)
-    from whisper_aries_tpu.utils.params_io import load_params_into
+    # Read back HOST-side (flat numpy): routing the verification through
+    # load_params_into's default jnp.asarray round-trips every leaf over
+    # the axon tunnel, which is itself the flaky fetch being guarded —
+    # the round-4 VAD retrain burned 17 min and died on that false alarm.
+    from safetensors.numpy import load_file
 
-    back = load_params_into(host, path)
-    for a, b in zip(jax.tree_util.tree_leaves(host),
-                    jax.tree_util.tree_leaves(back)):
-        if not np.array_equal(np.asarray(a), np.asarray(b)):
-            raise RuntimeError(f"checkpoint read-back mismatch for {path}")
+    from whisper_aries_tpu.utils.params_io import flatten_params
+
+    flat_host = flatten_params(host)
+    back = load_file(str(path))
+    if set(back.keys()) != set(flat_host.keys()):
+        raise RuntimeError(f"checkpoint key mismatch for {path}")
+    for k, a in flat_host.items():
+        b = back[k]
+        # byte compare, not array_equal: NaN != NaN would false-alarm
+        if a.dtype != b.dtype or a.shape != b.shape \
+                or a.tobytes() != b.tobytes():
+            raise RuntimeError(f"checkpoint read-back mismatch for {path}:{k}")
 
 
 def main(argv=None) -> int:
