@@ -206,45 +206,9 @@ def main() -> int:
     if self_kv_int8:
         log("self-attention KV cache quantized to int8 (in-kernel append)")
 
-    # encode-while-decode rider (ARIES_ENC_RIDE=<stride>): rep k's decode
-    # advances rep k+1's encoder inside the decode kernel's DMA slack —
-    # the steady-state engine pipeline, measured honestly in the core
-    # loop by threading the ridden encoder state between reps.
-    try:
-        ride_stride = int(os.environ.get("ARIES_ENC_RIDE", "0") or 0)
-    except ValueError:
-        ride_stride = 0
-    ride_stride = ride_stride if (backend == "tpu" and beam > 1
-                                  and kv_int8) else 0
-    enc_pack = None
-    if ride_stride:
-        from whisper_aries_tpu.ops.pallas_encoder_layers import (
-            encode_post,
-            encode_pre,
-            fused_encoder_layers,
-            pack_encoder_weights,
-        )
-
-        enc_pack = pack_encoder_weights(params["encoder"]["blocks"])
-        log(f"encoder rides the decode kernel (stride {ride_stride})")
-
-    def step(ride=None):
+    def step():
         mel = log_mel_spectrogram(audio_j, n_mels=dims.n_mels)
-        if ride is not None and ride.get("enc_x") is not None:
-            # finish the previous rep's ridden encode (cursor resume)
-            xeT = fused_encoder_layers(
-                ride["enc_x"], enc_pack, dims.n_audio_head,
-                dims.n_audio_ctx, c0=ride["enc_c"])
-            xa = encode_post(params, xeT, dims.n_audio_ctx)
-        else:
-            xa = W.encode(params, mel.astype(dtype), dims)
-        enc_kw = {}
-        if ride is not None:
-            xeT_n = encode_pre(params, mel.astype(dtype), dims)
-            enc_kw = dict(
-                enc_ride=dict(enc_pack, xeT=xeT_n),
-                enc_meta=(dims.n_audio_head, dims.n_audio_ctx,
-                          ride_stride))
+        xa = W.encode(params, mel.astype(dtype), dims)
         if beam > 1:
             out = G.beam_search_decode(
                 params, xa, prompt_j, dims, ids, suppress, jnp.int32(0),
@@ -253,11 +217,7 @@ def main() -> int:
                 # match the engine's static-arg cache key so the companion
                 # engine metric reuses this compiled beam program
                 beam_reorder=os.environ.get("ARIES_BEAM_REORDER", "default"),
-                **enc_kw,
             )
-            if ride is not None and "enc_x" in out:
-                ride["enc_x"] = out["enc_x"]
-                ride["enc_c"] = out["enc_c"]
         else:
             import jax as _jax
 
@@ -269,12 +229,10 @@ def main() -> int:
             )
         return out["tokens"]
 
-    ride_state = {"enc_x": None, "enc_c": None} if ride_stride else None
-
     def run_once():
         # the axon remote backend's block_until_ready does NOT block — force
         # completion with a host fetch of the (small) token buffer
-        return np.asarray(step(ride=ride_state))
+        return np.asarray(step())
 
     log("compiling + warmup...")
     while True:

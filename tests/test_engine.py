@@ -516,26 +516,52 @@ def test_audio_ctx_bucket_long_windows_stay_full(tiny_engine,
 
 
 # ---------------------------------------------------------------------------
-# _AudioUploader (span-pipelined host->device transfer)
+# _AudioUploader (chunk-pipelined host->device transfer)
 # ---------------------------------------------------------------------------
 
 
-def test_audio_uploader_span_slices_and_pad():
+def _tiny_chunk_uploader():
+    """Subclass with a test-sized chunk so tiny arrays span many chunks."""
     from whisper_aries_tpu.pipeline.engine import _AudioUploader
 
+    class _Tiny(_AudioUploader):
+        CHUNK = 1024
+
+    return _Tiny
+
+
+def test_audio_uploader_chunk_slices_and_pad():
     rng = np.random.default_rng(1)
     a16 = rng.integers(-1000, 1000, 5000, dtype=np.int16)
-    up = _AudioUploader(a16.astype(np.float32) / 32768.0, a16, pad=100)
+    up = _tiny_chunk_uploader()(a16.astype(np.float32) / 32768.0, a16,
+                                pad=100)
     arr, base = up.get(1000, 3000)
-    assert base == 1000
-    np.testing.assert_array_equal(np.asarray(arr), a16[1000:3000])
+    # base is chunk-aligned at or below the request start
+    assert base == 0 and base % up.CHUNK == 0 and base <= 1000
+    got = np.asarray(arr)
+    np.testing.assert_array_equal(got[1000 - base:3000 - base],
+                                  a16[1000:3000])
     # past-EOF spans zero-pad (the window-overhang contract)
-    arr2, base2 = up.get(4900, 5200)
-    got = np.asarray(arr2)
-    np.testing.assert_array_equal(got[:100], a16[4900:])
-    assert (got[100:] == 0).all()
-    # identical spans are uploaded once (cached future)
-    assert up.get(1000, 3000)[0] is arr
+    arr2, base2 = up.get(4900, 5100)
+    got2 = np.asarray(arr2)
+    np.testing.assert_array_equal(got2[4900 - base2:5000 - base2],
+                                  a16[4900:])
+    assert (got2[5000 - base2:5100 - base2] == 0).all()
+
+
+def test_audio_uploader_chunks_are_cached_and_reused():
+    a16 = np.arange(6000, dtype=np.int16)
+    up = _tiny_chunk_uploader()(a16.astype(np.float32) / 32768.0, a16,
+                                pad=10)
+    up.get(0, 2000)                      # uploads chunks 0 and 1
+    futs_before = dict(up._futs)
+    # overlapping span reuses the cached chunk futures — no re-upload
+    arr, base = up.get(1500, 2040)
+    assert base == 1024
+    assert up._futs[0] is futs_before[0]
+    assert up._futs[1] is futs_before[1]
+    np.testing.assert_array_equal(np.asarray(arr)[1500 - base:2040 - base],
+                                  a16[1500:2040])
 
 
 def test_audio_uploader_f32_quantize_matches_eager():
@@ -546,19 +572,8 @@ def test_audio_uploader_f32_quantize_matches_eager():
     up = _AudioUploader(f32, None, pad=10)
     arr, base = up.get(500, 1500)
     want = np.clip(f32[500:1500] * 32768.0, -32768, 32767).astype(np.int16)
-    np.testing.assert_array_equal(np.asarray(arr), want)
-
-
-def test_audio_uploader_whole_mode_serves_one_array():
-    from whisper_aries_tpu.pipeline.engine import _AudioUploader
-
-    a16 = np.arange(1000, dtype=np.int16)
-    up = _AudioUploader(a16.astype(np.float32) / 32768.0, a16, pad=24)
-    up.whole = True
-    arr, base = up.get(200, 400)
-    assert base == 0 and arr.shape[0] == 1024
-    arr2, _ = up.get(700, 900)
-    assert arr2 is arr  # every span resolves to the single whole upload
+    np.testing.assert_array_equal(
+        np.asarray(arr)[500 - base:1500 - base], want)
 
 
 def test_gather_span_pad_rows_zeroed(tiny_engine, speech_wav):
@@ -617,3 +632,81 @@ def test_per_file_batch_sizing_removes_padding(tiny_engine, tmp_path,
         per = -(-n // n_b)
         eff = min(B, -(-per // 4) * 4)
         assert eff == want, (n, eff, want)
+
+
+def test_batched_fallback_single_dispatch(tiny_engine, tmp_path,
+                                          monkeypatch):
+    """Every quality-gate failure of one batch must ride ONE batched
+    temperature ladder (_fallback_windows), not a serial per-window
+    re-encode (round-4 rework of the round-3 per-window path)."""
+    calls = []
+    orig = AriesTranscriber._fallback_windows
+
+    def spy(self, uploader, windows, fails, *a, **kw):
+        calls.append([f[0] for f in fails])
+        return orig(self, uploader, windows, fails, *a, **kw)
+
+    monkeypatch.setattr(AriesTranscriber, "_fallback_windows", spy)
+    monkeypatch.setattr(tiny_engine, "batch_size", 4)
+    rng = np.random.default_rng(9)
+    sr = 16000
+    x = (0.3 * np.sin(2 * np.pi * 300 * np.arange(sr * 70) / sr)
+         ).astype(np.float32)
+    x += 0.01 * rng.standard_normal(len(x)).astype(np.float32)
+    p = str(tmp_path / "noisy.wav")
+    write_wav(p, x, sr)
+    res = tiny_engine.transcribe_file(
+        p, language="en", output_formats=(), beam_size=1,
+        # log_prob_threshold=0 forces needs_fallback on every window
+        # (random-weight avg logprobs are negative)
+        temperature=(0.0, 0.3), log_prob_threshold=0.0,
+        no_speech_threshold=1.1, max_new_tokens=6, vad_filter=False,
+    )
+    assert res["success"]
+    assert res["num_windows"] == 3
+    # all three failing windows of the batch arrived in ONE ladder call
+    assert calls == [[0, 1, 2]]
+    for s in res["segments"]:
+        assert s.get("success", True)
+        assert "avg_logprob" in s and "no_speech_prob" in s
+
+
+def test_fallback_windows_groups_and_results(tiny_engine, tmp_path):
+    """_fallback_windows: power-of-two padding, per-window best_of
+    selection, and exhausted-ladder best-segment fallback."""
+    from whisper_aries_tpu.vad.planner import Window
+
+    sr = 16000
+    rng = np.random.default_rng(4)
+    x = (0.2 * np.sin(2 * np.pi * 240 * np.arange(sr * 95) / sr)
+         ).astype(np.float32)
+    x += 0.01 * rng.standard_normal(len(x)).astype(np.float32)
+    p = str(tmp_path / "f.wav")
+    write_wav(p, x, sr)
+    from whisper_aries_tpu.audio.decode import AudioPreloader
+
+    pre = AudioPreloader(p)
+    up = tiny_engine._make_uploader(pre)
+    windows = [Window(0.0, 30.0, chunk_id=0), Window(30.0, 60.0, chunk_id=0),
+               Window(60.0, 90.0, chunk_id=0)]
+    sp = tiny_engine.tokenizer.specials
+    prompt = np.asarray(sp.sot_sequence("en", "transcribe"), np.int32)
+    fails = [(i, windows[i], prompt, [{"start": float(i), "end": float(i) + 1,
+                                       "text": "seed", "tokens": [0]}])
+             for i in range(3)]
+    # permissive gates: the FIRST rung must accept everything
+    res = tiny_engine._fallback_windows(
+        up, windows, fails, temps=(0.2,), sample_len=6,
+        cr_thresh=None, lp_thresh=None, ns_thresh=None, best_of=3)
+    assert set(res) == {0, 1, 2}
+    for i in range(3):
+        segs, used_t = res[i]
+        assert used_t == 0.2
+        for s in segs:
+            assert windows[i].start <= s["start"] <= windows[i].end + 1e-6
+    # impossible gate: ladder exhausts; the last rung's segs come back
+    res2 = tiny_engine._fallback_windows(
+        up, windows, fails[:1], temps=(0.2, 0.4), sample_len=6,
+        cr_thresh=None, lp_thresh=0.0, ns_thresh=None, best_of=2)
+    segs, used_t = res2[0]
+    assert used_t == 0.4

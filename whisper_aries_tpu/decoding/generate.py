@@ -405,9 +405,6 @@ class BeamState(NamedTuple):
     anc: Any                 # (B, K, L) int32 ancestry table (lazy reorder
                              # mode: cache row holding beam k's position t)
                              # or None (permute mode)
-    enc_x: Any               # (Ne, d, Tp) NEXT batch's encoder activations
-                             # advanced by the rider, or None
-    enc_c: Any               # int32 encoder micro cursor, or None
 
 
 @functools.partial(
@@ -415,8 +412,7 @@ class BeamState(NamedTuple):
     static_argnames=("dims", "ids", "beam_size", "sample_len",
                      "with_timestamps", "length_penalty", "suppress_blank",
                      "kv_int8", "self_kv_int8", "patience",
-                     "no_repeat_ngram_size", "beam_reorder", "beam_tail",
-                     "enc_meta"),
+                     "no_repeat_ngram_size", "beam_reorder", "beam_tail"),
 )
 def beam_search_decode(
     params: Dict[str, Any],
@@ -439,18 +435,8 @@ def beam_search_decode(
     prompt_start: Optional[jax.Array] = None,
     beam_reorder: Optional[str] = None,
     beam_tail: Optional[str] = None,
-    enc_ride: Optional[Dict[str, jax.Array]] = None,
-    enc_meta: Optional[Tuple[int, int, int]] = None,
 ) -> Dict[str, jax.Array]:
     """Batched beam search, beams flattened into the batch axis.
-
-    ``enc_ride``/``enc_meta`` (megakernel path only): the NEXT batch's
-    encoder state ({"xeT"} + pack_encoder_weights arrays) and its static
-    (n_head, T, stride) — each decode step then advances the encoder
-    megakernel's micro cursor inside the decode kernel's DMA slack
-    (encode-while-decode; ops/pallas_decode_layers.py rider). The result
-    dict gains "enc_x"/"enc_c"; finish leftover micros with
-    fused_encoder_layers(enc_x, ..., c0=enc_c).
 
     openai-whisper/CTranslate2 semantics: each step expands the K live beams,
     routes eot candidates into a finished-hypotheses buffer of capacity
@@ -511,7 +497,6 @@ def beam_search_decode(
         beam_reorder = "mega"
     use_mega = beam_reorder == "mega" and kv_int8
     use_ancestry = beam_reorder in ("ancestry", "mega")
-    use_enc = use_mega and enc_ride is not None and enc_meta is not None
     B, P = prompt.shape
     K = beam_size
     L = P + sample_len
@@ -625,8 +610,6 @@ def beam_search_decode(
         anc=(jnp.tile(jnp.arange(K, dtype=jnp.int32)[None, :, None],
                       (B, 1, L))
              if use_ancestry else None),
-        enc_x=(enc_ride["xeT"] if use_enc else None),
-        enc_c=(jnp.int32(0) if use_enc else None),
     )
 
     first_logits = last_logits  # (B*K, V)
@@ -819,8 +802,6 @@ def beam_search_decode(
             fin_tokens=fin_tokens, fin_scores=fin_scores, fin_count=fin_count,
             present=present,
             anc=new_anc,
-            enc_x=state.enc_x,
-            enc_c=state.enc_c,
         )
 
     state = expand(state, first_logits)
@@ -847,19 +828,7 @@ def beam_search_decode(
         tok_in = jax.lax.dynamic_slice(
             state.tokens, (0, 0, state.pos - 1), (B, K, 1)
         ).reshape(B * K, 1)
-        if use_enc:
-            enh, ent, ens = enc_meta
-            logits, cache, enc_x, enc_c = W.decoder_step_fused(
-                params, wpack, tok_in, state.pos - 1,
-                state.cache, cross_mega, dims,
-                beam_anc=state.anc, beam_k=K,
-                valid_start=prompt_start,
-                interpret=mega_interpret,
-                enc=dict(enc_ride, xeT=state.enc_x), enc_c0=state.enc_c,
-                enc_n_head=enh, enc_T=ent, enc_stride=ens,
-            )
-            state = state._replace(enc_x=enc_x, enc_c=enc_c)
-        elif use_mega:
+        if use_mega:
             logits, cache = W.decoder_step_fused(
                 params, wpack, tok_in, state.pos - 1,
                 state.cache, cross_mega, dims,
@@ -910,9 +879,6 @@ def beam_search_decode(
         "all_tokens": all_tokens,
         "all_scores": final_score,
     }
-    if use_enc:
-        out["enc_x"] = state.enc_x
-        out["enc_c"] = state.enc_c
     return out
 
 

@@ -1160,8 +1160,7 @@ def pack_cross_mega(cross_kv: Dict[str, jax.Array], n_head: int
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("dims", "beam_k", "interpret",
-                                    "enc_n_head", "enc_T", "enc_stride"))
+                   static_argnames=("dims", "beam_k", "interpret"))
 def decoder_step_fused(
     params: Dict[str, Any],
     wpack: Dict[str, jax.Array],
@@ -1174,11 +1173,6 @@ def decoder_step_fused(
     beam_k: int,
     valid_start: Optional[jax.Array] = None,
     interpret: bool = False,
-    enc: Optional[Dict[str, jax.Array]] = None,
-    enc_c0: Optional[jax.Array] = None,
-    enc_n_head: int = 0,
-    enc_T: int = 0,
-    enc_stride: int = 2,
 ) -> Tuple[jax.Array, ...]:
     """decoder_step for the MEGAKERNEL beam path (beam_reorder="mega").
 
@@ -1217,36 +1211,22 @@ def decoder_step_fused(
     # position: the kernel's attention reads the post-insert tiles
     amask = ancestry_mask(beam_anc, pos, vs, Tmax, include_own=True,
                           minor=ckv.shape[-1])
-    enc_kw = {}
-    if enc is not None:
-        # encode-while-decode rider (pallas_decode_layers docstring):
-        # the kernel advances the NEXT batch's encoder micro cursor in
-        # its DMA slack and returns (xeT_new, cursor_new) extras
-        enc_kw = dict(enc=enc, enc_c0=enc_c0, enc_n_head=enc_n_head,
-                      enc_T=enc_T, enc_stride=enc_stride)
     if self_int8:
-        out = fused_decoder_layers(
+        x, ckv, ksc = fused_decoder_layers(
             x, wpack, ckv,
             cross_mega["kv8"], cross_mega["sc"], cross_mega["cmask"],
             amask, pos, dims.n_text_head, K, ksc=cache["ksc"],
-            interpret=interpret, **enc_kw,
+            interpret=interpret,
         )
-        x, ckv, ksc = out[:3]
-        extras = out[3:]
         new_cache = {"kv8": ckv, "ksc": ksc}
     else:
-        out = fused_decoder_layers(
+        x, ckv = fused_decoder_layers(
             x, wpack, ckv,
             cross_mega["kv8"], cross_mega["sc"], cross_mega["cmask"],
             amask, pos, dims.n_text_head, K, interpret=interpret,
-            **enc_kw,
         )
-        x, ckv = out[:2]
-        extras = out[2:]
         new_cache = {"kv": ckv}
     x = layer_norm(dec["ln"], x)
     logits = jnp.dot(x, emb.T.astype(x.dtype),
                      preferred_element_type=jnp.float32)
-    if enc is not None:
-        return (logits[:, None, :], new_cache) + tuple(extras)
     return logits[:, None, :], new_cache

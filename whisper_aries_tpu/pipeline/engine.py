@@ -69,7 +69,7 @@ from whisper_aries_tpu.vad import (
     plan_chunks,
     plan_windows,
 )
-from whisper_aries_tpu.vad.planner import Window, windows_to_batch
+from whisper_aries_tpu.vad.planner import Window
 
 from whisper_aries_tpu.utils.memory import is_oom_error as _is_oom
 
@@ -186,23 +186,32 @@ class DummyTokenizer:
 
 
 class _AudioUploader:
-    """Pipelined host->device audio transfer in per-batch SPANS.
+    """Pipelined host->device audio transfer in fixed-size CHUNKS.
 
     The axon tunnel moves host arrays at a measured (and variable)
     5-30 MB/s, so eagerly uploading a whole file's int16 samples costs
     2-14 s of serial prefix on a 36-minute file (scripts/probe_upload.py)
     — ~20% of the engine-path wall time. Transfers DO overlap device
     compute (probe 3/3b), so this uploader runs every jax.device_put on
-    a single background worker: the first batch blocks only on its own
-    span, and later spans stream through the tunnel while earlier
-    batches decode. Spans also skip VAD-silence gaps entirely (the old
-    whole-file upload paid for them). int16 quantization of float
-    sources happens per-span on the worker, off the critical path.
+    a single background worker.
 
-    ``whole=True`` degrades to one whole-file transfer — used when the
-    batch spans would overlap enough to exceed the file size (the
-    audio_ctx_bucket sort can interleave batch time ranges).
+    Round 3 keyed transfers by exact per-batch SPAN; round 4 re-keys by
+    fixed CHUNK index, which strictly dominates: (a) chunks are reusable
+    across ANY span, so overlapping batch spans (the audio_ctx bucket
+    sort interleaves time ranges) never re-upload — the round-3
+    ``whole=True`` degrade and its 1.25x heuristic are gone; (b) the
+    engine can SPECULATIVELY start chunk 0..k while host VAD scoring /
+    planning still runs (the round-3 exact keys made early prefetch
+    useless — the first batch's exact span isn't known until planning
+    ends), taking the first upload off the critical path; (c) a batch's
+    get() assembles its covering chunks with one device-side concat
+    (~80 us at the measured 570 GB/s HBM rate vs 5-30 MB/s through the
+    tunnel). Chunks covering VAD-silence gaps are simply never
+    requested. int16 quantization of float sources happens per-chunk on
+    the worker, off the critical path.
     """
+
+    CHUNK = 1 << 22            # 4 Mi samples = 8 MB per transfer
 
     def __init__(self, audio_f32, audio_i16=None, pad: int = 480_000):
         import concurrent.futures as _cf
@@ -211,13 +220,17 @@ class _AudioUploader:
         self._i16 = audio_i16
         self._pad = pad
         self.n = int(len(audio_i16 if audio_i16 is not None else audio_f32))
-        self._futs: Dict[Tuple[int, int], Any] = {}
+        # total extent incl. the window-overhang pad past EOF
+        self._ntot = self.n + pad
+        self._nchunks = max(1, -(-self._ntot // self.CHUNK))
+        self._futs: Dict[int, Any] = {}
         self._pool = _cf.ThreadPoolExecutor(max_workers=1)
-        self.whole = False
 
-    def _slice16(self, s: int, e: int) -> np.ndarray:
-        """int16 samples for [s, e), zero-padded past EOF (the window
+    def _chunk16(self, ci: int) -> np.ndarray:
+        """int16 samples for chunk ci, zero-padded past EOF (the window
         overhang the old whole-file upload pre-padded)."""
+        s = ci * self.CHUNK
+        e = min(s + self.CHUNK, self._ntot)
         if self._i16 is not None:
             a = self._i16[s:min(e, self.n)]
         else:
@@ -227,26 +240,29 @@ class _AudioUploader:
                 np.asarray(self._f32[s:min(e, self.n)], np.float32)
                 * 32768.0, -32768, 32767,
             ).astype(np.int16)
-        if e > self.n:
-            a = np.pad(a, (0, e - self.n))
+        if e - s > len(a):
+            a = np.pad(a, (0, e - s - len(a)))
         return a
 
-    def _key(self, s: int, e: int) -> Tuple[int, int]:
-        if self.whole:
-            return (0, self.n + self._pad)
-        return (max(0, int(s)), int(e))
+    def _crange(self, s: int, e: int) -> Tuple[int, int]:
+        s = max(0, int(s))
+        e = min(int(e), self._ntot)
+        return s // self.CHUNK, min(self._nchunks, -(-e // self.CHUNK))
 
     def prefetch(self, s: int, e: int) -> None:
-        key = self._key(s, e)
-        if key not in self._futs:
-            self._futs[key] = self._pool.submit(
-                lambda: jax.device_put(self._slice16(*key)))
+        c0, c1 = self._crange(s, e)
+        for ci in range(c0, c1):
+            if ci not in self._futs:
+                self._futs[ci] = self._pool.submit(
+                    lambda ci=ci: jax.device_put(self._chunk16(ci)))
 
     def get(self, s: int, e: int) -> Tuple[jax.Array, int]:
         """Device int16 span covering [s, e) and its base offset."""
-        key = self._key(s, e)
         self.prefetch(s, e)
-        return self._futs[key].result(), key[0]
+        c0, c1 = self._crange(s, e)
+        parts = [self._futs[ci].result() for ci in range(c0, c1)]
+        arr = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+        return arr, c0 * self.CHUNK
 
 
 @dataclasses.dataclass(frozen=True)
@@ -584,18 +600,6 @@ class AriesTranscriber:
     def _encode_batch(self, mel: jax.Array) -> jax.Array:
         return W.encode(self.params, mel.astype(self.activation_dtype), self.dims)
 
-    def _enc_pack(self) -> Dict[str, jax.Array]:
-        """int8 encoder weight pack for the encode-while-decode rider
-        (ops/pallas_encoder_layers.pack_encoder_weights), built once."""
-        if getattr(self, "_enc_pack_cache", None) is None:
-            from whisper_aries_tpu.ops.pallas_encoder_layers import (
-                pack_encoder_weights,
-            )
-
-            self._enc_pack_cache = pack_encoder_weights(
-                self.params["encoder"]["blocks"])
-        return self._enc_pack_cache
-
     def _decode_batch(
         self,
         xa: jax.Array,
@@ -612,8 +616,6 @@ class AriesTranscriber:
         prompt_start: int = 0,
         opts: Optional[_CallOpts] = None,
         fetch: bool = True,
-        enc_ride: Optional[Dict[str, jax.Array]] = None,
-        enc_meta: Optional[Tuple[int, int, int]] = None,
         row_lang: Optional[jax.Array] = None,
     ) -> Dict[str, np.ndarray]:
         ids = opts.ids if opts is not None else self.ids
@@ -660,9 +662,6 @@ class AriesTranscriber:
                 # hitting the stale jit cache entry
                 beam_reorder=reorder,
                 beam_tail=_os.environ.get("ARIES_BEAM_TAIL", "default"),
-                # encode-while-decode rider: NEXT batch's encoder state
-                # advances inside this decode's DMA slack (mega only)
-                enc_ride=enc_ride, enc_meta=enc_meta,
             )
         else:
             out = G.greedy_decode(
@@ -676,8 +675,6 @@ class AriesTranscriber:
             )
         keep = ("tokens", "n_sampled", "sum_logprob", "avg_logprob",
                 "no_speech_prob")
-        if enc_ride is not None and "enc_x" in out:
-            keep = keep + ("enc_x", "enc_c")
         if row_lang is not None:
             out = dict(out)
             out["row_lang"] = row_lang
@@ -792,6 +789,14 @@ class AriesTranscriber:
         self.last_monitor = None
         pre = AudioPreloader(audio_path)
         duration = pre.duration
+        # start the uploader BEFORE planning: host VAD scoring and the
+        # 5-30 MB/s tunnel transfer both walk the audio from the front, so
+        # the first chunks stream while the host plans (chunk keying makes
+        # the speculation reusable by whatever spans planning produces;
+        # wasted only if the file HEAD is VAD silence)
+        uploader = self._make_uploader(pre)
+        if jax.default_backend() == "tpu":
+            uploader.prefetch(0, 4 * _AudioUploader.CHUNK)
         windows = self._plan(pre, duration, vad_filter, vad_parameters,
                              chunking_mode=chunking_mode)
         log.info("planned %d windows for %.1fs audio", len(windows), duration)
@@ -852,10 +857,6 @@ class AriesTranscriber:
         }
 
         if windows:
-            # per-batch int16 SPAN uploads, pipelined behind device compute
-            # (_AudioUploader); windows gather on device from their span
-            uploader = self._make_uploader(pre)
-
             # language detection on the first window if not specified
             if language is None:
                 mel0 = self._mel(
@@ -1053,84 +1054,28 @@ class AriesTranscriber:
                     else self.WINDOW_SAMPLES)
 
         if pending:
-            # queue every batch's span on the uploader's worker NOW: the
-            # first batch blocks only on its own span; the rest stream
-            # through the tunnel while earlier batches decode. If the
-            # bucket sort interleaved batch time ranges enough that spans
-            # would re-upload more than ~1.25x the file, degrade to one
-            # whole-file transfer instead.
+            # queue every batch's covering chunks on the uploader's worker
+            # NOW: the first batch blocks only on its own chunks; the rest
+            # stream through the tunnel while earlier batches decode.
+            # Chunk keying dedupes overlapping batch spans for free (the
+            # audio_ctx bucket sort can interleave batch time ranges).
             grid = [pending[p:p + B] for p in range(0, len(pending), B)]
-            spans = [self._batch_span(windows, bi, batch_win(bi))
-                     for bi in grid]
-            if sum(e - s for s, e in spans) > 1.25 * (uploader.n
-                                                      + uploader._pad):
-                uploader.whole = True
-            for s, e in spans:
+            for bi in grid:
+                s, e = self._batch_span(windows, bi, batch_win(bi))
                 uploader.prefetch(s, e)
-
-        # encode-while-decode rider (ARIES_ENC_RIDE=<stride>, TPU beam
-        # mega path): batch k's decode advances batch k+1's encoder in
-        # its DMA slack. ride_next[p] holds what dispatch(p) needs to
-        # FINISH that encode (the previous decode's enc_x/enc_c device
-        # arrays — popped from its out dict so the host never fetches
-        # the 100+ MB activations through the tunnel).
-        ride_stride = 0
-        if (jax.default_backend() == "tpu" and beam > 1
-                and temps[0] == 0.0 and self.kv_int8):
-            try:
-                ride_stride = int(os.environ.get("ARIES_ENC_RIDE", "0"))
-            except ValueError:
-                ride_stride = 0
-        ride_next: Dict[int, Dict[str, Any]] = {}
 
         def dispatch(p: int) -> Dict[str, Any]:
             """Enqueue gather/mel/encode/decode for pending[p:p+B] on the
             device WITHOUT blocking (jit dispatch is async; results stay on
             device until the caller fetches them)."""
-            from whisper_aries_tpu.ops.pallas_encoder_layers import (
-                encode_post,
-                encode_pre,
-                fused_encoder_layers,
-            )
-
             batch_idx = pending[p : p + B]
             wb = [windows[i] for i in batch_idx]
             prompt = np.tile(np.asarray(prompt_ids, np.int32), (B, 1))
             win = batch_win(batch_idx)
-            rided = ride_next.pop(p, None)
-            if rided is not None:
-                # previous batch's decode advanced this batch's encoder
-                # to cursor enc_c; finish the leftover micros standalone
-                # (c0 is a dynamic scalar — no host sync) and ln_post
-                xeT = fused_encoder_layers(
-                    rided["enc_x"], self._enc_pack(),
-                    self.dims.n_audio_head, rided["T"],
-                    c0=rided["enc_c"])
-                xa = encode_post(self.params, xeT, rided["T"])
-            else:
-                chunk_j = self._gather_span(uploader, windows, batch_idx,
-                                            B, win=win)
-                mel = self._mel(chunk_j)
-                xa = self._encode_batch(mel)
-            enc_ride = enc_meta = None
-            np_ = p + B
-            if (ride_stride > 0 and np_ < len(pending)
-                    and win == self.WINDOW_SAMPLES
-                    and batch_win(pending[np_:np_ + B])
-                    == self.WINDOW_SAMPLES):
-                # prepare the NEXT batch's post-stem activations for the
-                # rider (gather+mel+conv stem are cheap; the 32-layer
-                # stack rides in this decode's DMA slack)
-                nidx = pending[np_:np_ + B]
-                nchunk = self._gather_span(uploader, windows, nidx, B,
-                                           win=self.WINDOW_SAMPLES)
-                xeT_n = encode_pre(
-                    self.params,
-                    self._mel(nchunk).astype(self.activation_dtype),
-                    self.dims)
-                enc_ride = dict(self._enc_pack(), xeT=xeT_n)
-                enc_meta = (self.dims.n_audio_head, self.dims.n_audio_ctx,
-                            ride_stride)
+            chunk_j = self._gather_span(uploader, windows, batch_idx,
+                                        B, win=win)
+            mel = self._mel(chunk_j)
+            xa = self._encode_batch(mel)
             win_langs = None
             row_lang = None
             if opts is not None and opts.multilingual:
@@ -1153,13 +1098,8 @@ class AriesTranscriber:
                 xa, prompt, beam, temps[0], sample_len, length_penalty,
                 repetition_penalty=rep_penalty, sot_index=sot_idx,
                 patience=patience, no_repeat_ngram_size=ngram,
-                opts=opts, fetch=False,
-                enc_ride=enc_ride, enc_meta=enc_meta, row_lang=row_lang,
+                opts=opts, fetch=False, row_lang=row_lang,
             )
-            if enc_ride is not None and "enc_x" in out:
-                ride_next[np_] = {"enc_x": out.pop("enc_x"),
-                                  "enc_c": out.pop("enc_c"),
-                                  "T": self.dims.n_audio_ctx}
             return {"pos": p, "batch_idx": batch_idx, "wb": wb,
                     "prompt": prompt, "out": out, "win_langs": win_langs,
                     "t0": time.time()}
@@ -1202,10 +1142,6 @@ class AriesTranscriber:
                     if inflight:
                         pos = inflight[0]["pos"]
                     inflight = []
-                    # ridden encoder states reference the old batch
-                    # geometry — drop them; rewound batches re-encode
-                    # standalone
-                    ride_next.clear()
                     continue
                 raise
             wb = head["wb"]
@@ -1221,15 +1157,20 @@ class AriesTranscriber:
                 prompt[:, sot_idx + 1] = lang_ids
                 win_langs = [LANGUAGES[int(t) - lang0] for t in lang_ids]
             t_batch = head["t0"]
-            # temperature fallback ladder per window
+            # parse every window first, collecting the quality-gate
+            # failures, then run the temperature ladder for ALL of them in
+            # batched dispatches (_fallback_windows) instead of one serial
+            # re-encode+decode per failing window
+            rows: List[Tuple[int, int, Window, List[Dict[str, Any]], bool]] = []
+            fails: List[Tuple[int, Window, np.ndarray,
+                              List[Dict[str, Any]]]] = []
             for w_i in range(n_real):
                 window = wb[w_i]
                 win_id = head["batch_idx"][w_i]
-                toks = out["tokens"][w_i]
                 failed = False
                 try:
                     segs, quality = self._parse_one(
-                        toks, window, parse_skip,
+                        out["tokens"][w_i], window, parse_skip,
                         float(out["avg_logprob"][w_i]),
                         float(out["no_speech_prob"][w_i]),
                         cr_thresh, lp_thresh, ns_thresh,
@@ -1239,19 +1180,9 @@ class AriesTranscriber:
                             journal.record(win_id, [])
                         continue
                     if quality["needs_fallback"] and len(temps) > 1:
-                        segs, _ = self._fallback_window(
-                            windows_to_batch(pre.audio, [window])[0], window,
-                            # multilingual: keep this window's detected
-                            # language token in the fallback prompt
-                            (prompt[w_i].tolist() if win_langs is not None
-                             else prompt_ids), temps[1:],
-                            sample_len, cr_thresh, lp_thresh, ns_thresh, segs,
-                            best_of=best_of, sot_idx=sot_idx,
-                            parse_skip=parse_skip, opts=opts,
-                        )
-                    if win_langs is not None:
-                        for s in segs:
-                            s["language"] = win_langs[w_i]
+                        # multilingual rows keep their detected language
+                        # token (written into the host prompt above)
+                        fails.append((win_id, window, prompt[w_i], segs))
                 except Exception as e:
                     # per-window soft failure: one bad window must not kill
                     # the file (reference emits ChunkResult(success=False)
@@ -1264,6 +1195,24 @@ class AriesTranscriber:
                         "success": False, "error": str(e),
                         "avg_logprob": 0.0, "no_speech_prob": 0.0,
                     }]
+                rows.append((w_i, win_id, window, segs, failed))
+            fb: Dict[int, Tuple[List[Dict[str, Any]], float]] = {}
+            if fails:
+                try:
+                    fb = self._fallback_windows(
+                        uploader, windows, fails, temps[1:], sample_len,
+                        cr_thresh, lp_thresh, ns_thresh, best_of=best_of,
+                        sot_idx=sot_idx, parse_skip=parse_skip, opts=opts,
+                    )
+                except Exception as e:
+                    log.warning("fallback ladder failed (%s); keeping "
+                                "first-pass segments", e)
+            for w_i, win_id, window, segs, failed in rows:
+                if win_id in fb:
+                    segs = fb[win_id][0]
+                if win_langs is not None and not failed:
+                    for s in segs:
+                        s["language"] = win_langs[w_i]
                 for s in segs:
                     s["chunk_id"] = window.chunk_id
                     s["window_id"] = win_id
@@ -1386,13 +1335,13 @@ class AriesTranscriber:
                 continue
             was_fallback = False
             if quality["needs_fallback"] and len(temps) > 1:
-                segs, used_t = self._fallback_window(
-                    windows_to_batch(pre.audio, [window])[0], window, prompt,
+                segs, used_t = self._fallback_windows(
+                    uploader, windows, [(wi, window, prompt, segs)],
                     temps[1:], sample_len,
-                    cr_thresh, lp_thresh, ns_thresh, segs, sot_idx=w_sot,
+                    cr_thresh, lp_thresh, ns_thresh, sot_idx=w_sot,
                     prompt_start=pad, parse_skip=len(prompt) - len(pfx),
                     opts=opts,
-                )
+                )[wi]
                 # faster-whisper prompt_reset_on_temperature: the text
                 # context only resets when the ACCEPTED temperature
                 # exceeds the threshold — low-temperature recoveries keep
@@ -1442,48 +1391,90 @@ class AriesTranscriber:
             s["no_speech_prob"] = ns_prob
         return segs, q
 
-    def _fallback_window(self, audio_window, window, prompt_ids, temps,
-                         sample_len, cr_thresh, lp_thresh, ns_thresh,
-                         best_segs, best_of: int = 5, sot_idx: int = 0,
-                         prompt_start: int = 0, parse_skip: Optional[int] = None,
-                         opts: Optional[_CallOpts] = None):
-        """Re-decode one failing window at increasing temperatures
-        (faster-whisper's fallback ladder; README.md:179 TEMPERATURE).
+    #: max failing windows per fallback dispatch — keeps best_of*group
+    #: rows inside the known-good 128-row decode tier (ROADMAP)
+    FALLBACK_GROUP = 16
 
-        At each temperature, ``best_of`` independent samples run as one
-        batch (the reference whitelists best_of at
-        final_optimized_transcriber.py:310-319; CTranslate2 samples
-        num_hypotheses and keeps the best by sum logprob).
+    def _fallback_windows(self, uploader, windows, fails, temps,
+                          sample_len, cr_thresh, lp_thresh, ns_thresh,
+                          best_of: int = 5, sot_idx: int = 0,
+                          prompt_start: int = 0,
+                          parse_skip: Optional[int] = None,
+                          opts: Optional[_CallOpts] = None
+                          ) -> Dict[int, Tuple[List[Dict[str, Any]], float]]:
+        """Temperature-fallback ladder for failing windows, batched
+        (faster-whisper's ladder; README.md:179 TEMPERATURE).
 
-        Returns ``(segments, used_temperature)`` — the sequential path uses
-        the accepted temperature for prompt_reset_on_temperature.
+        ``fails``: list of (win_idx, window, prompt_row, t0_segs) — every
+        window of one batch that flunked the quality gates at temps[0].
+        At each temperature rung, ``best_of`` independent samples of ALL
+        still-failing windows run as ONE dispatch (the reference whitelists
+        best_of at final_optimized_transcriber.py:310-319; CTranslate2
+        samples num_hypotheses and keeps the best by sum logprob).
+
+        Round-4 rework: the old per-window path materialised the full-file
+        float32 via windows_to_batch(pre.audio), re-uploaded each window
+        best_of times through a host np.tile, and dispatched once per
+        window — on noisy audio (the reference's Arabic-meeting use case)
+        that serial path dominated. Now windows gather on-device from the
+        chunked uploader (cache hit — their chunks already uploaded for
+        the main pass), best_of tiling is a device-side repeat, and the
+        window count pads to a power of two so rungs reuse a handful of
+        compiled programs.
+
+        Returns {win_idx: (segments, used_temperature)} — the sequential
+        path uses the accepted temperature for prompt_reset_on_temperature.
         """
-        if parse_skip is None:
-            parse_skip = len(prompt_ids)
         K = max(1, best_of)
-        mel = self._mel(jnp.asarray(np.tile(audio_window[None], (K, 1))))
-        xa = self._encode_batch(mel)
-        prompt = np.tile(np.asarray(prompt_ids, np.int32)[None], (K, 1))
-        used_t = float(temps[-1]) if len(temps) else 0.0
-        for t_i, t in enumerate(temps):
-            out = self._decode_batch(
-                xa, prompt, beam_size=1, temperature=float(t),
-                sample_len=sample_len, length_penalty=1.0, seed=1234 + t_i,
-                sot_index=sot_idx, prompt_start=prompt_start, opts=opts,
-            )
-            best = int(np.argmax(out["sum_logprob"]))
-            segs, q = self._parse_one(
-                out["tokens"][best], window, parse_skip,
-                float(out["avg_logprob"][best]),
-                float(out["no_speech_prob"][best]),
-                cr_thresh, lp_thresh, ns_thresh,
-            )
-            if q["is_silence"]:
-                return [], float(t)
-            if not q["needs_fallback"]:
-                return segs, float(t)
-            best_segs = segs
-        return best_segs, used_t
+        results: Dict[int, Tuple[List[Dict[str, Any]], float]] = {}
+        last_t = float(temps[-1]) if len(temps) else 0.0
+        for g0 in range(0, len(fails), self.FALLBACK_GROUP):
+            group = fails[g0:g0 + self.FALLBACK_GROUP]
+            F = len(group)
+            Fp = 1 << max(0, (F - 1).bit_length())
+            idx = [f[0] for f in group] + [group[-1][0]] * (Fp - F)
+            xa = self._encode_batch(
+                self._mel(self._gather_span(uploader, windows, idx, Fp)))
+            xa = jnp.repeat(xa, K, axis=0)
+            P = len(group[0][2])
+            prompt = np.empty((Fp, P), np.int32)
+            for i, f in enumerate(group):
+                prompt[i] = np.asarray(f[2], np.int32)
+            prompt[F:] = prompt[F - 1]
+            prompt = np.repeat(prompt, K, axis=0)
+            skip = P if parse_skip is None else parse_skip
+            best = {f[0]: (f[3], last_t) for f in group}
+            pending = {i: f for i, f in enumerate(group)}
+            for t_i, t in enumerate(temps):
+                if not pending:
+                    break
+                out = self._decode_batch(
+                    xa, prompt, beam_size=1, temperature=float(t),
+                    sample_len=sample_len, length_penalty=1.0,
+                    seed=1234 + t_i, sot_index=sot_idx,
+                    prompt_start=prompt_start, opts=opts,
+                )
+                for i in list(pending):
+                    win_idx, window = pending[i][0], pending[i][1]
+                    rows = out["sum_logprob"][i * K:(i + 1) * K]
+                    b = i * K + int(np.argmax(rows))
+                    segs, q = self._parse_one(
+                        out["tokens"][b], window, skip,
+                        float(out["avg_logprob"][b]),
+                        float(out["no_speech_prob"][b]),
+                        cr_thresh, lp_thresh, ns_thresh,
+                    )
+                    if q["is_silence"]:
+                        results[win_idx] = ([], float(t))
+                        del pending[i]
+                    elif not q["needs_fallback"]:
+                        results[win_idx] = (segs, float(t))
+                        del pending[i]
+                    else:
+                        best[win_idx] = (segs, last_t)
+            for f in pending.values():
+                results[f[0]] = best[f[0]]
+        return results
 
     # ------------------------------------------------------------------
     # Output writers (engine-level TXT/JSON/SRT:

@@ -406,40 +406,56 @@ def _save_verified(path: str, params) -> None:
     saving TPU-resident params through the axon remote tunnel fetched a
     STALE buffer for some leaves (head.w came back at its init value while
     every other leaf was trained), so the checkpoint silently diverged from
-    the validated in-memory model. Fetch everything to host explicitly,
-    save, reload, and require exact equality.
+    the validated in-memory model.
+
+    Hard-won axon specifics (two 20-minute retrains died here in round 4):
+      * np.asarray(remote_array) can return a ZERO-COPY view into a
+        host-side staging buffer the client later reuses — two such
+        fetches byte-compare equal, then the bytes CHANGE under the
+        safetensors writer. Force a deep copy (np.array(..., copy=True)).
+      * the verification must read back HOST-side (flat numpy):
+        jnp.asarray round-trips every leaf over the tunnel, which is the
+        flaky path being guarded (a finished retrain died on that false
+        alarm).
+      * retry the fetch+save rather than raise on first mismatch — losing
+        the in-memory model over one bad fetch costs the whole train run.
     """
     import jax
 
-    host = jax.tree_util.tree_map(lambda a: np.asarray(a), params)
-    # second fetch; a racy stale read would disagree between fetches
-    host2 = jax.tree_util.tree_map(lambda a: np.asarray(a), params)
-    for a, b in zip(jax.tree_util.tree_leaves(host),
-                    jax.tree_util.tree_leaves(host2)):
-        if a.tobytes() != b.tobytes():
-            raise RuntimeError(
-                f"unstable device->host fetch while saving {path}; "
-                "refusing to write a corrupt checkpoint"
-            )
-    save_params(path, host)
-    # Read back HOST-side (flat numpy): routing the verification through
-    # load_params_into's default jnp.asarray round-trips every leaf over
-    # the axon tunnel, which is itself the flaky fetch being guarded —
-    # the round-4 VAD retrain burned 17 min and died on that false alarm.
     from safetensors.numpy import load_file
 
     from whisper_aries_tpu.utils.params_io import flatten_params
 
-    flat_host = flatten_params(host)
-    back = load_file(str(path))
-    if set(back.keys()) != set(flat_host.keys()):
-        raise RuntimeError(f"checkpoint key mismatch for {path}")
-    for k, a in flat_host.items():
-        b = back[k]
-        # byte compare, not array_equal: NaN != NaN would false-alarm
-        if a.dtype != b.dtype or a.shape != b.shape \
-                or a.tobytes() != b.tobytes():
-            raise RuntimeError(f"checkpoint read-back mismatch for {path}:{k}")
+    last_err = "unknown"
+    for attempt in range(3):
+        host = jax.tree_util.tree_map(
+            lambda a: np.array(a, copy=True), params)
+        save_params(path, host)
+        flat_host = flatten_params(host)
+        back = load_file(str(path))
+        if set(back.keys()) != set(flat_host.keys()):
+            last_err = "key mismatch"
+            continue
+        ok = True
+        for k, a in flat_host.items():
+            b = back[k]
+            # byte compare, not array_equal: NaN != NaN would false-alarm
+            if a.dtype != b.dtype or a.shape != b.shape \
+                    or a.tobytes() != b.tobytes():
+                nbad = (np.frombuffer(a.tobytes(), np.uint8)
+                        != np.frombuffer(b.tobytes(), np.uint8)).sum() \
+                    if a.dtype == b.dtype and a.shape == b.shape else -1
+                last_err = (f"{k}: dtype {a.dtype}/{b.dtype} shape "
+                            f"{a.shape}/{b.shape} bad_bytes={nbad}")
+                log.warning("checkpoint read-back mismatch (attempt %d) "
+                            "for %s — %s; retrying", attempt, path, last_err)
+                ok = False
+                break
+        if ok:
+            return
+    raise RuntimeError(
+        f"checkpoint read-back mismatch for {path} after 3 attempts: "
+        f"{last_err}")
 
 
 def main(argv=None) -> int:
