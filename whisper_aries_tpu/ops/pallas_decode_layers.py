@@ -318,7 +318,7 @@ def fused_decoder_layers_reference(
 
 def _make_kernel(RP: int, d: int, ff: int, H: int, dh: int, Bw: int,
                  K: int, KP: int, M: int, Ta: int, HP: int, dtype,
-                 self_int8: bool, enc_cfg: "Dict[str, int] | None" = None):
+                 self_int8: bool):
     """Build the layer-grid kernel body for static dims.
 
     ``self_int8``: the self-cache is int8 with per-(slot, head) f32
@@ -326,34 +326,13 @@ def _make_kernel(RP: int, d: int, ff: int, H: int, dh: int, Bw: int,
     the appended K/V in-kernel (absmax over dh, the ops/quant.py grid)
     and applies the scales on the logits (k) / probabilities (v) exactly
     like the int8 cross attention. Halves the dominant self stream and
-    the cache HBM. When False the scale operands are unused dummies.
-
-    ``enc_cfg`` (encode-while-decode RIDER): when set (keys Ne, Le, d,
-    ff, H, Tp, T — the NEXT batch's encoder geometry), the kernel gains
-    the encoder-megakernel operands/scratch (ops/pallas_encoder_layers)
-    and runs ONE encoder micro-op per (layer, cross-window) site — L*Bw
-    sites per decode step — while the per-window cross-KV DMA streams.
-    The decode step is DMA-bound with an idle MXU (ROADMAP megakernel
-    cost attribution: compute-free ablation still costs the DMA floor),
-    so the encoder's MXU work rides in that slack. Micro cursor [ec0,
-    eclim) arrives in the scalar-prefetch operand; the caller keeps
-    call boundaries on encoder window-layer multiples (the K/V VMEM
-    slabs do not survive a pallas call)."""
+    the cache HBM. When False the scale operands are unused dummies."""
     offs, VEC = _vec_offsets(d, ff)
     rsq = float(dh) ** -0.5
     n_bk = max(2, M // 128)   # x128 fetch buckets (M has a slack tile)
     cdt = jnp.int8 if self_int8 else dtype
-    if enc_cfg is not None:
-        # deferred import: pallas_encoder_layers imports _erf_as from here
-        from whisper_aries_tpu.ops.pallas_encoder_layers import (
-            make_enc_micro,
-        )
 
-        enc_micro, _enc_n, _ = make_enc_micro(
-            enc_cfg["Ne"], enc_cfg["Le"], enc_cfg["d"], enc_cfg["ff"],
-            enc_cfg["H"], enc_cfg["Tp"], enc_cfg["T"], dtype)
-
-    def kernel(posk_ref,                                    # SMEM (1|3,)
+    def kernel(posk_ref,                                    # SMEM (1,)
                x_ref,                                       # (RP, d) VMEM
                amask_ref,                                   # (Bw,KP,M) VMEM
                cmask_ref,                                   # (8, Ta) VMEM
@@ -363,26 +342,15 @@ def _make_kernel(RP: int, d: int, ff: int, H: int, dh: int, Bw: int,
                xkv_ref, xsc_ref,                            # ANY
                ksc_in_ref,                                  # ANY f32 scales
                *rest):
-        if enc_cfg is None:
-            (x_out_ref, ckv_ref, ksc_ref) = rest[:3]
-            dec_scr = rest[3:]
-        else:
-            (exe_in_ref, ewq_ref, ewf1_ref, ewf2_ref, evec_ref,
-             x_out_ref, ckv_ref, ksc_ref, exe_out_ref) = rest[:9]
-            dec_scr = rest[9:31]
-            enc_bufs = list(rest[31:41])
-            enc_sems = list(rest[41:44])
-            del exe_in_ref  # aliased with exe_out_ref; access via out
-        (xs, wqb, wf1b, wf2b, vecv, sb, ssb, cb, csb, h3, h1s,
+        (x_out_ref, ckv_ref, ksc_ref) = rest[:3]
+        dec_scr = rest[3:]
+        (xs, wqb, wf1b, wf2b, vecv, sb, ssb, cb, csb, h3, attT, h1s,
          accs,
          sem_v, sem_wq, sem_wf1, sem_wf2, sem_s, sem_ss, sem_c,
          sem_cs, sem_wb, sem_wbs) = dec_scr
         l = pl.program_id(0)
         nL = pl.num_programs(0)
         posk = posk_ref[0]
-        if enc_cfg is not None:
-            ec0 = posk_ref[1]
-            eclim = posk_ref[2]
         # append window: the K new lanes land at [posk, posk+K). ~96% of
         # steps (posk % 128 <= 128-K) they fit ONE 128-lane tile; the
         # rest straddle two, where the slack tile in M guarantees
@@ -491,10 +459,6 @@ def _make_kernel(RP: int, d: int, ff: int, H: int, dh: int, Bw: int,
             w_start_all(0)
             s_copy(0, 0, 0)
             c_copy(0, 0, 0)
-            if enc_cfg is not None:
-                # encoder-rider weight slot is call-fresh: force the
-                # first live micro of this call to fetch its layer
-                enc_bufs[9][0] = -1
 
         # prefetch the NEXT layer's weights into the other slot: slot
         # (l+1)%2 was last read by layer l-1, which completed before this
@@ -529,25 +493,52 @@ def _make_kernel(RP: int, d: int, ff: int, H: int, dh: int, Bw: int,
         # Lane-splitting reshapes ((R, d) -> (.., H, dh)) do not lower;
         # row splits, 2D transposes and batched 3D dots do (probed on
         # this backend). So per-window rows live in the window-major h3
-        # buffer (dynamic dim-0 indexing is untiled and always legal),
-        # the head axis comes from transpose -> LEADING-split reshape
-        # ((K, d) -> (d, K) -> (H, dh, K)), and the K-sublane attention
-        # output returns to row layout through a tiny identity matmul.
+        # buffer (dynamic dim-0 indexing is untiled and always legal)
+        # and the head axis comes from a (KP, n) -> (n, KP) relayout +
+        # LEADING-split reshape. The relayout runs on the MXU as an
+        # identity contraction over the 8-row K axis — NOT as a VPU
+        # lane-shuffle transpose: the .T path measured ~0.65 us per
+        # (8, 1280) slice, 4.14 ms/step of un-hidden VPU work at B=36
+        # (ROADMAP ablation), and batching the shuffles does not help
+        # (scripts/probe_batched_transpose.py: batched == per-window).
+        # Identity contractions are EXACT (one nonzero term), so kernel
+        # math is unchanged. Dim patterns used — (((0,), (0,)), ...) and
+        # the batched (((2,), (2,)), ((0,), (0,))) — are both proven to
+        # lower on this backend (encoder-kernel GEMMs / the attend dots).
         i_k = (jax.lax.broadcasted_iota(jnp.int32, (KP, KP), 0)
                == jax.lax.broadcasted_iota(jnp.int32, (KP, KP), 1)
                ).astype(jnp.float32)
+        i_k_dt = i_k.astype(dtype)
+        i_kb = jnp.broadcast_to(i_k_dt[None], (Bw, KP, KP))
 
-        def rows_to_heads(rows_kd):
-            # (KP, d) value -> (H, dh, KP)
-            return rows_kd.T.reshape(H, dh, KP)
+        def rows_to_heads(rows_kn):
+            # (KP, n) dtype value -> (n, KP) via MXU identity contraction
+            # over the KP rows; caller reshapes (n, KP) -> (.., dh, KP)
+            # as a free leading split
+            return jax.lax.dot_general(
+                rows_kn, i_k_dt,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)     # (n, KP)
 
-        def heads_to_rows(att_hkd):
-            # (H, KP, dh) f32 -> (KP, d): transpose KP<->dh on the MXU
-            # via the identity, then leading-merge + 2D transpose
+        def heads_to_cols(att_hkd):
+            # (H, KP, dh) f32 -> (d, KP): transpose KP<->dh on the MXU
+            # via the identity, then a free leading merge. The (KP, d)
+            # row form is recovered for ALL windows at once after the
+            # window loop by ONE batched identity dot (attT_to_rows) —
+            # not per-window VPU transposes.
             t = jax.lax.dot_general(
                 att_hkd, i_k, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)     # (H, dh, KP)
-            return t.reshape(d, KP).T                   # (KP, d)
+            return t.reshape(d, KP)
+
+        def attT_to_rows(attT_all):
+            # (Bw, d, KP) dtype -> (RP, d) f32: one batched identity dot
+            # (the attend-dot (((2,),(2,)),((0,),(0,))) pattern)
+            r = jax.lax.dot_general(
+                i_kb, attT_all,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)     # (Bw, KP, d)
+            return r.reshape(RP, d)
 
         # one-hot placement: P[j, c] = (c == aoff + j) for j < K — the
         # MXU shifts the new K/V rows to their (unaligned) target lanes
@@ -597,11 +588,12 @@ def _make_kernel(RP: int, d: int, ff: int, H: int, dh: int, Bw: int,
                     wb_wait(jax.lax.rem(w + 1, 2))
                 s_copy(jax.lax.rem(w + 1, 2), l, w + 1)
 
-            qh3 = rows_to_heads(
-                (h3[w][:, :d].astype(jnp.float32) * rsq
-                 ).astype(dtype))                       # (H, dh, KP)
-            kh3 = rows_to_heads(h3[w][:, d:2 * d])
-            vh3 = rows_to_heads(h3[w][:, 2 * d:3 * d])
+            # ONE (KP, 3d) -> (3d, KP) MXU relayout covers q, k AND v;
+            # head splits are then free leading-row splits
+            qkvT = rows_to_heads(h3[w])                 # (3d, KP) f32
+            qh3 = (qkvT[:d] * rsq).astype(dtype).reshape(H, dh, KP)
+            kh3 = qkvT[d:2 * d].astype(dtype).reshape(H, dh, KP)
+            vh3 = qkvT[2 * d:3 * d].astype(dtype).reshape(H, dh, KP)
             if self_int8:
                 kq, ksc_new = quant_heads(kh3)
                 vq, vsc_new = quant_heads(vh3)
@@ -673,8 +665,7 @@ def _make_kernel(RP: int, d: int, ff: int, H: int, dh: int, Bw: int,
                     sb[slot, H:2 * H, :, pl.ds(0, wd)].astype(dtype),
                     dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32)  # (H, K, dh)
-                # window w's q was consumed above; reuse its q region
-                h3[w, :, :d] = heads_to_rows(att).astype(dtype)
+                attT[w] = heads_to_cols(att).astype(dtype)
 
             for bi in range(2, n_bk + 1):
                 @pl.when(bid == bi)
@@ -697,7 +688,7 @@ def _make_kernel(RP: int, d: int, ff: int, H: int, dh: int, Bw: int,
         def _():
             s_copy(0, l + 1, 0)
 
-        att_all = h3[:, :, :d].reshape(RP, d)           # 8-row merge
+        att_all = attT_to_rows(attT[:]).astype(dtype)   # batched relayout
         accs[:] = xs[:].astype(jnp.float32) + gemm(
             att_all, wqb[slot_w][:, 3 * d:4 * d], 13, 3)
         xs[:] = accs[:].astype(dtype)
@@ -714,22 +705,8 @@ def _make_kernel(RP: int, d: int, ff: int, H: int, dh: int, Bw: int,
             def _():
                 c_copy(jax.lax.rem(w + 1, 2), l, w + 1)
 
-            if enc_cfg is not None:
-                # ---- encoder-rider site: one micro while window w+1's
-                # cross KV streams. Sites are strided (static knob) so
-                # the ridden micro work spreads across the whole step
-                # instead of front-loading the first layers; the cursor
-                # guard keeps call totals on window-layer boundaries.
-                stride = enc_cfg["stride"]
-                site = l * Bw + w
-                em = jnp.where(
-                    (jax.lax.rem(site, stride) == 0)
-                    & (ec0 + site // stride < eclim),
-                    ec0 + site // stride, -1)
-                enc_micro(em, exe_out_ref, ewq_ref, ewf1_ref, ewf2_ref,
-                          evec_ref, enc_bufs, enc_sems)
-
-            qh3 = rows_to_heads(h3[w][:, :d])           # (H, dh, KP)
+            qh3 = rows_to_heads(h3[w][:, :d]).astype(dtype).reshape(
+                H, dh, KP)
             c_wait(slot)
             lg = jax.lax.dot_general(
                 qh3, cb[slot][:H].astype(dtype),
@@ -745,7 +722,7 @@ def _make_kernel(RP: int, d: int, ff: int, H: int, dh: int, Bw: int,
                 pv, cb[slot][H:2 * H].astype(dtype),
                 dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)     # (H, KP, dh)
-            h3[w, :, :d] = heads_to_rows(atx).astype(dtype)
+            attT[w] = heads_to_cols(atx).astype(dtype)
             return 0
 
         jax.lax.fori_loop(0, Bw, cross_window, 0)
@@ -755,7 +732,7 @@ def _make_kernel(RP: int, d: int, ff: int, H: int, dh: int, Bw: int,
         def _():
             c_copy(0, l + 1, 0)
 
-        atx_all = h3[:, :, :d].reshape(RP, d)           # 8-row merge
+        atx_all = attT_to_rows(attT[:]).astype(dtype)   # batched relayout
         accs[:] = accs[:] + gemm(atx_all, wqb[slot_w][:, 5 * d:6 * d],
                                  15, 7)
         xs[:] = accs[:].astype(dtype)
@@ -782,8 +759,7 @@ def _make_kernel(RP: int, d: int, ff: int, H: int, dh: int, Bw: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n_head", "beam_k", "interpret",
-                                    "enc_n_head", "enc_T", "enc_stride"))
+                   static_argnames=("n_head", "beam_k", "interpret"))
 def fused_decoder_layers(
     x: jax.Array,                 # (R, d) bf16
     wpack: Dict[str, jax.Array],
@@ -796,11 +772,6 @@ def fused_decoder_layers(
     n_head: int, beam_k: int,
     ksc: "jax.Array | None" = None,  # (L, Bw, 2HP, M) f32 — int8 cache
     interpret: bool = False,
-    enc: "Dict[str, jax.Array] | None" = None,
-    enc_c0: "jax.Array | int | None" = None,
-    enc_n_head: int = 0,
-    enc_T: int = 0,
-    enc_stride: int = 2,
 ) -> Tuple[jax.Array, ...]:
     """Run the full decoder layer stack for one beam step.
 
@@ -808,19 +779,7 @@ def fused_decoder_layers(
     appended scales]) — cache (and scales, when the cache is int8) are
     aliased in-place outputs (the kernel writes only the 256-lane append
     windows). An int8 ``ckv`` requires ``ksc``, the per-(slot, head)
-    scale array; the kernel quantises appended K/V in-kernel.
-
-    ``enc`` (encode-while-decode rider): the NEXT batch's encoder state —
-    {"xeT": (Ne, d, Tp) bf16 post-stem activations (encode_pre)} plus the
-    pack_encoder_weights arrays. The kernel then advances the encoder
-    megakernel's micro cursor from ``enc_c0`` by up to one micro per
-    ``enc_stride`` cross-window sites (ops/pallas_encoder_layers), riding
-    in the decode step's DMA slack, and the return tuple gains
-    (xeT_new, cursor_new). Cursor deltas are always multiples of the
-    micro count per window-layer, so the VMEM K/V slab state never
-    straddles a pallas call; finish leftovers with fused_encoder_layers
-    (c0=cursor). ``enc_n_head``/``enc_T`` are the encoder head count and
-    real frame count (static)."""
+    scale array; the kernel quantises appended K/V in-kernel."""
     L, Bw, H2, dh, M = ckv.shape
     K = beam_k
     H = n_head
@@ -845,32 +804,13 @@ def fused_decoder_layers(
     xp = jnp.zeros((Bw, KP, d), dtype).at[:, :K].set(
         x.reshape(Bw, K, d)).reshape(RP, d)
     amp = jnp.full((Bw, KP, M), NEG, jnp.float32).at[:, :K].set(amask)
-    enc_cfg = None
-    if enc is not None:
-        from whisper_aries_tpu.ops.pallas_encoder_layers import (
-            enc_micro_counts,
-            enc_scratch_shapes,
-        )
-
-        Ne_e, d_e, Tp_e = enc["xeT"].shape
-        Le_e = enc["wqkvo8"].shape[0]
-        ff_e = enc["wf18"].shape[-1]
-        enc_cfg = dict(Ne=Ne_e, Le=Le_e, d=d_e, ff=ff_e, H=enc_n_head,
-                       Tp=Tp_e, T=enc_T, stride=enc_stride)
-        per_wl, n_mic = enc_micro_counts(Ne_e, Le_e, Tp_e)
-        n_sites = -(-L * Bw // enc_stride)        # ceil
-        b48 = (n_sites // per_wl) * per_wl        # wl-boundary floor
-        ec0 = jnp.asarray(enc_c0, jnp.int32).reshape(())
-        eclim = jnp.minimum(ec0 + b48, n_mic)
     kernel, VEC = _make_kernel(RP, d, ff, H, dh, Bw, K, KP, M, Ta, HP,
-                               dtype, self_int8, enc_cfg=enc_cfg)
+                               dtype, self_int8)
     if ksc is None:
         # unused dummy (uniform kernel operand layout); never DMA'd
         ksc = jnp.zeros((1, 1, 8, 128), jnp.float32)
 
     posk = (jnp.asarray(pos, jnp.int32) * K).reshape(1)
-    if enc is not None:
-        posk = jnp.concatenate([posk, ec0.reshape(1), eclim.reshape(1)])
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.VMEM),    # x
         pl.BlockSpec(memory_space=pltpu.VMEM),    # amask
@@ -902,6 +842,7 @@ def fused_decoder_layers(
         pltpu.VMEM((2, 2 * H, dh, Ta), jnp.int8),  # cb (cross kv)
         pltpu.VMEM((2, 2 * HP, Ta), jnp.float32),  # csb (cross sc)
         pltpu.VMEM((Bw, KP, 3 * d), dtype),       # h3 (window rows)
+        pltpu.VMEM((Bw, d, KP), dtype),           # attT (att cols)
         pltpu.VMEM((RP, ff), dtype),              # h1s (MLP temp)
         pltpu.VMEM((RP, d), jnp.float32),         # accs
         pltpu.SemaphoreType.DMA((2,)),            # sem_v
@@ -925,16 +866,6 @@ def fused_decoder_layers(
     aliases = {8: 1, 11: 2}
     operands = [posk, xp, amp, cmask, wpack["vecs"], wpack["wq8"],
                 wpack["wf18"], wpack["wf28"], ckv, xkv8, xsc, ksc]
-    if enc is not None:
-        in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * 5
-        out_specs += [pl.BlockSpec(memory_space=pl.ANY)]  # xeT (aliased)
-        out_shape += [jax.ShapeDtypeStruct(enc["xeT"].shape, dtype)]
-        aliases[12] = 3                           # xeT operand -> out 3
-        operands += [enc["xeT"], enc["wqkvo8"], enc["wf18"],
-                     enc["wf28"], enc["vecsT"]]
-        ebufs, esems = enc_scratch_shapes(d_e, ff_e, enc_n_head, Tp_e,
-                                          dtype)
-        scratch_shapes += ebufs + esems
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -949,14 +880,10 @@ def fused_decoder_layers(
         out_shape=out_shape,
         input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=(120 if enc is not None else 116)
-            * 1024 * 1024,
+            vmem_limit_bytes=116 * 1024 * 1024,
         ),
         interpret=interpret,
     )(*operands)
     x_out, ckv_new, ksc_new = outs[:3]
     x_out = x_out.reshape(Bw, KP, d)[:, :K].reshape(R, d)
-    ret = (x_out, ckv_new, ksc_new) if self_int8 else (x_out, ckv_new)
-    if enc is not None:
-        ret = ret + (outs[3], eclim)
-    return ret
+    return (x_out, ckv_new, ksc_new) if self_int8 else (x_out, ckv_new)

@@ -429,7 +429,11 @@ def _save_verified(path: str, params) -> None:
     last_err = "unknown"
     for attempt in range(3):
         host = jax.tree_util.tree_map(
-            lambda a: np.array(a, copy=True), params)
+            # order="C" as well as copy=True: axon fetches can be
+            # F-ordered, and safetensors writes raw memory order (a
+            # non-contiguous leaf round-trips scrambled — the round-4
+            # seg-retrain save failure)
+            lambda a: np.array(a, copy=True, order="C"), params)
         save_params(path, host)
         flat_host = flatten_params(host)
         back = load_file(str(path))

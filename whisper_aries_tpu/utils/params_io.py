@@ -64,7 +64,13 @@ def save_params(path: str, params: Any) -> str:
     """Write a parameter pytree as a flat safetensors file."""
     from safetensors.numpy import save_file
 
-    flat = {k: np.asarray(v) for k, v in flatten_params(params).items()}
+    # ascontiguousarray is load-bearing: device fetches through the axon
+    # client can come back F-ordered/strided (np.array order='K' keeps
+    # that), and safetensors serializes RAW memory order while load_file
+    # interprets C order — a non-contiguous leaf round-trips scrambled
+    # (reproduced: seg conv1.w 95% of bytes wrong, /tmp probe, round 4)
+    flat = {k: np.ascontiguousarray(np.asarray(v))
+            for k, v in flatten_params(params).items()}
     Path(path).parent.mkdir(parents=True, exist_ok=True)
     save_file(flat, str(path))
     return str(path)
