@@ -50,6 +50,7 @@ def test_batch_cli_requires_directory(tmp_path, capsys):
     assert rc == 1
 
 
+@pytest.mark.slow
 def test_transcribe_cli_missing_file_fails(tmp_path):
     # engine raises AudioError -> CLI must not crash with traceback
     with pytest.raises(Exception):

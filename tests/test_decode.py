@@ -620,6 +620,7 @@ def test_top_k_unrolled_matches_lax_top_k():
 
 
 @pytest.mark.parametrize("self_kv_int8", [False, True])
+@pytest.mark.slow
 def test_beam_ancestry_reorder_parity(tiny_pair, self_kv_int8):
     """beam_reorder="ancestry" (append-only cache + lazy ancestry-masked
     attention, decoder_step's beam_anc) must reproduce the permute-mode
@@ -663,6 +664,7 @@ def test_beam_ancestry_reorder_parity(tiny_pair, self_kv_int8):
 
 
 @pytest.mark.parametrize("self_kv_int8", [False, True])
+@pytest.mark.slow
 def test_beam_mega_kernel_parity(tiny_pair, self_kv_int8):
     """beam_reorder="mega" (all-layers Pallas megakernel decode step,
     interpret mode off-TPU) must reproduce the XLA decode with the SAME
@@ -706,6 +708,7 @@ def test_beam_mega_kernel_parity(tiny_pair, self_kv_int8):
     )
 
 
+@pytest.mark.slow
 def test_beam_tail_kernel_end_to_end_parity(tiny_pair):
     """beam_tail="kernel" (fused filters+log_softmax+top-k tail,
     interpret mode off-TPU) must reproduce the XLA tail through full
@@ -737,6 +740,7 @@ def test_beam_tail_kernel_end_to_end_parity(tiny_pair):
         )
 
 
+@pytest.mark.slow
 def test_mega_kernel_int8_self_cache_reference_parity():
     """Golden-model check of the megakernel's int8 self-cache mode
     (self_kv_int8 + mega): the Pallas kernel in interpret mode must

@@ -252,6 +252,7 @@ def _sequential_prompts(engine, wav, reset_threshold):
     return prompts, res
 
 
+@pytest.mark.slow
 def test_prompt_reset_on_temperature(tiny_engine, speech_wav):  # noqa: F811
     sp = tiny_engine.tokenizer.specials
     # threshold above the used temperature (0.4): conditioning is KEPT

@@ -122,6 +122,7 @@ class TestAugment:
 
 
 class TestShippedWeightsDER:
+    @pytest.mark.slow
     def test_der_battery_gate(self):
         """Shipped diarization weights through the full pipeline on two
         held-out synthetic scenes, clean + augmented (recording-chain).

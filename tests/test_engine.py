@@ -160,6 +160,7 @@ def test_translate_task_prompt(tiny_engine, speech_wav):
     assert res["success"]
 
 
+@pytest.mark.slow
 def test_legacy_engine_facade(tiny_engine, speech_wav, tmp_path, monkeypatch):
     from whisper_aries_tpu.pipeline.legacy import FixedUltraFastTranscriber
 
@@ -196,6 +197,7 @@ def test_scalar_temperature_accepted(tiny_engine, speech_wav, tmp_path):
     assert res["success"]
 
 
+@pytest.mark.slow
 def test_beam_with_repetition_penalty_stays_beam(tiny_engine, speech_wav):
     """beam_size>1 + repetition_penalty now runs real beam search (round-1
     silently degraded to greedy)."""
@@ -206,6 +208,7 @@ def test_beam_with_repetition_penalty_stays_beam(tiny_engine, speech_wav):
     assert res["success"]
 
 
+@pytest.mark.slow
 def test_no_repeat_ngram_and_patience_plumbed(tiny_engine, speech_wav):
     res = tiny_engine.transcribe_file(
         speech_wav, language="en", beam_size=2, no_repeat_ngram_size=2,
@@ -252,6 +255,7 @@ def test_per_window_soft_failure(tiny_engine, speech_wav, monkeypatch):
     assert "synthetic parse failure" in failed[0]["error"]
 
 
+@pytest.mark.slow
 def test_sequential_mode_single_prompt_shape(tiny_engine, tmp_path):
     """condition_on_previous_text must not produce a new prompt shape (= a
     fresh 40-90s jit on the TPU tunnel) per window: all decode calls see one

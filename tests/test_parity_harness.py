@@ -31,6 +31,7 @@ def _load_harness():
 
 
 @pytest.mark.skipif(not GOLDENS.exists(), reason="reference goldens absent")
+@pytest.mark.slow
 def test_parity_harness_mock_mode(tmp_path, monkeypatch, capsys):
     harness = _load_harness()
     monkeypatch.setattr(sys, "argv", [

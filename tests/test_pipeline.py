@@ -47,6 +47,7 @@ def conversation_wav(tmp_path_factory):
     return str(p)
 
 
+@pytest.mark.slow
 def test_run_pipeline_contract(tiny_engine, conversation_wav, tmp_path):
     res = run_pipeline(
         conversation_wav,
@@ -78,6 +79,7 @@ def test_run_pipeline_contract(tiny_engine, conversation_wav, tmp_path):
     assert "speaker_durations" in st
 
 
+@pytest.mark.slow
 def test_run_pipeline_llm_failure_nonfatal(tiny_engine, conversation_wav,
                                            tmp_path, monkeypatch):
     monkeypatch.delenv("OPENAI_API_KEY", raising=False)

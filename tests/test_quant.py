@@ -105,6 +105,7 @@ def test_dense_dispatches_on_quantized_params():
     assert np.abs(full - quant).max() / (np.abs(full).max() + 1e-9) < 0.02
 
 
+@pytest.mark.slow
 def test_model_quantization_logits_parity():
     """int8-quantized Whisper must produce near-identical logits/argmax."""
     dims = W.WhisperDims(
@@ -222,6 +223,7 @@ def test_cross_attention_q8_kernel_matches_reference():
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_decode_with_kv_int8_close_to_bf16():
     """Full greedy decode with int8 cross-KV: same tokens on a tiny model."""
     from whisper_aries_tpu.decoding import generate as G
@@ -260,6 +262,7 @@ def test_decode_with_kv_int8_close_to_bf16():
     assert np.asarray(beam["tokens"]).shape == (2, 9)
 
 
+@pytest.mark.slow
 def test_decode_with_self_kv_int8_close_to_bf16():
     """Full decode with the int8 SELF-attention cache (quantize-on-write,
     ops/pallas_self_attn.py — the HBM-capacity escape hatch, split from the

@@ -31,6 +31,7 @@ def tiny_setup():
     return dims, mesh, params, batch
 
 
+@pytest.mark.slow
 def test_train_step_reduces_loss(tiny_setup):
     dims, mesh, params, batch = tiny_setup
     init_opt, train_step, shard = make_train_step(dims, mesh,
@@ -62,6 +63,7 @@ def test_loss_masking(tiny_setup):
     assert np.isfinite(half)
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path, tiny_setup):
     from whisper_aries_tpu.pipeline.checkpoint import (
         restore_train_state,

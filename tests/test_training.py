@@ -73,6 +73,7 @@ def test_params_io_missing_key_raises(tmp_path):
         load_params_into({"a": np.zeros(2), "b": np.zeros(3)}, path)
 
 
+@pytest.mark.slow
 def test_vad_training_learns():
     from whisper_aries_tpu.training.diarize_train import train_vad
 
@@ -81,6 +82,7 @@ def test_vad_training_learns():
     assert m["val_acc"] > m["val_acc_energy_baseline"]
 
 
+@pytest.mark.slow
 def test_shipped_vad_weights_beat_energy_scorer():
     """The committed vad.safetensors must beat the energy detector on a
     fresh synthetic validation draw (Silero-replacement quality gate)."""
@@ -115,6 +117,7 @@ def test_shipped_vad_weights_beat_energy_scorer():
     assert p.shape == (len(audio) // synth.VAD_FRAME,)
 
 
+@pytest.mark.slow
 def test_shipped_diarization_weights_beat_melstats():
     """Neural diarization (shipped checkpoints) must label a held-out
     synthetic 2-speaker conversation better than the mel-stats fallback."""

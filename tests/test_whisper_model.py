@@ -160,6 +160,7 @@ def test_presets_sanity():
     assert W.PRESETS["small"].n_audio_state == 768
 
 
+@pytest.mark.slow
 def test_fused_decoder_qkv_bit_exact():
     """fuse_decoder_qkv concatenates the decoder self-attention q/k/v into
     one GEMM; decode steps and teacher-forced logits must match the

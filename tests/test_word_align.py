@@ -100,6 +100,7 @@ def test_find_word_alignments_end_to_end():
     assert all(0 < w["probability"] <= 1 for w in words)
 
 
+@pytest.mark.slow
 def test_engine_word_timestamps_integration():
     """word_timestamps=True must attach a words list to every segment."""
     from tests.test_engine import TinyTokenizer
