@@ -29,6 +29,7 @@ Interpretation written to ROADMAP (round 4):
 
 Usage: python scripts/probe_speculative.py [batch] [iters]
 """
+import functools
 import os
 import sys
 import time
@@ -61,8 +62,11 @@ POS = 256  # mid-decode: a realistic valid self-prefix
 def make_scan(S: int):
     toks = jnp.full((B, S), 7, jnp.int32)
 
+    # params/cross/toks are ARGUMENTS, not closure captures: baking them
+    # in lowers ~4.6 GB of constants => 10-25 min remote compiles
+    # (CLAUDE.md trap; reproduced here before this fix)
     @jax.jit
-    def run(cache):
+    def run(params, cross, toks, cache):
         def body(i, carry):
             cache, acc = carry
             logits, cache = W.decoder_step(
@@ -73,7 +77,7 @@ def make_scan(S: int):
                                    (cache, jnp.zeros((B,), jnp.float32)))
         return acc
 
-    return run
+    return functools.partial(run, params, cross, toks)
 
 
 def main():
