@@ -14,8 +14,17 @@ Models + losses:
   * EmbeddingNet: GE2E-style softmax contrastive loss over
     (speaker, utterance) batches with exclusive centroids.
 
-Run:  python -m whisper_aries_tpu.training.diarize_train \
+Run:  JAX_PLATFORMS=cpu python -m whisper_aries_tpu.training.diarize_train \
           [--target vad|segmentation|embedding|all] [--steps N] [--out DIR]
+
+Run on CPU (JAX_PLATFORMS=cpu), not the axon-tunnel TPU: these nets are
+tiny (the tunnel RTT dominates a TPU step — CPU measured FASTER, 0.7 vs
+1.0 s/step for VAD), and fetching trained params back through the tunnel
+has returned corrupted buffers twice (round 2: one stale leaf; round 4:
+~95% of bytes wrong on some leaves, deterministic across retries —
+_save_verified caught both, functional check in /tmp/check_staged_vad
+confirmed the corruption was real, acc 0.55 vs 0.89). On CPU the params
+never cross the tunnel and the verified save passes first try.
 
 Checkpoints land as flat safetensors (utils/params_io.py) in
 whisper_aries_tpu/weights/ by default — the directory the engine and
