@@ -488,6 +488,21 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO,
                         format="%(levelname)s %(name)s: %(message)s")
+
+    # Enforce the train-on-CPU rule IN CODE: the axon sitecustomize
+    # registers the TPU platform at interpreter start, so JAX_PLATFORMS=cpu
+    # in the environment is silently ignored (same trap tests/conftest.py
+    # documents). Training on the tunnel is both slower (RTT > step) and
+    # has twice returned corrupted parameter fetches; nothing here needs
+    # a TPU. ARIES_TRAIN_PLATFORM overrides for hardware experiments.
+    import os as _os
+
+    import jax
+
+    jax.config.update("jax_platforms",
+                      _os.environ.get("ARIES_TRAIN_PLATFORM", "cpu"))
+    log.info("training platform: %s", jax.default_backend())
+
     out = args.out or str(default_weights_dir())
 
     import json
