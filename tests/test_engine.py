@@ -714,3 +714,33 @@ def test_fallback_windows_groups_and_results(tiny_engine, tmp_path):
         cr_thresh=None, lp_thresh=0.0, ns_thresh=None, best_of=2)
     segs, used_t = res2[0]
     assert used_t == 0.4
+
+
+def test_batch_sizes_grid():
+    """_batch_sizes: ramp carve-out + ceil-divided x4-grid batches."""
+    from whisper_aries_tpu.pipeline.engine import _batch_sizes
+
+    # no ramp: plain per-file ceil division (the round-3 contract)
+    assert _batch_sizes(72, 48, 0) == [36, 36]
+    assert _batch_sizes(40, 48, 0) == [40]
+    assert _batch_sizes(97, 48, 0) == [36, 36, 36]
+    # ramp: a small first batch, remainder re-ceiled at the cap
+    assert _batch_sizes(72, 48, 4) == [4, 36, 36]
+    assert _batch_sizes(96, 48, 4) == [4, 48, 48]
+    # ramp LADDER: each rung carves while more than one cap batch remains
+    assert _batch_sizes(72, 48, (4, 12)) == [4, 12, 28, 28]
+    assert _batch_sizes(96, 48, (4, 12)) == [4, 12, 40, 40]
+    assert _batch_sizes(56, 48, (4, 12)) == [4, 12, 40]
+    # ramp only applies when there is MORE than one cap batch
+    assert _batch_sizes(40, 48, 4) == [40]
+    assert _batch_sizes(4, 48, 4) == [4]
+    assert _batch_sizes(0, 48, 4) == []
+    assert _batch_sizes(40, 48, (4, 12)) == [40]
+    # a rung >= cap or <= 0 stops the ladder
+    assert _batch_sizes(200, 48, (0, 12)) == _batch_sizes(200, 48, 0)
+    assert _batch_sizes(200, 48, (64,)) == _batch_sizes(200, 48, 0)
+    # sizes always cover n
+    for n in (1, 5, 49, 72, 100, 121):
+        for ramp in (0, 4, 8, (4, 12)):
+            s = _batch_sizes(n, 48, ramp)
+            assert sum(s) >= n and all(z > 0 for z in s)

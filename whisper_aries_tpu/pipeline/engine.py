@@ -76,6 +76,28 @@ from whisper_aries_tpu.utils.memory import is_oom_error as _is_oom
 log = logging.getLogger(__name__)
 
 
+def _batch_sizes(n: int, cap: int, ramp) -> List[int]:
+    """Dispatch sizes for n pending windows: an optional RAMP LADDER of
+    small batches first (pipeline ramp-up — the first dispatch blocks on
+    ~1 uploaded tunnel chunk instead of a full batch span, and each rung
+    decodes while the next rung's chunks upload), then the per-file
+    ceil-divided cap batches rounded up to the x4 compile grid. ``ramp``
+    is an int (one rung; 0 disables) or a sequence of rung sizes."""
+    if isinstance(ramp, int):
+        ramp = (ramp,) if ramp else ()
+    sizes: List[int] = []
+    for r in ramp:
+        if n <= cap or r <= 0 or r >= cap:
+            break
+        sizes.append(r)
+        n -= r
+    if n > 0:
+        k = -(-n // cap)
+        per = -(-n // k)
+        sizes += [min(cap, -(-per // 4) * 4)] * k
+    return sizes
+
+
 def _plan_signature(windows: Sequence[Window], model_size: str,
                     beam: int, sample_len: int, opts: str = "") -> str:
     """Stable id of (window plan, decode config) for resume-journal safety:
@@ -310,6 +332,12 @@ class AriesTranscriber:
         self.model_size = model_size
         self.chunk_length_minutes = chunk_length_minutes
         self.overlap_seconds = overlap_seconds
+
+        # persistent XLA compile cache: a restarted process skips the
+        # 40-90 s/shape remote tunnel compiles (utils/compile_cache.py)
+        from whisper_aries_tpu.utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache()
 
         dtype = jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
         if compute_type in ("f32", "float32"):
@@ -1053,27 +1081,56 @@ class AriesTranscriber:
                         for i in batch_idx)
                     else self.WINDOW_SAMPLES)
 
-        if pending:
-            # queue every batch's covering chunks on the uploader's worker
-            # NOW: the first batch blocks only on its own chunks; the rest
-            # stream through the tunnel while earlier batches decode.
-            # Chunk keying dedupes overlapping batch spans for free (the
-            # audio_ctx bucket sort can interleave batch time ranges).
-            grid = [pending[p:p + B] for p in range(0, len(pending), B)]
-            for bi in grid:
-                s, e = self._batch_span(windows, bi, batch_win(bi))
-                uploader.prefetch(s, e)
+        # pipeline ramp-up ladder: the FIRST dispatch blocks on its whole
+        # span's tunnel upload (~33 MB for a 36-window batch at the
+        # measured 5-30 MB/s — a multi-second serial prefix, and the
+        # slow-tunnel reps of profile_engine.py showed 1+ s stalls even
+        # on good days). A 4-window first batch needs ~1 chunk so device
+        # compute starts ~4-8x sooner, and a second 12-window rung keeps
+        # decoding while the full batches' chunks stream behind it.
+        # Skipped when the audio_ctx bucket sort reordered pending (the
+        # ramp would then span scattered chunks) and off-TPU (no tunnel).
+        ramp: Tuple[int, ...] = ()
+        if jax.default_backend() == "tpu" and pending and len(pending) > B:
+            n_dev = max(1, int(np.prod(self.mesh.devices.shape)))
+            ramp = tuple(
+                int(r) * n_dev
+                for r in os.environ.get("ARIES_RAMP", "4,12").split(",")
+                if r.strip())
+            if self.audio_ctx_bucket and any(
+                    windows[i].duration <= self.SHORT_WINDOW_S
+                    for i in pending):
+                ramp = ()
 
-        def dispatch(p: int) -> Dict[str, Any]:
-            """Enqueue gather/mel/encode/decode for pending[p:p+B] on the
+        def build_grid(start: int, cap: int, ramp: int):
+            """[(offset, size)] dispatch plan for pending[start:]."""
+            out, s = [], start
+            for z in _batch_sizes(len(pending) - start, cap, ramp):
+                out.append((s, z))
+                s += z
+            return out
+
+        grid = build_grid(0, B, ramp)
+        # queue every batch's covering chunks on the uploader's worker
+        # NOW: the first batch blocks only on its own chunks; the rest
+        # stream through the tunnel while earlier batches decode.
+        # Chunk keying dedupes overlapping batch spans for free (the
+        # audio_ctx bucket sort can interleave batch time ranges).
+        for gs, gz in grid:
+            gidx = pending[gs:gs + gz]
+            s, e = self._batch_span(windows, gidx, batch_win(gidx))
+            uploader.prefetch(s, e)
+
+        def dispatch(p: int, nB: int) -> Dict[str, Any]:
+            """Enqueue gather/mel/encode/decode for pending[p:p+nB] on the
             device WITHOUT blocking (jit dispatch is async; results stay on
             device until the caller fetches them)."""
-            batch_idx = pending[p : p + B]
+            batch_idx = pending[p : p + nB]
             wb = [windows[i] for i in batch_idx]
-            prompt = np.tile(np.asarray(prompt_ids, np.int32), (B, 1))
+            prompt = np.tile(np.asarray(prompt_ids, np.int32), (nB, 1))
             win = batch_win(batch_idx)
             chunk_j = self._gather_span(uploader, windows, batch_idx,
-                                        B, win=win)
+                                        nB, win=win)
             mel = self._mel(chunk_j)
             xa = self._encode_batch(mel)
             win_langs = None
@@ -1110,16 +1167,16 @@ class AriesTranscriber:
         # token-parse/merge of batch k runs WHILE the device decodes batch
         # k+1. Depth 2 holds a second encoder-output + cross-KV set in HBM;
         # on OOM the ladder first drops to depth 1, then halves the batch.
-        pos = 0  # next pending index to dispatch (OOM retries rewind this)
+        gi = 0  # next grid entry to dispatch (OOM retries rebuild the grid)
         bi = 0
         parsed = 0  # windows fetched+parsed (progress; dispatch runs ahead)
         depth = 2 if os.environ.get("ARIES_PIPELINE", "1") == "1" else 1
         inflight: List[Dict[str, Any]] = []
-        while pos < len(pending) or inflight:
+        while gi < len(grid) or inflight:
             try:
-                while pos < len(pending) and len(inflight) < depth:
-                    inflight.append(dispatch(pos))
-                    pos += B
+                while gi < len(grid) and len(inflight) < depth:
+                    inflight.append(dispatch(*grid[gi]))
+                    gi += 1
                 head = inflight[0]
                 # blocks until head's decode finishes; later batches keep
                 # streaming behind it on the device queue
@@ -1140,7 +1197,15 @@ class AriesTranscriber:
                         log.warning("HBM OOM — retrying with batch_size=%d",
                                     B)
                     if inflight:
-                        pos = inflight[0]["pos"]
+                        restart = inflight[0]["pos"]
+                    elif gi < len(grid):
+                        restart = grid[gi][0]
+                    else:
+                        restart = len(pending)
+                    # re-plan the undone remainder at the new budget (no
+                    # ramp: its chunks are already uploaded by now)
+                    grid = build_grid(restart, B, 0)
+                    gi = 0
                     inflight = []
                     continue
                 raise
