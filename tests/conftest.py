@@ -12,6 +12,9 @@ import os
 # TPU backend at interpreter start.
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["PALLAS_AXON_POOL_IPS"] = ""
+# don't let the CPU test suite enable the persistent XLA compile cache
+# (it would write cached CPU executables into the user's ~/.cache)
+os.environ["ARIES_COMPILE_CACHE"] = "0"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

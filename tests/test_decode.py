@@ -708,6 +708,57 @@ def test_beam_mega_kernel_parity(tiny_pair, self_kv_int8):
     )
 
 
+@pytest.mark.parametrize("self_kv_int8", [False, True])
+@pytest.mark.slow
+def test_beam_mega_kernel_sharded_parity(tiny_pair, self_kv_int8):
+    """The PRODUCTION multi-chip decode path: beam_reorder="mega" (+ the
+    beam_tail kernel) running under shard_map on the 8-device mesh must
+    reproduce the single-device XLA decode token for token. This is the
+    one-replica-per-chip mapping (complete_fixed_whisper.py:180-186,
+    SURVEY §2.4): each device runs the whole Pallas megakernel (interpret
+    mode off-TPU) on its local window shard with zero collectives."""
+    from whisper_aries_tpu.ops.quant import quantize_model_params
+    from whisper_aries_tpu.parallel.mesh import make_mesh, replicate_params
+
+    _, dims, params, mel = tiny_pair
+    qparams = quantize_model_params(params)
+    # 8 windows over 8 devices (1 window/device) — tile the 2 base mels
+    mel8 = np.tile(np.asarray(mel), (4, 1, 1))
+    xa = W.encode(params, jnp.asarray(mel8), dims)
+    ids = _tiny_ids(dims)
+    common = dict(beam_size=4, sample_len=6, with_timestamps=False,
+                  length_penalty=0.0, suppress_blank=False, kv_int8=True,
+                  self_kv_int8=self_kv_int8)
+    prompt = jnp.full((8, 1), 3, jnp.int32)
+    base = G.beam_search_decode(
+        qparams, xa, prompt, dims, ids,
+        jnp.zeros((dims.n_vocab,), jnp.float32), jnp.int32(0),
+        beam_reorder="xla", beam_tail="xla", **common,
+    )
+    mesh = make_mesh(8)
+    assert int(np.prod(mesh.devices.shape)) == 8
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    xa_sh = jax.device_put(xa, NamedSharding(mesh, P("data", None, None)))
+    pr_sh = jax.device_put(prompt, NamedSharding(mesh, P("data", None)))
+    mega = G.beam_search_decode_sharded(
+        mesh, replicate_params(qparams, mesh), xa_sh, pr_sh, dims, ids,
+        jnp.zeros((dims.n_vocab,), jnp.float32), jnp.int32(0),
+        beam_reorder="mega", beam_tail="kernel", **common,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(base["tokens"]), np.asarray(mega["tokens"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(base["sum_logprob"]), np.asarray(mega["sum_logprob"]),
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(base["no_speech_prob"]),
+        np.asarray(mega["no_speech_prob"]), rtol=1e-5, atol=1e-6,
+    )
+
+
 @pytest.mark.slow
 def test_beam_tail_kernel_end_to_end_parity(tiny_pair):
     """beam_tail="kernel" (fused filters+log_softmax+top-k tail,

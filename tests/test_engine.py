@@ -141,6 +141,47 @@ def test_fixed_chunking_mode(tiny_engine, speech_wav):
     assert all(s["chunk_id"] == 0 for s in res["segments"])
 
 
+def test_chunk_size_forces_fixed_plan(tiny_engine, speech_wav):
+    """Per-call chunk_size (seconds) selects the reference's fixed-chunk
+    plan at that length (conversation_transcriber.py:24-50, config.py:25)."""
+    res = tiny_engine.transcribe_file(
+        speech_wav, language="en", output_formats=(), beam_size=1,
+        temperature=(0.0,), max_new_tokens=8, chunk_size=5,
+    )
+    assert res["success"]
+    # 20 s file at 5 s chunks (+5 s overlap) -> 4 fixed chunks/windows;
+    # the VAD plan would give 2 and the default 3-min fixed plan 1
+    assert res["num_windows"] == 4
+
+
+def test_transcribe_diagnostics_recorded(tiny_engine, speech_wav):
+    """WorkerDiagnostics parity (complete_fixed_whisper.py:249-284): every
+    window's PLANNED->ENCODING->DECODING->COMPLETED transitions are logged
+    and surfaced in the result."""
+    res = tiny_engine.transcribe_file(
+        speech_wav, language="en", output_formats=(), beam_size=1,
+        temperature=(0.0,), max_new_tokens=8,
+    )
+    assert res["success"]
+    summary = res["diagnostics"]
+    assert summary.get("PLANNED", 0) >= 1
+    assert summary.get("DECODING", 0) >= 1
+    assert summary.get("COMPLETED", 0) >= 1
+    dump = tiny_engine.last_diagnostics.dump()
+    assert any("PLANNED" in line for line in dump)
+    assert any("COMPLETED" in line for line in dump)
+
+
+def test_parse_ramp_malformed_degrades():
+    from whisper_aries_tpu.pipeline.engine import _parse_ramp
+
+    assert _parse_ramp("4,12") == [4, 12]
+    assert _parse_ramp("8") == [8]
+    assert _parse_ramp("") == []
+    assert _parse_ramp("4;12") == [4, 12]  # degrades to default
+    assert _parse_ramp("4,abc") == [4, 12]
+
+
 def test_condition_on_previous_text_mode(tiny_engine, speech_wav):
     res = tiny_engine.transcribe_file(
         speech_wav, language="en", output_formats=(), beam_size=1,

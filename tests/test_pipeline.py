@@ -95,6 +95,30 @@ def test_run_pipeline_llm_failure_nonfatal(tiny_engine, conversation_wav,
     assert "llm_analysis_error" in res
 
 
+def test_run_pipeline_forwards_chunk_size(conversation_wav, tmp_path):
+    """chunk_size must reach the engine (round-4 review: it was a silent
+    no-op; reference contract conversation_transcriber.py:24-50)."""
+    seen = {}
+
+    class FakeTranscriber:
+        def transcribe_file(self, audio_path, **kw):
+            seen.update(kw)
+            return {"success": True, "segments": [], "language": "en",
+                    "real_time_factor": 1.0}
+
+    res = run_pipeline(
+        conversation_wav,
+        output_dir=str(tmp_path),
+        formats=["json"],
+        chunk_size=30,
+        run_llm_analysis=False,
+        transcriber=FakeTranscriber(),
+        diarizer=lambda *a, **k: [],
+    )
+    assert res["success"]
+    assert seen["chunk_size"] == 30
+
+
 def test_run_pipeline_missing_file(tiny_engine, tmp_path):
     res = run_pipeline(
         str(tmp_path / "nope.wav"),

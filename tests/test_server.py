@@ -188,6 +188,61 @@ def test_jobs_list_stats_delete(make_client):
     run(go())
 
 
+def test_upload_temp_dir_cleanup(make_client, tmp_path, monkeypatch):
+    """Neither rejected nor completed uploads may leak their temp dir
+    (reference cleans up in finally, api_server.py:160-164)."""
+    import tempfile
+
+    upload_root = tmp_path / "uploads"
+    upload_root.mkdir()
+    monkeypatch.setattr(tempfile, "tempdir", str(upload_root))
+
+    async def go():
+        async with make_client() as client:
+            # rejected extension: dir must be gone immediately
+            resp = await upload(client, filename="evil.exe")
+            assert resp.status == 400
+            assert os.listdir(upload_root) == []
+            # missing file part: same (content_type forces multipart)
+            data = aiohttp.FormData()
+            data.add_field("language", "en", content_type="text/plain")
+            resp = await client.post("/analyze/", data=data)
+            assert resp.status == 400
+            assert os.listdir(upload_root) == []
+            # success path: job owns the dir and removes it when done
+            resp = await upload(client, formats="json")
+            d = await resp.json()
+            await wait_done(client, d["job_id"])
+            assert os.listdir(upload_root) == []
+
+    run(go())
+
+
+def test_upload_too_large_cleanup(make_client, tmp_path, monkeypatch):
+    import tempfile
+
+    upload_root = tmp_path / "uploads"
+    upload_root.mkdir()
+    monkeypatch.setattr(tempfile, "tempdir", str(upload_root))
+
+    async def go():
+        cfg = AriesConfig()
+        cfg.server.output_root = str(tmp_path / "outputs")
+        cfg.server.job_store_path = str(tmp_path / "jobs.json")
+        cfg.server.max_upload_mb = 0
+        app = create_app(cfg, pipeline_fn=fake_pipeline)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            resp = await upload(client)
+            assert resp.status == 413
+            assert os.listdir(upload_root) == []
+        finally:
+            await client.close()
+
+    run(go())
+
+
 # ---------------------------------------------------------------------------
 # Job store unit tests
 # ---------------------------------------------------------------------------

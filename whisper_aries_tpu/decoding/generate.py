@@ -882,6 +882,64 @@ def beam_search_decode(
     return out
 
 
+def beam_search_decode_sharded(
+    mesh,
+    params: Dict[str, Any],
+    xa: jax.Array,               # (B, Ta, D), B % n_devices == 0
+    prompt: jax.Array,           # (B, P)
+    dims: W.WhisperDims,
+    ids: DecodeSpecialIds,
+    suppress_mask: jax.Array,
+    sot_index: jax.Array,
+    repetition_penalty: Optional[jax.Array] = None,
+    prompt_start: Optional[jax.Array] = None,
+    row_lang: Optional[jax.Array] = None,
+    **static_kw,
+) -> Dict[str, jax.Array]:
+    """Multi-device beam decode: ONE full decode replica per device via
+    ``shard_map`` — the TPU-native version of the reference's
+    one-model-replica-per-GPU mapping (complete_fixed_whisper.py:180-186,
+    SURVEY §2.4).
+
+    Why not plain GSPMD: the production TPU step is a Pallas megakernel
+    (and the beam tail another Pallas program) — opaque custom calls that
+    GSPMD cannot partition, so under plain jit a sharded batch would
+    gather onto every device and run replicated. Beam decode over windows
+    is pure data parallelism (zero cross-window communication), so
+    ``shard_map`` over the mesh's first axis is the exact mapping: each
+    device runs the whole kernel on its local window shard, XLA inserts
+    no collectives, and per-device while-loops stop as soon as their own
+    shard finishes.
+
+    ``xa``/``prompt`` (and ``row_lang`` if given) shard on the leading
+    batch axis — ``B`` must divide the device count; params, the suppress
+    mask and scalar options replicate. ``static_kw`` forwards
+    ``beam_size``/``sample_len``/``beam_reorder``/... verbatim to
+    :func:`beam_search_decode`.
+    """
+    from jax.sharding import PartitionSpec as PS
+
+    shard_map = jax.shard_map
+    axis = mesh.axis_names[0]
+
+    opt = [("repetition_penalty", repetition_penalty),
+           ("prompt_start", prompt_start)]
+    extra_names = [n for n, v in opt if v is not None]
+    extra_vals = [v for _, v in opt if v is not None]
+
+    def local(params, xa, prompt, suppress_mask, sot_index, *extra):
+        kw = dict(zip(extra_names, extra))
+        return beam_search_decode(
+            params, xa, prompt, dims, ids, suppress_mask, sot_index,
+            **kw, **static_kw)
+
+    in_specs = (PS(), PS(axis), PS(axis), PS(), PS())
+    in_specs = in_specs + (PS(),) * len(extra_vals)
+    fn = shard_map(local, mesh=mesh, in_specs=in_specs,
+                   out_specs=PS(axis), check_vma=False)
+    return fn(params, xa, prompt, suppress_mask, sot_index, *extra_vals)
+
+
 # ---------------------------------------------------------------------------
 # Language identification
 # ---------------------------------------------------------------------------

@@ -76,6 +76,17 @@ from whisper_aries_tpu.utils.memory import is_oom_error as _is_oom
 log = logging.getLogger(__name__)
 
 
+def _parse_ramp(env_val: str) -> List[int]:
+    """Parse ARIES_RAMP ("4,12"-style rung sizes). Malformed input degrades
+    to the default ladder with a warning instead of aborting the
+    transcription (round-4 advisor finding)."""
+    try:
+        return [int(r) for r in env_val.split(",") if r.strip()]
+    except ValueError:
+        log.warning("malformed ARIES_RAMP=%r; using default 4,12", env_val)
+        return [4, 12]
+
+
 def _batch_sizes(n: int, cap: int, ramp) -> List[int]:
     """Dispatch sizes for n pending windows: an optional RAMP LADDER of
     small batches first (pipeline ramp-up — the first dispatch blocks on
@@ -593,13 +604,16 @@ class AriesTranscriber:
 
     def _plan(self, pre: AudioPreloader, duration: float,
               vad_filter: bool, vad_parameters: Optional[dict],
-              chunking_mode: str = "vad") -> List[Window]:
+              chunking_mode: str = "vad",
+              chunk_length_minutes: Optional[float] = None) -> List[Window]:
         if chunking_mode == "fixed":
             # reference-compatible coarse chunks with overlap
             # (final_optimized_transcriber.py:422-426), each tiled into 30 s
             # windows carrying the chunk_id for downstream reconciliation.
             chunks = plan_chunks(
-                duration, self.chunk_length_minutes, self.overlap_seconds
+                duration,
+                chunk_length_minutes or self.chunk_length_minutes,
+                self.overlap_seconds,
             )
             windows: List[Window] = []
             for c in chunks:
@@ -677,9 +691,8 @@ class AriesTranscriber:
                 # quantize-on-append — parity-exact tokens, free capacity)
                 self_int8 = (self.kv_int8 and reorder in ("default", "mega")
                              and jax.default_backend() == "tpu")
-            out = G.beam_search_decode(
-                self.params, xa, prompt_j, self.dims, ids,
-                suppress_mask, sot_index, beam_size=beam_size,
+            beam_kw = dict(
+                beam_size=beam_size,
                 sample_len=sample_len, length_penalty=length_penalty,
                 repetition_penalty=rep, patience=float(patience or 1.0),
                 no_repeat_ngram_size=ngram, kv_int8=self.kv_int8,
@@ -691,6 +704,20 @@ class AriesTranscriber:
                 beam_reorder=reorder,
                 beam_tail=_os.environ.get("ARIES_BEAM_TAIL", "default"),
             )
+            n_dev = int(np.prod(self.mesh.devices.shape))
+            if n_dev > 1 and xa.shape[0] % n_dev == 0:
+                # multi-device: one full decode replica per device via
+                # shard_map (the Pallas megakernel/beam-tail programs are
+                # opaque to GSPMD — see beam_search_decode_sharded)
+                out = G.beam_search_decode_sharded(
+                    self.mesh, self.params, xa, prompt_j, self.dims, ids,
+                    suppress_mask, sot_index, **beam_kw,
+                )
+            else:
+                out = G.beam_search_decode(
+                    self.params, xa, prompt_j, self.dims, ids,
+                    suppress_mask, sot_index, **beam_kw,
+                )
         else:
             out = G.greedy_decode(
                 self.params, xa, prompt_j, self.dims, ids,
@@ -775,6 +802,7 @@ class AriesTranscriber:
         max_new_tokens: int = 224,
         progress_callback=None,
         chunking_mode: str = "vad",
+        chunk_size: Optional[float] = None,
         overlap_strategy: Optional[str] = None,
         condition_on_previous_text: bool = False,
         resume_path: Optional[str] = None,
@@ -790,7 +818,10 @@ class AriesTranscriber:
         any requested output formats.
 
         ``chunking_mode="fixed"`` reproduces the reference's coarse-chunk plan
-        with overlap; ``overlap_strategy`` ("drop" | "merge") then reconciles
+        with overlap; ``chunk_size`` (seconds, reference ``config.py:25``
+        ``DEFAULT_CHUNK_SIZE`` semantics) forces fixed chunking at that
+        length for this call; ``overlap_strategy`` ("drop" | "merge") then
+        reconciles
         duplicate text in overlap regions (final_optimized_transcriber.py:
         537-556 / complete_fixed_whisper.py:880-902).
         ``condition_on_previous_text=True`` decodes windows sequentially, each
@@ -815,6 +846,14 @@ class AriesTranscriber:
         """
         t0 = time.time()
         self.last_monitor = None
+        # per-call activity log (reference WorkerDiagnostics,
+        # complete_fixed_whisper.py:249-284): every window's
+        # PLANNED/DECODING/FALLBACK/COMPLETED/ERROR transitions, surfaced in
+        # the result dict and kept on the engine for post-mortems
+        from whisper_aries_tpu.utils.perf import WorkerDiagnostics
+
+        diag = WorkerDiagnostics()
+        self.last_diagnostics = diag
         pre = AudioPreloader(audio_path)
         duration = pre.duration
         # start the uploader BEFORE planning: host VAD scoring and the
@@ -825,8 +864,13 @@ class AriesTranscriber:
         uploader = self._make_uploader(pre)
         if jax.default_backend() == "tpu":
             uploader.prefetch(0, 4 * _AudioUploader.CHUNK)
+        if chunk_size is not None:
+            # a per-call chunk size implies the reference's fixed-chunk plan
+            chunking_mode = "fixed"
         windows = self._plan(pre, duration, vad_filter, vad_parameters,
-                             chunking_mode=chunking_mode)
+                             chunking_mode=chunking_mode,
+                             chunk_length_minutes=(
+                                 chunk_size / 60.0 if chunk_size else None))
         log.info("planned %d windows for %.1fs audio", len(windows), duration)
 
         beam = beam_size if beam_size is not None else self.config.decode.beam_size
@@ -1014,6 +1058,7 @@ class AriesTranscriber:
                 self.last_monitor.final_report()
                 if getattr(self, "last_monitor", None) else None
             ),
+            "diagnostics": diag.summary(),
             "metadata": {
                 "audio_file": audio_path,
                 "model": self.model_size,
@@ -1073,6 +1118,11 @@ class AriesTranscriber:
             total_audio_s=sum(windows[i].duration for i in pending)
         )
         self.last_monitor = monitor
+        diag = getattr(self, "last_diagnostics", None)
+        if diag is not None:
+            for i in pending:
+                diag.log(i, "PLANNED",
+                         f"{windows[i].start:.1f}-{windows[i].end:.1f}s")
 
         def batch_win(batch_idx) -> int:
             return (self.SHORT_WINDOW_SAMPLES
@@ -1094,9 +1144,8 @@ class AriesTranscriber:
         if jax.default_backend() == "tpu" and pending and len(pending) > B:
             n_dev = max(1, int(np.prod(self.mesh.devices.shape)))
             ramp = tuple(
-                int(r) * n_dev
-                for r in os.environ.get("ARIES_RAMP", "4,12").split(",")
-                if r.strip())
+                r * n_dev
+                for r in _parse_ramp(os.environ.get("ARIES_RAMP", "4,12")))
             if self.audio_ctx_bucket and any(
                     windows[i].duration <= self.SHORT_WINDOW_S
                     for i in pending):
@@ -1131,6 +1180,9 @@ class AriesTranscriber:
             win = batch_win(batch_idx)
             chunk_j = self._gather_span(uploader, windows, batch_idx,
                                         nB, win=win)
+            if diag is not None:
+                for i in batch_idx:
+                    diag.log(i, "ENCODING", f"batch@{p} size={nB}")
             mel = self._mel(chunk_j)
             xa = self._encode_batch(mel)
             win_langs = None
@@ -1157,6 +1209,9 @@ class AriesTranscriber:
                 patience=patience, no_repeat_ngram_size=ngram,
                 opts=opts, fetch=False, row_lang=row_lang,
             )
+            if diag is not None:
+                for i in batch_idx:
+                    diag.log(i, "DECODING", f"batch@{p} size={nB}")
             return {"pos": p, "batch_idx": batch_idx, "wb": wb,
                     "prompt": prompt, "out": out, "win_langs": win_langs,
                     "t0": time.time()}
@@ -1188,7 +1243,8 @@ class AriesTranscriber:
                 # auto batch heuristic is a first guess — the exact budget
                 # depends on beam/sample_len/model, see parallel/mesh.py)
                 if _is_oom(e) and (depth > 1 or B > 1):
-                    if depth > 1:
+                    depth_only = depth > 1
+                    if depth_only:
                         depth = 1
                         log.warning("HBM OOM — disabling batch pipelining")
                     else:
@@ -1202,9 +1258,16 @@ class AriesTranscriber:
                         restart = grid[gi][0]
                     else:
                         restart = len(pending)
-                    # re-plan the undone remainder at the new budget (no
-                    # ramp: its chunks are already uploaded by now)
-                    grid = build_grid(restart, B, 0)
+                    if depth_only:
+                        # B unchanged: keep the surviving tail of the grid so
+                        # the retry stays on already-compiled batch shapes
+                        # (re-ceil-dividing the remainder can invent a new
+                        # shape => a 40-90 s tunnel compile mid-recovery)
+                        grid = [g for g in grid if g[0] >= restart]
+                    else:
+                        # re-plan the undone remainder at the new budget (no
+                        # ramp: its chunks are already uploaded by now)
+                        grid = build_grid(restart, B, 0)
                     gi = 0
                     inflight = []
                     continue
@@ -1243,17 +1306,26 @@ class AriesTranscriber:
                     if quality["is_silence"]:
                         if journal is not None:
                             journal.record(win_id, [])
+                        if diag is not None:
+                            diag.log(win_id, "COMPLETED", "silence")
                         continue
                     if quality["needs_fallback"] and len(temps) > 1:
                         # multilingual rows keep their detected language
                         # token (written into the host prompt above)
                         fails.append((win_id, window, prompt[w_i], segs))
+                        if diag is not None:
+                            diag.log(
+                                win_id, "FALLBACK",
+                                f"cr={quality['compression_ratio']:.2f} "
+                                f"lp={out['avg_logprob'][w_i]:.2f}")
                 except Exception as e:
                     # per-window soft failure: one bad window must not kill
                     # the file (reference emits ChunkResult(success=False)
                     # and keeps going, final_optimized_transcriber.py:355-365)
                     log.warning("window %d (%.1f-%.1fs) failed: %s",
                                 win_id, window.start, window.end, e)
+                    if diag is not None:
+                        diag.log(win_id, "ERROR", str(e))
                     failed = True
                     segs = [{
                         "start": window.start, "end": window.end, "text": "",
@@ -1287,6 +1359,8 @@ class AriesTranscriber:
                 # failed windows are NOT journaled: a resume retries them
                 if journal is not None and not failed:
                     journal.record(win_id, segs)
+                if diag is not None and not failed:
+                    diag.log(win_id, "COMPLETED", f"{len(segs)} segment(s)")
                 all_segments.extend(segs)
             monitor.record(
                 bi, sum(w.duration for w in wb), time.time() - t_batch,

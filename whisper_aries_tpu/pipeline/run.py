@@ -103,6 +103,10 @@ def run_pipeline(
             tres = transcriber.transcribe_file(
                 audio_for_processing,
                 language=language,
+                # reference contract: chunk_size (seconds) selects the
+                # fixed-chunk plan at that length (conversation_transcriber
+                # .py:24-50 / config.py:25)
+                chunk_size=chunk_size,
                 beam_size=cfg.decode.beam_size,
                 repetition_penalty=cfg.decode.repetition_penalty,
                 condition_on_previous_text=cfg.decode.condition_on_previous_text,

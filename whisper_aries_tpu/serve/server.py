@@ -106,7 +106,9 @@ def create_app(
             },
         })
 
-    async def _process_job(job_id: str, file_path: str, params: Dict[str, Any]):
+    async def _process_job(job_id: str, file_path: str,
+                           params: Dict[str, Any],
+                           temp_dir: Optional[str] = None):
         async with sem:
             store.update(job_id, status="running", progress=10,
                          message="Starting pipeline...")
@@ -144,10 +146,16 @@ def create_app(
                 store.update(job_id, status="failed", progress=0,
                              message="Unexpected error", error=str(e))
             finally:
-                try:
-                    os.remove(file_path)
-                except OSError:
-                    pass
+                # remove the whole upload dir, not just the file (the
+                # reference cleans its upload in finally, api_server.py:
+                # 160-164; round-4 review found the dir leaked)
+                if temp_dir is not None:
+                    shutil.rmtree(temp_dir, ignore_errors=True)
+                else:
+                    try:
+                        os.remove(file_path)
+                    except OSError:
+                        pass
 
     async def analyze(request):
         reader = await request.multipart()
@@ -160,59 +168,72 @@ def create_app(
             "run_llm_analysis": True,
         }
         temp_dir = tempfile.mkdtemp()
+        launched = False  # once the job is queued, _process_job owns temp_dir
         max_bytes = cfg.server.max_upload_mb * 1024 * 1024
-        async for part in reader:
-            if part.name == "file":
-                filename = part.filename
-                if not filename:
-                    return jsonify({"detail": "No file provided"}, 400)
-                ext = Path(filename).suffix.lower()
-                if ext not in ALLOWED_EXTENSIONS:
-                    return jsonify(
-                        {"detail": f"Unsupported file type: {ext}. Supported: "
-                                   f"{', '.join(sorted(ALLOWED_EXTENSIONS))}"},
-                        400,
+        try:
+            async for part in reader:
+                if part.name == "file":
+                    filename = part.filename
+                    if not filename:
+                        return jsonify({"detail": "No file provided"}, 400)
+                    ext = Path(filename).suffix.lower()
+                    if ext not in ALLOWED_EXTENSIONS:
+                        return jsonify(
+                            {"detail":
+                                f"Unsupported file type: {ext}. Supported: "
+                                f"{', '.join(sorted(ALLOWED_EXTENSIONS))}"},
+                            400,
+                        )
+                    file_path = os.path.join(
+                        temp_dir, os.path.basename(filename))
+                    size = 0
+                    with open(file_path, "wb") as f:
+                        while True:
+                            chunk = await part.read_chunk(1 << 20)
+                            if not chunk:
+                                break
+                            size += len(chunk)
+                            if size > max_bytes:
+                                return jsonify(
+                                    {"detail": "Upload too large"}, 413)
+                            f.write(chunk)
+                elif part.name == "language":
+                    params["language"] = (await part.text()).strip()
+                elif part.name == "confidence_threshold":
+                    params["confidence_threshold"] = float(await part.text())
+                elif part.name == "formats":
+                    params["formats"] = [
+                        s.strip() for s in (await part.text()).split(",")
+                        if s.strip()
+                    ]
+                elif part.name == "run_llm_analysis":
+                    params["run_llm_analysis"] = (
+                        (await part.text()).strip().lower()
+                        in ("1", "true", "yes")
                     )
-                file_path = os.path.join(temp_dir, os.path.basename(filename))
-                size = 0
-                with open(file_path, "wb") as f:
-                    while True:
-                        chunk = await part.read_chunk(1 << 20)
-                        if not chunk:
-                            break
-                        size += len(chunk)
-                        if size > max_bytes:
-                            return jsonify({"detail": "Upload too large"}, 413)
-                        f.write(chunk)
-            elif part.name == "language":
-                params["language"] = (await part.text()).strip()
-            elif part.name == "confidence_threshold":
-                params["confidence_threshold"] = float(await part.text())
-            elif part.name == "formats":
-                params["formats"] = [
-                    s.strip() for s in (await part.text()).split(",") if s.strip()
-                ]
-            elif part.name == "run_llm_analysis":
-                params["run_llm_analysis"] = (
-                    (await part.text()).strip().lower() in ("1", "true", "yes")
-                )
 
-        if file_path is None:
-            return jsonify({"detail": "No file provided"}, 400)
+            if file_path is None:
+                return jsonify({"detail": "No file provided"}, 400)
 
-        lang = params["language"]
-        params["language"] = None if lang in ("auto", "") else lang
+            lang = params["language"]
+            params["language"] = None if lang in ("auto", "") else lang
 
-        job_id = store.create(filename)
-        asyncio.get_running_loop().create_task(
-            _process_job(job_id, file_path, params)
-        )
-        return jsonify({
-            "job_id": job_id,
-            "status": "queued",
-            "message": "File uploaded successfully. Processing started.",
-            "filename": filename,
-        })
+            job_id = store.create(filename)
+            asyncio.get_running_loop().create_task(
+                _process_job(job_id, file_path, params, temp_dir)
+            )
+            launched = True
+            return jsonify({
+                "job_id": job_id,
+                "status": "queued",
+                "message": "File uploaded successfully. Processing started.",
+                "filename": filename,
+            })
+        finally:
+            # rejected/failed uploads must not leak their temp dir (the
+            # reference cleans up in finally, api_server.py:160-164)
+            if not launched:
+                shutil.rmtree(temp_dir, ignore_errors=True)
 
     async def status(request):
         job = store.get(request.match_info["job_id"])
