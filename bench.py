@@ -221,11 +221,19 @@ def main() -> int:
         else:
             import jax as _jax
 
+            # grouped-windows greedy megakernel (engine TPU default;
+            # ARIES_GREEDY_MEGA=0 opts out, ARIES_MEGA_GROUP sets Kg)
+            mg = None
+            if (backend == "tpu" and kv_int8
+                    and os.environ.get("ARIES_GREEDY_MEGA", "1") != "0"):
+                mg = int(os.environ.get("ARIES_MEGA_GROUP", "4"))
+                if mg <= 1 or xa.shape[0] % mg != 0:
+                    mg = None
             out = G.greedy_decode(
                 params, xa, prompt_j, dims, ids, suppress, jnp.int32(0),
                 jnp.float32(0.0), _jax.random.PRNGKey(0),
                 sample_len=n_tokens, with_timestamps=True, kv_int8=kv_int8,
-                self_kv_int8=self_kv_int8,
+                self_kv_int8=self_kv_int8, mega_group=mg,
             )
         return out["tokens"]
 

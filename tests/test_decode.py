@@ -710,6 +710,49 @@ def test_beam_mega_kernel_parity(tiny_pair, self_kv_int8):
 
 @pytest.mark.parametrize("self_kv_int8", [False, True])
 @pytest.mark.slow
+def test_greedy_mega_grouped_parity(tiny_pair, self_kv_int8):
+    """Grouped-windows greedy megakernel (mega_group=4, interpret mode
+    off-TPU) must reproduce the XLA greedy decode with the SAME int8
+    weights: identical tokens, scores within f32 tolerance. Covers the
+    block-diagonal grouped cross mask (W.group_cross_mega), the grouped
+    prefill relayout (W.pack_greedy_prefill_cache) and the identity
+    -ancestry kernel step, both bf16 and in-kernel-int8 self-cache."""
+    from whisper_aries_tpu.ops.quant import quantize_model_params
+
+    _, dims, params, mel = tiny_pair
+    qparams = quantize_model_params(params)
+    mel8 = np.tile(np.asarray(mel), (4, 1, 1))     # 8 windows, 2 groups
+    xa = W.encode(params, jnp.asarray(mel8), dims)
+    ids = _tiny_ids(dims)
+    common = dict(sample_len=6, with_timestamps=False,
+                  suppress_blank=False, kv_int8=True,
+                  self_kv_int8=self_kv_int8)
+    prompt = jnp.full((8, 1), 3, jnp.int32)
+    base = G.greedy_decode(
+        qparams, xa, prompt, dims, ids,
+        jnp.zeros((dims.n_vocab,), jnp.float32), jnp.int32(0),
+        jnp.float32(0.0), jax.random.PRNGKey(0), **common,
+    )
+    mega = G.greedy_decode(
+        qparams, xa, prompt, dims, ids,
+        jnp.zeros((dims.n_vocab,), jnp.float32), jnp.int32(0),
+        jnp.float32(0.0), jax.random.PRNGKey(0), mega_group=4, **common,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(base["tokens"]), np.asarray(mega["tokens"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(base["sum_logprob"]), np.asarray(mega["sum_logprob"]),
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(base["no_speech_prob"]),
+        np.asarray(mega["no_speech_prob"]), rtol=1e-5, atol=1e-6,
+    )
+
+
+@pytest.mark.parametrize("self_kv_int8", [False, True])
+@pytest.mark.slow
 def test_beam_mega_kernel_sharded_parity(tiny_pair, self_kv_int8):
     """The PRODUCTION multi-chip decode path: beam_reorder="mega" (+ the
     beam_tail kernel) running under shard_map on the 8-device mesh must

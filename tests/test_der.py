@@ -176,8 +176,8 @@ class TestBattery:
         import whisper_aries_tpu.eval.diarize_battery as B
         orig = B.conversation_scene
 
-        def recording_scene(rng, dur_s=45.0, n_speakers=None):
-            audio, ref = orig(rng, dur_s=dur_s, n_speakers=n_speakers)
+        def recording_scene(rng, dur_s=45.0, n_speakers=None, **kw):
+            audio, ref = orig(rng, dur_s=dur_s, n_speakers=n_speakers, **kw)
             store["ref"] = [dict(t, speaker="HYP_" + t["speaker"])
                             for t in ref]
             return audio, ref

@@ -216,7 +216,7 @@ def _apply_filters(
     jax.jit,
     static_argnames=("dims", "ids", "sample_len", "with_timestamps",
                      "prompt_len", "suppress_blank", "kv_int8",
-                     "self_kv_int8", "no_repeat_ngram_size"),
+                     "self_kv_int8", "no_repeat_ngram_size", "mega_group"),
 )
 def greedy_decode(
     params: Dict[str, Any],
@@ -237,6 +237,7 @@ def greedy_decode(
     repetition_penalty: Optional[jax.Array] = None,
     no_repeat_ngram_size: int = 0,
     prompt_start: Optional[jax.Array] = None,
+    mega_group: Optional[int] = None,
 ) -> Dict[str, jax.Array]:
     """Batched greedy/sampled decode with KV cache under lax.while_loop.
 
@@ -250,25 +251,64 @@ def greedy_decode(
     prompts (condition_on_previous_text) then share ONE compiled program,
     with results identical to the unpadded decode (see decoder_step).
 
+    ``mega_group=Kg`` (static, requires ``kv_int8`` and B % Kg == 0)
+    routes the decode steps through the all-layers int8 Pallas megakernel
+    in GROUPED-WINDOWS form: Kg distinct windows pack into the kernel's
+    K beam slots (identity ancestry isolates their self-attention;
+    a block-diagonal cross mask + per-group packed cross KV isolates
+    cross-attention, W.group_cross_mega). Greedy K=1 would waste 7/8 of
+    the kernel's KP=8 row padding and pay L*B iteration grains; grouping
+    reclaims the rows and divides the iteration count by Kg. The
+    reference engine's default fast path is beam_size=1
+    (final_optimized_transcriber.py:434) — this is its kernel.
+    ``self_kv_int8`` then quantizes the packed self-cache exactly like
+    the beam mega path (in-kernel quantize-on-append).
+
     Returns dict with tokens (B, P+sample_len), n_sampled (B,), sum_logprob
     (B,), avg_logprob (B,), no_speech_prob (B,).
     """
     B, P = prompt.shape
     L = P + sample_len
-    cross_kv = (W.precompute_cross_kv_int8(params, xa, dims) if kv_int8
-                else W.precompute_cross_kv(params, xa, dims))
+    use_mega = mega_group is not None and kv_int8 and B % mega_group == 0
+    if use_mega:
+        Kg = mega_group
+        cross_mega = W.precompute_cross_kv_int8_packed(params, xa, dims)
+        cross_kv = W.cross_views_from_packed(
+            cross_mega, dims.n_text_head, xa.shape[1])
+    else:
+        cross_kv = (W.precompute_cross_kv_int8(params, xa, dims) if kv_int8
+                    else W.precompute_cross_kv(params, xa, dims))
     # self cache int8 is a separate (HBM-capacity) knob: it halves the beam
     # cache footprint but quantize-on-write adds per-step ops — batch 40
     # int8-self measured 107x vs 155x for batch 24 bf16-self (ROADMAP.md),
-    # so throughput configs keep it off
-    cache = W.init_kv_cache(dims, B, dtype=xa.dtype, max_len=L,
-                            int8=self_kv_int8)
+    # so throughput configs keep it off. The mega path quantizes in-kernel
+    # instead (free capacity) — its prefill cache is prompt-sized and
+    # packed below.
+    cache = W.init_kv_cache(dims, B, dtype=xa.dtype,
+                            max_len=P if use_mega else L,
+                            int8=self_kv_int8 and not use_mega)
 
     # Prefill the prompt.
     logits_p, cache = W.decoder_step(
         params, prompt, jnp.int32(0), cache, cross_kv, dims,
         valid_start=prompt_start,
     )
+    if use_mega:
+        cache = W.pack_greedy_prefill_cache(
+            cache, Kg, max_len=L, int8=self_kv_int8,
+            n_head=dims.n_text_head)
+        cross_grouped = W.group_cross_mega(cross_mega, Kg)
+        # identity ancestry: slot j of a group always holds window j's KV
+        anc_id = jnp.broadcast_to(
+            jnp.arange(Kg, dtype=jnp.int32)[None, :, None],
+            (B // Kg, Kg, L))
+        from whisper_aries_tpu.ops.pallas_decode_layers import (
+            pack_layer_weights,
+        )
+
+        wpack = pack_layer_weights(
+            W.fuse_decoder_qkv(params)["decoder"]["blocks"])
+        mega_interpret = jax.default_backend() != "tpu"
     # no-speech prob measured at the sot position's output.
     sot_logits = jnp.take_along_axis(
         logits_p, sot_index[None, None, None].astype(jnp.int32), axis=1
@@ -358,15 +398,22 @@ def greedy_decode(
         return (~jnp.all(state.finished)) & (state.pos < L)
 
     def body(state: LoopState):
-        logits, cache = W.decoder_step(
-            params,
-            jax.lax.dynamic_slice(state.tokens, (0, state.pos - 1), (B, 1)),
-            state.pos - 1,
-            state.cache,
-            cross_kv,
-            dims,
-            valid_start=prompt_start,
-        )
+        tok_in = jax.lax.dynamic_slice(
+            state.tokens, (0, state.pos - 1), (B, 1))
+        if use_mega:
+            logits, cache = W.decoder_step_fused(
+                params, wpack, tok_in, state.pos - 1,
+                state.cache, cross_grouped, dims,
+                beam_anc=anc_id, beam_k=Kg,
+                valid_start=prompt_start,
+                interpret=mega_interpret,
+            )
+        else:
+            logits, cache = W.decoder_step(
+                params, tok_in, state.pos - 1,
+                state.cache, cross_kv, dims,
+                valid_start=prompt_start,
+            )
         state = state._replace(cache=cache)
         return step(state, logits[:, 0])
 

@@ -340,6 +340,13 @@ class WhisperTokenizer:
             return f"<|{lang}|>"
         return ""
 
+    def non_speech_tokens(self, encoder=None) -> List[int]:
+        """Default suppress set (suppress_tokens=-1 expansion). The engine
+        calls this on the TOKENIZER (day-1 load path — caught by
+        tests/test_checkpoint_load.py); delegate to the specials table
+        with this tokenizer's own encoder by default."""
+        return self.specials.non_speech_tokens(encoder or self.encode)
+
     # convenience pass-throughs
     @property
     def eot(self) -> int:

@@ -776,6 +776,76 @@ def cross_views_from_packed(cross_mega: Dict[str, jax.Array], n_head: int,
     }
 
 
+def group_cross_mega(cross_mega: Dict[str, jax.Array], group: int
+                     ) -> Dict[str, jax.Array]:
+    """Regroup the packed int8 cross KV for the GROUPED-WINDOWS greedy
+    megakernel path: ``group`` consecutive windows pack into one kernel
+    "window", their Ta segments concatenated along the minor axis, with a
+    block-diagonal per-row cross mask so slot j attends only to window
+    j's segment.
+
+    (L, B, 2H, dh, TaP) -> (L, B/group, 2H, dh, group*TaP); cmask becomes
+    (8, group*TaP) with row j live exactly on [j*TaP, j*TaP + Ta_real)
+    (rows j >= group fully dead). One 2x-cache-stream transpose, ONCE per
+    batch (the decode loop streams the result ~sample_len times)."""
+    kv8, sc, cmask = cross_mega["kv8"], cross_mega["sc"], cross_mega["cmask"]
+    L, B, H2, dh, TaP = kv8.shape
+    G = B // group
+    assert G * group == B, (B, group)
+    kv8g = kv8.reshape(L, G, group, H2, dh, TaP).transpose(
+        0, 1, 3, 4, 2, 5).reshape(L, G, H2, dh, group * TaP)
+    HP2 = sc.shape[2]
+    scg = sc.reshape(L, G, group, HP2, TaP).transpose(
+        0, 1, 3, 2, 4).reshape(L, G, HP2, group * TaP)
+    neg = float(np.finfo(np.float32).min)
+    # row j's live span: the non-NEG prefix of the original cmask row,
+    # shifted to block j. (The original rows are identical; row 0 carries
+    # the Ta_real pattern.)
+    base = cmask[0]                                         # (TaP,)
+    j = jnp.arange(8, dtype=jnp.int32)
+    blocks = jnp.broadcast_to(base[None, :], (8, TaP))
+    blocks = jnp.where((j < group)[:, None], blocks, neg)   # dead pad rows
+    cmaskg = jnp.full((8, group * TaP), neg, jnp.float32)
+    for jj in range(min(group, 8)):
+        cmaskg = cmaskg.at[jj, jj * TaP:(jj + 1) * TaP].set(blocks[jj])
+    return {"kv8": kv8g, "sc": scg, "cmask": cmaskg}
+
+
+def pack_greedy_prefill_cache(cache: Dict[str, jax.Array], group: int,
+                              max_len: int, int8: bool,
+                              n_head: int) -> Dict[str, jax.Array]:
+    """Relayout a standard prefill cache {"k","v"} (L, B, H, dh, P) into
+    the megakernel's grouped K-minor packed buffer (L, B/group, 2H, dh,
+    M) with minor m = t*group + j (slot j = window j of the group), zero
+    -padded to the x128 + slack M that ``init_kv_cache(beam_k=group)``
+    allocates for ``max_len`` positions. ``int8`` additionally quantizes
+    per (slot, head) over dh into the kernel's {"kv8","ksc"} layout (the
+    decode steps then quantize-on-append IN-KERNEL)."""
+    k, v = cache["k"], cache["v"]
+    L, B, H, dh, P = k.shape
+    G = B // group
+    small = jnp.concatenate([k, v], axis=2)                # (L, B, 2H, dh, P)
+    small = small.reshape(L, G, group, 2 * H, dh, P).transpose(
+        0, 1, 3, 4, 5, 2).reshape(L, G, 2 * H, dh, P * group)
+    Mfull = ((max_len * group + 127) // 128) * 128 + 128
+    HP = ((n_head + 7) // 8) * 8
+    if int8:
+        nf = small.astype(jnp.float32)
+        am = jnp.max(jnp.abs(nf), axis=3)                  # (L,G,2H,Pg)
+        scl = jnp.where(am > 0.0, am / 127.0, 1.0)
+        q8 = jnp.clip(jnp.round(nf / scl[:, :, :, None, :]),
+                      -127, 127).astype(jnp.int8)
+        big8 = jnp.zeros(small.shape[:-1] + (Mfull,), jnp.int8)
+        scp = jnp.zeros((L, G, 2 * HP, Mfull), jnp.float32)
+        scp = scp.at[:, :, :H, :P * group].set(scl[:, :, :H])
+        scp = scp.at[:, :, HP:HP + H, :P * group].set(scl[:, :, H:])
+        return {"kv8": jax.lax.dynamic_update_slice(
+                    big8, q8, (0, 0, 0, 0, 0)),
+                "ksc": scp}
+    big = jnp.zeros(small.shape[:-1] + (Mfull,), small.dtype)
+    return {"kv": jax.lax.dynamic_update_slice(big, small, (0, 0, 0, 0, 0))}
+
+
 def _self_qkv(attn: Dict[str, Any], h: jax.Array) -> Tuple[jax.Array, ...]:
     """Self-attention q/k/v projections; uses the fused (d -> 3d) GEMM when
     the tree was transformed by fuse_decoder_qkv (decode steps are

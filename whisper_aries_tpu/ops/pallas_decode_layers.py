@@ -200,12 +200,16 @@ def fused_decoder_layers_reference(
     pos: jax.Array,               # scalar int32
     n_head: int, beam_k: int,
     ksc: "jax.Array | None" = None,  # (L, Bw, 2HP, M) f32 — int8 cache
+    cmask: "jax.Array | None" = None,  # (>=K, Ta) per-row cross mask
 ) -> Tuple[jax.Array, ...]:
     """The math the kernel implements, in plain jnp (CPU tests).
 
     Returns (x_out (R, d), the appended cache (L, Bw, 2H, dh, M)[, the
     appended scales]) — int8 ``ckv`` (with ``ksc``) mirrors the kernel's
-    in-kernel quantize-on-append self-cache."""
+    in-kernel quantize-on-append self-cache. ``cmask`` (when given)
+    replaces the scale-0 TaP-pad kill with the kernel's per-row additive
+    mask — required for the grouped-windows layout, where other windows'
+    columns carry nonzero scales."""
     L, Bw, H2, dh, M = ckv.shape
     H = n_head
     HP = xsc.shape[2] // 2
@@ -289,7 +293,10 @@ def fused_decoder_layers_reference(
         lgx = jnp.einsum("whkd,whdt->whkt", qx.astype(jnp.float32),
                          xkv8[l][:, :H].astype(jnp.float32))
         lgx = lgx * ks[:, :, None, :]
-        lgx = jnp.where(ks[:, :, None, :] == 0.0, NEG, lgx)  # TaP pad kill
+        if cmask is not None:
+            lgx = lgx + cmask[:K][None, None]            # per-row mask
+        else:
+            lgx = jnp.where(ks[:, :, None, :] == 0.0, NEG, lgx)  # pad kill
         px = jax.nn.softmax(lgx, axis=-1) * vs[:, :, None, :]
         atx = jnp.einsum("whkt,whdt->whkd", px,
                          xkv8[l][:, H:].astype(jnp.float32))
@@ -713,7 +720,11 @@ def _make_kernel(RP: int, d: int, ff: int, H: int, dh: int, Bw: int,
                 dimension_numbers=(((1,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)     # (H, KP, Ta)
             lg = lg * csb[slot][:H][:, None, :]         # ks (incl 1/sqrt)
-            lg = lg + cmask_ref[0:1, :][None]           # Ta-pad kill
+            # PER-ROW mask (KP, Ta): Ta-pad kill for the beam path (all
+            # rows identical), block-diagonal window isolation for the
+            # grouped-windows greedy path (row j sees only window j's
+            # Ta segment — group_cross_mega)
+            lg = lg + cmask_ref[:, :][None]
             mx = jnp.max(lg, -1, keepdims=True)
             ex = jnp.exp(lg - mx)
             pr = ex / jnp.sum(ex, -1, keepdims=True)
@@ -804,6 +815,11 @@ def fused_decoder_layers(
     xp = jnp.zeros((Bw, KP, d), dtype).at[:, :K].set(
         x.reshape(Bw, K, d)).reshape(RP, d)
     amp = jnp.full((Bw, KP, M), NEG, jnp.float32).at[:, :K].set(amask)
+    # the cross mask is applied PER ROW (KP, Ta) in-kernel; a beam-path
+    # (8, Ta) mask (rows identical) tiles exactly to any KP
+    if cmask.shape[0] != KP:
+        reps = -(-KP // cmask.shape[0])
+        cmask = jnp.tile(cmask, (reps, 1))[:KP]
     kernel, VEC = _make_kernel(RP, d, ff, H, dh, Bw, K, KP, M, Ta, HP,
                                dtype, self_int8)
     if ksc is None:

@@ -179,17 +179,31 @@ class ResumeJournal:
             f.write(json.dumps({"plan_sig": self.sig}) + "\n")
 
     def record(self, window_id: int, segments: List[Dict[str, Any]],
-               reset: bool = False) -> None:
+               reset: bool = False, sync: bool = False) -> None:
+        """Append one window's result. Durability is BATCHED: records
+        buffer in the OS file cache until ``flush()`` — the engine flushes
+        once per dispatch batch instead of per window (the per-window
+        open+fsync measured as unoverlapped host time in the fetch loop,
+        round-4 review Weak #6). A crash loses at most the current
+        batch's records; those windows simply re-decode on resume."""
         self.done[window_id] = segments
         if reset:
             self.reset_ids.add(window_id)
         with open(self.path, "a", encoding="utf-8") as f:
             f.write(json.dumps({"window_id": window_id,
                                 "segments": segments, "reset": reset}) + "\n")
-            f.flush()
-            import os as _os
+            if sync:
+                f.flush()
+                os.fsync(f.fileno())
 
-            _os.fsync(f.fileno())
+    def flush(self) -> None:
+        """fsync the journal (called once per dispatch batch)."""
+        try:
+            with open(self.path, "a", encoding="utf-8") as f:
+                f.flush()
+                os.fsync(f.fileno())
+        except OSError as e:
+            log.warning("journal fsync failed: %s", e)
 
 
 class DummyTokenizer:
@@ -425,6 +439,32 @@ class AriesTranscriber:
             (audio_ctx or self.config.decode.audio_ctx) == "bucket"
         )
         self._speech_scorer = self._make_speech_scorer()
+        # startup smoke test of REAL checkpoints (the reference runs 0.5 s
+        # of noise through every loaded model before serving,
+        # final_optimized_transcriber.py:188-191): a corrupt checkpoint
+        # fails here, not mid-job. Random/injected weights skip it.
+        if self.model_dir is not None and os.environ.get(
+                "ARIES_SMOKE_TEST", "1") != "0":
+            self.smoke_test()
+
+    def smoke_test(self) -> None:
+        """Forward 0.5 s of noise through mel -> encoder -> one decoder
+        call and fail fast on non-finite logits (corrupt / truncated
+        checkpoint). Reference parity: final_optimized_transcriber.py
+        :188-191 ("Quick test" with 8000 random samples)."""
+        rng = np.random.default_rng(0)
+        buf = np.zeros(self.WINDOW_SAMPLES, np.float32)
+        buf[:8000] = 0.1 * rng.standard_normal(8000).astype(np.float32)
+        mel = self._mel(jnp.asarray(buf[None]))
+        xa = self._encode_batch(mel)
+        sot = self.tokenizer.specials.sot
+        logits = W.decoder_forward(
+            self.params, jnp.asarray([[sot]], jnp.int32), xa, self.dims)
+        if not bool(np.isfinite(np.asarray(logits)).all()):
+            raise RuntimeError(
+                f"model smoke test failed: non-finite decoder logits "
+                f"(corrupt checkpoint at {self.model_dir}?)")
+        log.info("model smoke test passed (%s)", self.model_size)
 
     def _make_suppress_mask(self, suppress_tokens) -> jnp.ndarray:
         """(vocab,) additive logit mask for a ``suppress_tokens`` option.
@@ -719,14 +759,34 @@ class AriesTranscriber:
                     suppress_mask, sot_index, **beam_kw,
                 )
         else:
+            # grouped-windows greedy megakernel (ARIES_GREEDY_MEGA=0 opts
+            # out; ARIES_MEGA_GROUP sets the group size): Kg windows pack
+            # into the kernel's beam slots — the greedy analogue of the
+            # beam mega default (see generate.greedy_decode)
+            import os as _os
+
+            mg = None
+            if (jax.default_backend() == "tpu" and self.kv_int8
+                    and _os.environ.get("ARIES_GREEDY_MEGA", "1") != "0"):
+                try:
+                    mg = int(_os.environ.get("ARIES_MEGA_GROUP", "4"))
+                except ValueError:
+                    mg = 4
+                if mg <= 1 or xa.shape[0] % mg != 0:
+                    mg = None
+            self_int8 = self.self_kv_int8
+            if self._self_kv_auto:
+                # auto: int8 exactly on the megakernel path (in-kernel
+                # quantize-on-append), bf16 elsewhere — same policy as beam
+                self_int8 = mg is not None
             out = G.greedy_decode(
                 self.params, xa, prompt_j, self.dims, ids,
                 suppress_mask, sot_index,
                 jnp.float32(temperature), jax.random.PRNGKey(seed),
                 sample_len=sample_len, repetition_penalty=rep,
                 no_repeat_ngram_size=ngram, kv_int8=self.kv_int8,
-                self_kv_int8=self.self_kv_int8, prompt_start=ps,
-                with_timestamps=with_ts,
+                self_kv_int8=self_int8, prompt_start=ps,
+                with_timestamps=with_ts, mega_group=mg,
             )
         keep = ("tokens", "n_sampled", "sum_logprob", "avg_logprob",
                 "no_speech_prob")
@@ -1362,6 +1422,8 @@ class AriesTranscriber:
                 if diag is not None and not failed:
                     diag.log(win_id, "COMPLETED", f"{len(segs)} segment(s)")
                 all_segments.extend(segs)
+            if journal is not None:
+                journal.flush()  # one fsync per batch, not per window
             monitor.record(
                 bi, sum(w.duration for w in wb), time.time() - t_batch,
                 device=bi % max(1, int(np.prod(self.mesh.devices.shape))),
@@ -1470,7 +1532,7 @@ class AriesTranscriber:
             if quality["is_silence"]:
                 prev_tokens = []
                 if journal is not None:
-                    journal.record(wi, [])
+                    journal.record(wi, [], sync=True)
                 continue
             was_fallback = False
             if quality["needs_fallback"] and len(temps) > 1:
@@ -1504,8 +1566,9 @@ class AriesTranscriber:
                 s["worker_id"] = 0
             if journal is not None and not (segs and segs[0].get("success")
                                             is False):
-                # reset=True replays the conditioning reset on resume
-                journal.record(wi, segs, reset=was_fallback)
+                # reset=True replays the conditioning reset on resume;
+                # the sequential fidelity mode keeps per-window durability
+                journal.record(wi, segs, reset=was_fallback, sync=True)
             all_segments.extend(segs)
             if progress_callback:
                 progress_callback(wi + 1, len(windows))

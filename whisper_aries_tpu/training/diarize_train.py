@@ -79,21 +79,47 @@ def _maybe_augment(rng: np.random.Generator, audio: np.ndarray,
     return augment(rng, audio, strength=1.0)
 
 
-def _dataset_vad(rng: np.random.Generator, n: int, p_aug: float = 0.0
+def _dataset_vad(rng: np.random.Generator, n: int, p_aug: float = 0.0,
+                 p_realism: float = 0.0
                  ) -> Tuple[np.ndarray, np.ndarray]:
+    """``p_realism``: fraction of examples with a MUSIC bed mixed in at
+    2-20 dB SNR (label-preserving: music is not speech — the battery
+    showed music beds as a top VAD failure mode). 0.0 reproduces the
+    original distribution draw-for-draw."""
     xs, ys = [], []
     for _ in range(n):
         a, l = synth.vad_example(rng)
+        if p_realism > 0.0 and rng.uniform() < p_realism:
+            snr_db = rng.uniform(2.0, 20.0)
+            mus = synth.synth_noise(rng, len(a), "music")
+            a = (a + (max(a.std(), 1e-4) / 10 ** (snr_db / 20.0)) * mus
+                 ).astype(np.float32)
         xs.append(_maybe_augment(rng, a, p_aug))
         ys.append(l)
     return np.stack(xs), np.stack(ys)
 
 
-def _dataset_seg(rng: np.random.Generator, n: int, p_aug: float = 0.0
+def _dataset_seg(rng: np.random.Generator, n: int, p_aug: float = 0.0,
+                 p_realism: float = 0.0
                  ) -> Tuple[np.ndarray, np.ndarray]:
+    """``p_realism``: fraction of windows drawn from the REALISM mix —
+    boosted turn-start overlap + in-turn back-channel interjections
+    (explicit overlap supervision, round-4 review #4), and a third of
+    those additionally degraded with a music bed or far-field reverb.
+    0.0 reproduces the original distribution draw-for-draw."""
     xs, ys = [], []
     for _ in range(n):
-        a, act = synth.diarization_window(rng)
+        if p_realism > 0.0 and rng.uniform() < p_realism:
+            a, act = synth.diarization_window(
+                rng, overlap_p=0.5, backchannel_p=0.35)
+            deg = rng.uniform()
+            if deg < 0.18:
+                a = (a + 0.06 * synth.synth_noise(rng, len(a), "music")
+                     ).astype(np.float32)
+            elif deg < 0.33:
+                a = synth.apply_far_field(rng, a)
+        else:
+            a, act = synth.diarization_window(rng)
         xs.append(_maybe_augment(rng, a, p_aug))
         ys.append(act)
     return np.stack(xs), np.stack(ys)
@@ -106,7 +132,8 @@ def _dataset_seg(rng: np.random.Generator, n: int, p_aug: float = 0.0
 
 def train_vad(steps: int = 600, batch: int = 32, lr: float = 1e-3,
               seed: int = 0, n_train: int = 768, n_val: int = 128,
-              log_every: int = 50, p_aug: float = 0.0
+              log_every: int = 50, p_aug: float = 0.0,
+              p_realism: float = 0.0
               ) -> Tuple[Dict[str, Any], Dict[str, float]]:
     import jax
     import jax.numpy as jnp
@@ -116,12 +143,15 @@ def train_vad(steps: int = 600, batch: int = 32, lr: float = 1e-3,
 
     rng = np.random.default_rng(seed)
     rng_val = np.random.default_rng(10_000 + seed)
-    log.info("VAD: generating %d train / %d val examples (p_aug=%.2f)...",
-             n_train, n_val, p_aug)
-    X, Y = _dataset_vad(rng, n_train, p_aug=p_aug)
+    log.info("VAD: generating %d train / %d val examples (p_aug=%.2f, "
+             "p_realism=%.2f)...", n_train, n_val, p_aug, p_realism)
+    X, Y = _dataset_vad(rng, n_train, p_aug=p_aug, p_realism=p_realism)
     Xv, Yv = _dataset_vad(rng_val, n_val)  # gate val stays clean
     Xa, Ya = _dataset_vad(np.random.default_rng(40_000 + seed), n_val,
                           p_aug=1.0)  # augmented robustness battery
+    # music-bed validation draw (fixed seed, p_realism-independent)
+    Xm, Ym = _dataset_vad(np.random.default_rng(70_000 + seed), n_val,
+                          p_realism=1.0)
 
     dims = VadDims()
     params = init_vad(dims)
@@ -160,10 +190,13 @@ def train_vad(steps: int = 600, batch: int = 32, lr: float = 1e-3,
     ]))
     probs_a = np.asarray(vad_forward(params, jnp.asarray(Xa), dims))
     acc_aug = float((((probs_a > 0.5) == (Ya > 0.5))).mean())
+    probs_m = np.asarray(vad_forward(params, jnp.asarray(Xm), dims))
+    acc_mus = float((((probs_m > 0.5) == (Ym > 0.5))).mean())
     metrics = {"val_acc": acc_nn, "val_acc_energy_baseline": acc_energy,
-               "val_acc_augmented": acc_aug, "p_aug": p_aug}
-    log.info("VAD val acc: nn=%.4f energy=%.4f augmented=%.4f",
-             acc_nn, acc_energy, acc_aug)
+               "val_acc_augmented": acc_aug, "val_acc_music": acc_mus,
+               "p_aug": p_aug, "p_realism": p_realism}
+    log.info("VAD val acc: nn=%.4f energy=%.4f augmented=%.4f music=%.4f",
+             acc_nn, acc_energy, acc_aug, acc_mus)
     return params, metrics
 
 
@@ -174,7 +207,8 @@ def train_vad(steps: int = 600, batch: int = 32, lr: float = 1e-3,
 
 def train_segmentation(steps: int = 2500, batch: int = 16, lr: float = 3e-4,
                        seed: int = 1, n_train: int = 1536, n_val: int = 96,
-                       log_every: int = 100, p_aug: float = 0.0
+                       log_every: int = 100, p_aug: float = 0.0,
+                       p_realism: float = 0.0
                        ) -> Tuple[Dict[str, Any], Dict[str, float]]:
     import jax
     import jax.numpy as jnp
@@ -189,12 +223,16 @@ def train_segmentation(steps: int = 2500, batch: int = 16, lr: float = 3e-4,
 
     rng = np.random.default_rng(seed)
     rng_val = np.random.default_rng(20_000 + seed)
-    log.info("SEG: generating %d train / %d val windows (p_aug=%.2f)...",
-             n_train, n_val, p_aug)
-    X, Y = _dataset_seg(rng, n_train, p_aug=p_aug)  # X (N, 160000), Y (N, 500, 3)
+    log.info("SEG: generating %d train / %d val windows (p_aug=%.2f, "
+             "p_realism=%.2f)...", n_train, n_val, p_aug, p_realism)
+    X, Y = _dataset_seg(rng, n_train, p_aug=p_aug, p_realism=p_realism)
     Xv, Yv = _dataset_seg(rng_val, n_val)      # gate val stays clean
     Xa, Ya = _dataset_seg(np.random.default_rng(50_000 + seed), n_val,
                           p_aug=1.0)           # augmented robustness battery
+    # overlap-heavy validation draw (fixed seed, independent of p_realism
+    # so retrains are comparable): measures the overlap supervision
+    Xo, Yo = _dataset_seg(np.random.default_rng(60_000 + seed), n_val,
+                          p_realism=1.0)
 
     dims = SegDims()
     params = init_segmentation(dims)
@@ -251,13 +289,18 @@ def train_segmentation(steps: int = 2500, batch: int = 16, lr: float = 3e-4,
 
     metrics = _seg_val_metrics(params, Xv, Yv, dims)
     aug = _seg_val_metrics(params, Xa, Ya, dims)
+    over = _seg_val_metrics(params, Xo, Yo, dims)
     metrics["val_frame_acc_augmented"] = aug["val_frame_acc"]
     metrics["val_f1_augmented"] = aug["val_f1"]
+    metrics["val_frame_acc_overlap"] = over["val_frame_acc"]
+    metrics["val_f1_overlap"] = over["val_f1"]
     metrics["p_aug"] = p_aug
+    metrics["p_realism"] = p_realism
     log.info("SEG val best-perm frame acc: %.4f  active-frame F1: %.4f  "
-             "(augmented: acc %.4f F1 %.4f)",
+             "(augmented: acc %.4f F1 %.4f; overlap: acc %.4f F1 %.4f)",
              metrics["val_frame_acc"], metrics["val_f1"],
-             aug["val_frame_acc"], aug["val_f1"])
+             aug["val_frame_acc"], aug["val_f1"],
+             over["val_frame_acc"], over["val_f1"])
     return params, metrics
 
 
@@ -485,6 +528,10 @@ def main(argv=None) -> int:
     p.add_argument("--augment", type=float, default=0.0, metavar="P",
                    help="fraction of train examples passed through the "
                         "recording-chain augmentation (training/augment.py)")
+    p.add_argument("--realism", type=float, default=0.0, metavar="P",
+                   help="fraction of train examples from the realism mix "
+                        "(seg: overlap/backchannel/music/far-field; vad: "
+                        "music beds)")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO,
                         format="%(levelname)s %(name)s: %(message)s")
@@ -511,13 +558,15 @@ def main(argv=None) -> int:
     all_metrics: Dict[str, Dict[str, float]] = {}
     if args.target in ("vad", "all"):
         params, m = train_vad(steps=args.steps or 600, seed=args.seed,
-                              p_aug=args.augment)
+                              p_aug=args.augment,
+                              p_realism=args.realism)
         _save_verified(f"{out}/vad.safetensors", params)
         all_metrics["vad"] = m
     if args.target in ("segmentation", "all"):
         params, m = train_segmentation(steps=args.steps or 800,
                                        seed=args.seed + 1,
-                                       p_aug=args.augment)
+                                       p_aug=args.augment,
+                                       p_realism=args.realism)
         _save_verified(f"{out}/segmentation.safetensors", params)
         all_metrics["segmentation"] = m
     if args.target in ("embedding", "all"):

@@ -150,7 +150,11 @@ def synth_utterance(rng: np.random.Generator, voice: Voice, dur_s: float,
 
 def synth_noise(rng: np.random.Generator, n: int,
                 kind: Optional[str] = None) -> np.ndarray:
-    """Background noise, unit RMS. Kinds: white, pink, hum, babble."""
+    """Background noise, unit RMS. Kinds: white, pink, hum, babble —
+    plus opt-in "music" (chordal bed with a melody line + percussion
+    clicks: a structured, speech-band interferer that energy/VAD nets
+    confuse with voicing) — requested explicitly; the random draw keeps
+    the original 4-kind distribution so training-gate seeds are stable."""
     if kind is None:
         kind = rng.choice(["white", "pink", "hum", "babble"])
     if kind == "white":
@@ -166,6 +170,8 @@ def synth_noise(rng: np.random.Generator, n: int,
             a * np.sin(2 * np.pi * 50.0 * h * t)
             for h, a in ((1, 1.0), (2, 0.4), (3, 0.2))
         ) + 0.2 * rng.standard_normal(n).astype(np.float32)
+    elif kind == "music":
+        y = synth_music(rng, n)
     else:  # babble: many faint distant speakers
         y = np.zeros(n, np.float32)
         for _ in range(6):
@@ -174,6 +180,92 @@ def synth_noise(rng: np.random.Generator, n: int,
             y += s
     y = np.asarray(y, np.float32)
     return y / max(y.std(), 1e-6)
+
+
+# root-note frequencies of a small chord progression (A minor-ish)
+_MUSIC_ROOTS = (110.0, 130.81, 146.83, 164.81, 196.0, 220.0)
+
+
+def synth_music(rng: np.random.Generator, n: int) -> np.ndarray:
+    """A simple music bed: sustained triads changing every ~2 s, a melody
+    line an octave up, soft percussion clicks on a steady grid. Heavy
+    harmonic energy in the speech band — the condition the reference's
+    real-world meeting audio (intro/outro jingles, hold music) exhibits
+    and pure white/pink noise does not."""
+    t = np.arange(n, dtype=np.float32) / SR
+    y = np.zeros(n, np.float32)
+    bar = int(SR * float(rng.uniform(1.5, 2.5)))
+    for b0 in range(0, n, bar):
+        b1 = min(n, b0 + bar)
+        root = float(rng.choice(_MUSIC_ROOTS))
+        third = root * (2 ** (3 / 12) if rng.uniform() < 0.5
+                        else 2 ** (4 / 12))
+        fifth = root * 2 ** (7 / 12)
+        tb = t[b0:b1] - t[b0]
+        env = np.minimum(1.0, tb / 0.05) * np.exp(-tb / 3.0)
+        chord = np.zeros(b1 - b0, np.float32)
+        for f0 in (root, third, fifth):
+            for h, a in ((1, 1.0), (2, 0.5), (3, 0.25), (4, 0.12)):
+                chord += a * np.sin(
+                    2 * np.pi * f0 * h * tb
+                    + float(rng.uniform(0, 2 * np.pi)))
+        y[b0:b1] += (env * chord).astype(np.float32)
+        # melody: 4 notes per bar an octave up
+        step = (b1 - b0) // 4
+        for k in range(4):
+            m0 = b0 + k * step
+            m1 = min(b1, m0 + step)
+            if m1 <= m0:
+                continue
+            fm = root * 2.0 * 2 ** (int(rng.integers(0, 8)) / 12)
+            tm = t[m0:m1] - t[m0]
+            me = np.minimum(1.0, tm / 0.02) * np.exp(-tm / 0.5)
+            y[m0:m1] += 0.6 * (me * np.sin(2 * np.pi * fm * tm)
+                               ).astype(np.float32)
+    # percussion: short filtered-noise clicks on an 8th-note grid
+    beat = bar // 4
+    for p0 in range(0, n, max(beat // 2, 1)):
+        dur = int(0.03 * SR)
+        p1 = min(n, p0 + dur)
+        click = rng.standard_normal(p1 - p0).astype(np.float32)
+        click *= np.exp(-np.arange(p1 - p0, dtype=np.float32) / (0.005 * SR))
+        y[p0:p1] += 0.8 * click
+    return y / max(y.std(), 1e-6)
+
+
+def apply_far_field(rng: np.random.Generator, audio: np.ndarray,
+                    rt60_s: float = 0.45, direct_ratio: float = 0.35
+                    ) -> np.ndarray:
+    """Far-field/room simulation: synthetic exponential-decay RIR
+    (sparse early reflections + dense late tail) convolved via FFT, plus
+    the level drop and high-frequency rolloff of distance. Label
+    -preserving (same time support, energy smeared by < rt60)."""
+    n = len(audio)
+    rir_n = int(rt60_s * SR)
+    rir = np.zeros(rir_n, np.float32)
+    rir[0] = 1.0
+    # early reflections: 6-12 sparse taps in the first 80 ms
+    for _ in range(int(rng.integers(6, 13))):
+        d = int(rng.uniform(0.004, 0.08) * SR)
+        if d < rir_n:
+            rir[d] += float(rng.uniform(0.2, 0.7)) * (
+                1.0 if rng.uniform() < 0.5 else -1.0)
+    # late tail: decaying gaussian noise
+    tail = rng.standard_normal(rir_n).astype(np.float32)
+    decay = np.exp(-6.9 * np.arange(rir_n, dtype=np.float32) / rir_n)
+    rir += (1.0 - direct_ratio) * 0.5 * tail * decay
+    rir[0] = direct_ratio * 2.0
+    wet = np.fft.irfft(
+        np.fft.rfft(audio, n + rir_n) * np.fft.rfft(rir, n + rir_n),
+        n + rir_n)[:n].astype(np.float32)
+    # distance high-frequency rolloff (~6 dB/octave above 2 kHz)
+    spec = np.fft.rfft(wet)
+    f = np.fft.rfftfreq(n, 1.0 / SR)
+    spec *= 1.0 / np.sqrt(1.0 + (f / 2000.0) ** 2)
+    wet = np.fft.irfft(spec, n).astype(np.float32)
+    peak_in = max(np.abs(audio).max(), 1e-6)
+    peak_out = max(np.abs(wet).max(), 1e-6)
+    return wet * (peak_in / peak_out) * 0.8
 
 
 # ---------------------------------------------------------------------------
@@ -207,10 +299,19 @@ SEG_FRAME_S = 0.02  # segmentation label hop (mel 10ms x conv stride 2)
 
 
 def diarization_window(rng: np.random.Generator, dur_s: float = 10.0,
-                       voices: Optional[List[Voice]] = None
+                       voices: Optional[List[Voice]] = None,
+                       overlap_p: float = 0.3,
+                       backchannel_p: float = 0.0
                        ) -> Tuple[np.ndarray, np.ndarray]:
     """(audio (n,), activity (n_frames, 3)) — a multi-speaker conversation
-    window with turn-taking and <=2-way overlap (powerset constraint)."""
+    window with turn-taking and <=2-way overlap (powerset constraint).
+
+    ``overlap_p``: probability the next turn starts before this one ends
+    (the original fixed 0.3). ``backchannel_p``: per-turn probability of
+    a short (0.3-1.0 s) interjection by ANOTHER speaker fully inside the
+    turn — the real-meeting overlap event turn-start overlap alone does
+    not model; defaults OFF so existing training-gate seed distributions
+    are unchanged (retrains opt in explicitly)."""
     n = int(dur_s * SR)
     n_frames = int(round(dur_s / SEG_FRAME_S / 2)) * 2  # even, 500 for 10 s
     if voices is None:
@@ -240,8 +341,28 @@ def diarization_window(rng: np.random.Generator, dur_s: float = 10.0,
             # trained a net whose output flickered at ~3 Hz inside every
             # utterance, fragmenting pipeline turns to 0.3 s shards.)
             act[i0:i1, cur] = 1.0
+            # back-channel interjection: a short burst by another speaker
+            # fully INSIDE this turn (2-way overlap by construction).
+            # backchannel_p == 0 must not even DRAW from rng — an extra
+            # draw would shift the stream and reroll every training-gate
+            # seed distribution (tests/test_training.py gotcha).
+            if (K > 1 and backchannel_p > 0.0 and (i1 - i0) > SR
+                    and rng.uniform() < backchannel_p):
+                other = int(rng.integers(0, K))
+                other = other if other != cur else (other + 1) % K
+                bdur = float(rng.uniform(0.3, 1.0))
+                b0 = int(rng.uniform(i0 / SR + 0.2,
+                                     max(i0 / SR + 0.21,
+                                         i1 / SR - bdur - 0.1)) * SR)
+                b1 = min(i1, b0 + int(bdur * SR))
+                if b1 - b0 > SR // 10:
+                    bseg, _ = synth_utterance(
+                        rng, voices[other], (b1 - b0) / SR + 1e-4,
+                        speech_rate=float(rng.uniform(1.0, 1.4)))
+                    audio[b0:b1] += bseg[: b1 - b0]
+                    act[b0:b1, other] = 1.0
         # overlap: next speaker may start before this turn ends
-        if K > 1 and rng.uniform() < 0.3:
+        if K > 1 and rng.uniform() < overlap_p:
             t = t + turn * rng.uniform(0.6, 0.95)
         else:
             t = t + turn + rng.uniform(0.05, 0.6)
