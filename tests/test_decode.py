@@ -752,6 +752,69 @@ def test_greedy_mega_grouped_parity(tiny_pair, self_kv_int8):
 
 
 @pytest.mark.parametrize("self_kv_int8", [False, True])
+@pytest.mark.parametrize("S,Kg", [(3, 2), (4, 2), (2, 4)])
+@pytest.mark.slow
+def test_multi_token_verify_step_parity(tiny_pair, self_kv_int8, S, Kg):
+    """S-token verify megakernel step (speculative decode,
+    decoder_step_fused_multi, interpret mode off-TPU) must reproduce the
+    XLA S-token decoder_step with the same int8 weights: near-identical
+    logits at every drafted position across TWO consecutive multi-steps
+    (the second step reads cache lanes the first appended)."""
+    from whisper_aries_tpu.ops.pallas_decode_layers import (
+        pack_layer_weights,
+    )
+    from whisper_aries_tpu.ops.quant import quantize_model_params
+
+    _, dims, params, mel = tiny_pair
+    qparams = W.fuse_decoder_qkv(quantize_model_params(params))
+    B = 4
+    mel4 = np.tile(np.asarray(mel), (2, 1, 1))
+    xa = W.encode(params, jnp.asarray(mel4), dims)
+    P = 2
+    rng = np.random.default_rng(5)
+    prompt = jnp.asarray(rng.integers(3, 50, (B, P)), jnp.int32)
+    drafts = jnp.asarray(rng.integers(3, 50, (B, 2 * S)), jnp.int32)
+    L = P + 2 * S + 2
+
+    # ---- XLA baseline: plain cache, S-token steps --------------------
+    cross_q = W.precompute_cross_kv_int8(qparams, xa, dims)
+    cache_x = W.init_kv_cache(dims, B, dtype=xa.dtype, max_len=L,
+                              int8=self_kv_int8)
+    _, cache_x = W.decoder_step(qparams, prompt, jnp.int32(0), cache_x,
+                                cross_q, dims)
+    lx1, cache_x = W.decoder_step(qparams, drafts[:, :S], jnp.int32(P),
+                                  cache_x, cross_q, dims)
+    lx2, cache_x = W.decoder_step(qparams, drafts[:, S:], jnp.int32(P + S),
+                                  cache_x, cross_q, dims)
+
+    # ---- mega multi-token step over the grouped packed cache ---------
+    cross_mega = W.precompute_cross_kv_int8_packed(qparams, xa, dims)
+    cross_g = W.group_cross_mega(cross_mega, Kg)
+    cache_m = W.init_kv_cache(dims, B, dtype=xa.dtype, max_len=P)
+    _, cache_m = W.decoder_step(qparams, prompt, jnp.int32(0), cache_m,
+                                W.cross_views_from_packed(
+                                    cross_mega, dims.n_text_head,
+                                    xa.shape[1]),
+                                dims)
+    packed = W.pack_greedy_prefill_cache(cache_m, Kg, max_len=L,
+                                         int8=self_kv_int8,
+                                         n_head=dims.n_text_head)
+    wpack = pack_layer_weights(qparams["decoder"]["blocks"])
+    lm1, packed = W.decoder_step_fused_multi(
+        qparams, wpack, drafts[:, :S], jnp.int32(P), packed, cross_g,
+        dims, group=Kg, interpret=True)
+    lm2, packed = W.decoder_step_fused_multi(
+        qparams, wpack, drafts[:, S:], jnp.int32(P + S), packed, cross_g,
+        dims, group=Kg, interpret=True)
+
+    for lx, lm in ((lx1, lm1), (lx2, lm2)):
+        np.testing.assert_array_equal(
+            np.argmax(np.asarray(lx), -1), np.argmax(np.asarray(lm), -1))
+        np.testing.assert_allclose(np.asarray(lx), np.asarray(lm),
+                                   rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("self_kv_int8", [False, True])
 @pytest.mark.slow
 def test_beam_mega_kernel_sharded_parity(tiny_pair, self_kv_int8):
     """The PRODUCTION multi-chip decode path: beam_reorder="mega" (+ the

@@ -34,6 +34,7 @@ def conversation_scene(
     n_speakers: Optional[int] = None,
     overlap_p: float = 0.25,
     backchannel_p: float = 0.0,
+    turn_range: Tuple[float, float] = (1.2, 6.0),
 ) -> Tuple[np.ndarray, List[Dict[str, Any]]]:
     """(audio, reference turns) — a turn-taking conversation with known
     speaker times. Turn/overlap statistics mirror training's
@@ -41,7 +42,9 @@ def conversation_scene(
     merged in the reference (matching the pipeline's min_duration_off
     bridging semantics). ``backchannel_p`` adds short in-turn
     interjections by another speaker (real-meeting overlap events) —
-    referenced as their own turns, so DER scores them."""
+    referenced as their own turns, so DER scores them. ``turn_range``
+    (0.5, 1.5) measures the short-region embedding weakness
+    (ROADMAP: regions < the 2 s embed crop are loop-tiled)."""
     if n_speakers is None:
         n_speakers = int(rng.integers(2, 4))
     voices = [synth.random_voice(rng) for _ in range(n_speakers)]
@@ -52,7 +55,7 @@ def conversation_scene(
     t = float(rng.uniform(0.2, 1.5))
     cur = int(rng.integers(0, n_speakers))
     while t < dur_s - 1.0:
-        turn = float(rng.uniform(1.2, 6.0))
+        turn = float(rng.uniform(*turn_range))
         i0, i1 = int(t * SR), min(n, int((t + turn) * SR))
         if i1 - i0 > SR // 5:
             seg, _ = synth.synth_utterance(rng, voices[cur],
@@ -146,6 +149,7 @@ def run_battery(
     dur_s: float = 45.0,
     backchannel_p: float = 0.0,
     conditions: Optional[List[str]] = None,
+    turn_range: Tuple[float, float] = (1.2, 6.0),
 ) -> Dict[str, Any]:
     """Score ``pipeline`` over the condition battery (clean / recording
     -chain augmented / babble / music / far-field), same scenes (same
@@ -158,7 +162,8 @@ def run_battery(
     for k in range(n_scenes):
         rng = np.random.default_rng(seed + k)
         audio, ref = conversation_scene(rng, dur_s=dur_s,
-                                        backchannel_p=backchannel_p)
+                                        backchannel_p=backchannel_p,
+                                        turn_range=turn_range)
         row: Dict[str, Any] = {"scene": k,
                                "n_ref_speakers":
                                len({t['speaker'] for t in ref}),
@@ -196,6 +201,9 @@ def main(argv=None) -> int:
     ap.add_argument("--backchannel", type=float, default=0.0,
                     help="per-turn in-turn interjection probability "
                          "(overlapped-scene battery; try 0.5)")
+    ap.add_argument("--short-turns", dest="short_turns",
+                    action="store_true",
+                    help="0.5-1.5 s turns (short-region embedding battery)")
     ap.add_argument("--conditions", default=None,
                     help="comma list from clean,augmented,babble,music,"
                          "far_field (default: all)")
@@ -219,7 +227,8 @@ def main(argv=None) -> int:
         pipeline, n_scenes=args.scenes, seed=args.seed,
         strength=args.strength, collar_s=args.collar,
         dur_s=args.duration, backchannel_p=args.backchannel,
-        conditions=(args.conditions.split(",") if args.conditions else None))
+        conditions=(args.conditions.split(",") if args.conditions else None),
+        turn_range=((0.5, 1.5) if args.short_turns else (1.2, 6.0)))
     print(json.dumps(rep, indent=2))
     return 0
 

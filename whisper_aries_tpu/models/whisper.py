@@ -1300,3 +1300,119 @@ def decoder_step_fused(
     logits = jnp.dot(x, emb.T.astype(x.dtype),
                      preferred_element_type=jnp.float32)
     return logits[:, None, :], new_cache
+
+
+def multi_token_mask(group: int, n_draft: int, pos, vs, Tmax: int,
+                     minor: int, n_groups: int) -> jax.Array:
+    """(G, S*group, minor) additive f32 mask for the S-token verify step
+    over a GROUP-MINOR cache (m = t*group + j): row r = s*group + j may
+    attend to window j's positions t <= pos + s (causal through the
+    drafted block, which the kernel has already appended), t >= vs."""
+    import numpy as _np
+
+    neg = float(_np.finfo(_np.float32).min)
+    S, Kg = n_draft, group
+    r_s = jnp.arange(S * Kg, dtype=jnp.int32) // Kg          # (R,)
+    r_j = jnp.arange(S * Kg, dtype=jnp.int32) % Kg
+    m_t = jnp.arange(minor, dtype=jnp.int32) // Kg           # (minor,)
+    m_j = jnp.arange(minor, dtype=jnp.int32) % Kg
+    ok = ((m_j[None, :] == r_j[:, None])
+          & (m_t[None, :] <= pos + r_s[:, None])
+          & (m_t[None, :] >= vs)
+          & (m_t[None, :] < Tmax))
+    out = jnp.where(ok, 0.0, neg).astype(jnp.float32)        # (R, minor)
+    return jnp.broadcast_to(out[None], (n_groups, S * Kg, minor))
+
+
+def decoder_step_fused_multi(
+    params: Dict[str, Any],
+    wpack: Dict[str, jax.Array],
+    tokens: jax.Array,             # (B, S) int32 — S drafted tokens/window
+    pos,                           # scalar int32: buffer index of tokens[:,0]
+    cache: Dict[str, jax.Array],   # grouped K-minor packed cache (stride=Kg)
+    cross_grouped: Dict[str, jax.Array],  # group_cross_mega output
+    dims: WhisperDims,
+    group: int,                    # Kg windows per kernel "window"
+    valid_start: Optional[jax.Array] = None,
+    interpret: bool = False,
+) -> Tuple[jax.Array, ...]:
+    """S-TOKEN VERIFY megakernel step (speculative decode): score S
+    drafted tokens per window in ONE kernel launch.
+
+    The round-4 probe (scripts/probe_speculative.py) measured the XLA
+    S-token step at 1.07x/1.09x the 1-token cost for S=2/4 — the step is
+    stream-bound, so verifying S tokens costs ~1 step. This maps the
+    same trick onto the megakernel with ZERO kernel changes: the
+    (token s, window j) pairs pack into the kernel's beam slots ordered
+    s-major, so the S*group appended K/V rows land on the CONSECUTIVE
+    cache lanes m = (pos+s)*group + j of the group-minor (stride=group)
+    cache — exactly the kernel's one placement-matmul append window
+    (``k_stride=group`` keeps the append base at pos*group). Attention
+    masks make it correct: ``multi_token_mask`` exposes window j's
+    history + its own drafted prefix (causal through the block, which
+    the kernel has already appended); the cross mask stays the grouped
+    block-diagonal. Rejected drafts leave stale lanes behind — harmless:
+    the mask never exposes t > the accepted position, and a later append
+    at that t overwrites them (placement select).
+
+    Returns (logits (B, S, V) f32, updated cache). Reference anchor:
+    the N1 CTranslate2 decode loop (final_optimized_transcriber.py:326);
+    acceptance-rate measurement requires real weights (ROADMAP)."""
+    from whisper_aries_tpu.ops.pallas_decode_layers import (
+        fused_decoder_layers,
+    )
+
+    dec = params["decoder"]
+    B, S = tokens.shape
+    Kg = group
+    G = B // Kg
+    assert G * Kg == B, (B, group)
+    pos = jnp.asarray(pos, jnp.int32)
+    vs = (jnp.asarray(valid_start, jnp.int32) if valid_start is not None
+          else jnp.int32(0))
+
+    self_int8 = "kv8" in cache
+    ckv = cache["kv8"] if self_int8 else cache["kv"]
+    M = ckv.shape[-1]
+    Tmax = (M - 128) // Kg
+    emb = dec["tok_emb"]
+    pos_idx = jnp.clip(pos + jnp.arange(S, dtype=jnp.int32) - vs, 0,
+                       dims.n_text_ctx - 1)
+    # x rows s-major within each group: row r = (g, s, j) at
+    # g*(S*Kg) + s*Kg + j — matches the append lane order
+    xt = (emb[jnp.maximum(tokens, 0)] + dec["pos_emb"][pos_idx][None]
+          ).astype(emb.dtype)                                # (B, S, d)
+    x = xt.reshape(G, Kg, S, -1).transpose(0, 2, 1, 3).reshape(
+        G * S * Kg, -1)
+
+    amask = multi_token_mask(Kg, S, pos, vs, Tmax, M, G)
+    args = (x, wpack, ckv, cross_grouped["kv8"], cross_grouped["sc"],
+            _expand_cmask_multi(cross_grouped["cmask"], Kg, S),
+            amask, pos)
+    if self_int8:
+        xo, ckv2, ksc2 = fused_decoder_layers(
+            *args, n_head=dims.n_text_head, beam_k=S * Kg,
+            ksc=cache["ksc"], interpret=interpret, k_stride=Kg)
+        new_cache = {"kv8": ckv2, "ksc": ksc2}
+    else:
+        xo, ckv2 = fused_decoder_layers(
+            *args, n_head=dims.n_text_head, beam_k=S * Kg,
+            interpret=interpret, k_stride=Kg)
+        new_cache = {"kv": ckv2}
+    xo = xo.reshape(G, S, Kg, -1).transpose(0, 2, 1, 3).reshape(B, S, -1)
+    xo = layer_norm(dec["ln"], xo)
+    logits = jnp.einsum("bsd,vd->bsv", xo, emb.astype(xo.dtype),
+                        preferred_element_type=jnp.float32)
+    return logits, new_cache
+
+
+def _expand_cmask_multi(cmask: jax.Array, group: int, n_draft: int
+                        ) -> jax.Array:
+    """Grouped cross mask rows j -> s-major (S*group) rows: row
+    s*group + j keeps window j's block. Padded to the kernel's x8 rows."""
+    S, Kg = n_draft, group
+    KP = ((S * Kg + 7) // 8) * 8
+    rows = jnp.tile(cmask[:Kg], (S, 1))                       # (S*Kg, Ta)
+    neg = float(np.finfo(np.float32).min)
+    pad = jnp.full((KP - S * Kg, cmask.shape[1]), neg, jnp.float32)
+    return jnp.concatenate([rows, pad], axis=0)

@@ -770,7 +770,8 @@ def _make_kernel(RP: int, d: int, ff: int, H: int, dh: int, Bw: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n_head", "beam_k", "interpret"))
+                   static_argnames=("n_head", "beam_k", "interpret",
+                                    "k_stride"))
 def fused_decoder_layers(
     x: jax.Array,                 # (R, d) bf16
     wpack: Dict[str, jax.Array],
@@ -783,6 +784,7 @@ def fused_decoder_layers(
     n_head: int, beam_k: int,
     ksc: "jax.Array | None" = None,  # (L, Bw, 2HP, M) f32 — int8 cache
     interpret: bool = False,
+    k_stride: "int | None" = None,
 ) -> Tuple[jax.Array, ...]:
     """Run the full decoder layer stack for one beam step.
 
@@ -790,7 +792,14 @@ def fused_decoder_layers(
     appended scales]) — cache (and scales, when the cache is int8) are
     aliased in-place outputs (the kernel writes only the 256-lane append
     windows). An int8 ``ckv`` requires ``ksc``, the per-(slot, head)
-    scale array; the kernel quantises appended K/V in-kernel."""
+    scale array; the kernel quantises appended K/V in-kernel.
+
+    ``k_stride``: the cache minor's TRUE per-position stride when it
+    differs from ``beam_k`` — the S-token verify variant appends
+    S*group rows per step into a group-minor (stride=group) cache, so
+    the append base lane is ``pos * k_stride`` while ``beam_k`` (=
+    S*group) rows land on the S*group consecutive lanes above it
+    (m = (pos+s)*group + j, rows ordered s-major). Default: beam_k."""
     L, Bw, H2, dh, M = ckv.shape
     K = beam_k
     H = n_head
@@ -826,7 +835,7 @@ def fused_decoder_layers(
         # unused dummy (uniform kernel operand layout); never DMA'd
         ksc = jnp.zeros((1, 1, 8, 128), jnp.float32)
 
-    posk = (jnp.asarray(pos, jnp.int32) * K).reshape(1)
+    posk = (jnp.asarray(pos, jnp.int32) * (k_stride or K)).reshape(1)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.VMEM),    # x
         pl.BlockSpec(memory_space=pltpu.VMEM),    # amask
