@@ -83,11 +83,24 @@ def _mega_path_default(beam_size: int) -> bool:
     (generate.py resolves ARIES_BEAM_REORDER="default" to "mega" on TPU
     for beam search with int8 cross-KV — the engine's TPU defaults)."""
     if beam_size <= 1:
-        return False  # greedy has its own (non-mega) step path
+        return False  # greedy mega has its own branch (grouped windows)
     import os
 
     mode = os.environ.get("ARIES_BEAM_REORDER", "default")
     if mode not in ("default", "mega"):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _greedy_mega_default() -> bool:
+    """Whether greedy decode takes the grouped-windows megakernel
+    (engine TPU default; ARIES_GREEDY_MEGA=0 opts out)."""
+    import os
+
+    if os.environ.get("ARIES_GREEDY_MEGA", "1") == "0":
         return False
     try:
         return jax.default_backend() == "tpu"
@@ -164,6 +177,21 @@ def auto_windows_per_device(
         # FLOOR to the x4 batch grid: n * cost is then <= the measured
         # 48-window budget (rounding up overshoots it and trips the OOM
         # halve-retry, a ~60-90 s recompile on the product path)
+        return int(np.clip(int(n // 4) * 4, 1, 56))
+    if beam_size <= 1 and _greedy_mega_default():
+        # GREEDY grouped megakernel (Kg=4): no row-tile cliff; HBM-bound.
+        # Byte model anchored at the measured 16 GB capacity/peak:
+        # batch 48 -> 510-515x, 64 OOMs (round-5 sweep). Per-window
+        # residents: whole-TaP int8 cross KV (the dominant stream),
+        # 1/Kg of the grouped K-minor int8 self-cache, ~40 MB transients.
+        kg = 4
+        tap = ((dims.n_audio_ctx + 127) // 128) * 128
+        m_minor = ((cache_len * kg + 127) // 128) * 128 + 128
+        kbytes = 2 * dims.n_text_layer * dims.n_text_head * dh
+        cost = kbytes * (tap + m_minor / kg) + 40e6
+        anchor_cost = 2 * 32 * 20 * 64 * (1536 + 1152 / 4) + 40e6
+        n = (48.0 * (hbm_bytes / (16 * 1024**3))
+             * anchor_cost / max(cost, 1.0))
         return int(np.clip(int(n // 4) * 4, 1, 56))
     # relative cost vs the measured anchor configuration (int8 cross-KV,
     # bf16 self-cache kept twice across the beam-reorder gather)
