@@ -989,14 +989,36 @@ class AriesTranscriber:
         }
 
         if windows:
-            # language detection on the first window if not specified
+            # language detection on the first window if not specified.
+            # The BATCHED path defers it INTO the first dispatch: the
+            # round-5 engine profile showed the serial 1-window
+            # mel+encode+probe+host-fetch as unoverlapped prefix time
+            # (tunnel RTT + a spare encode shape); deferred mode computes
+            # the (1,) language token id on device from the first batch's
+            # xa and injects it into every batch's prompt rows as DATA
+            # (the multilingual row_lang machinery) — the id reaches the
+            # host with the first batch's outputs, never on its own.
+            deferred_lang: Optional[Dict[str, Any]] = None
+            lang_tokens = getattr(self.tokenizer.specials,
+                                  "language_tokens", None)
             if language is None:
-                mel0 = self._mel(
-                    self._gather_span(uploader, windows, [0], 1))
-                language, lang_prob = self.detect_language(mel0)
-                info["language"], info["language_probability"] = language, lang_prob
+                can_defer = (lang_tokens
+                             and not condition_on_previous_text
+                             and not prefix
+                             and not (opts.multilingual))
+                if can_defer:
+                    deferred_lang = {"lang0": min(lang_tokens.values())}
+                else:
+                    mel0 = self._mel(
+                        self._gather_span(uploader, windows, [0], 1))
+                    language, lang_prob = self.detect_language(mel0)
+                    info["language"] = language
+                    info["language_probability"] = lang_prob
 
-            prompt_ids = self.tokenizer.specials.sot_sequence(language, task)
+            # deferred mode builds the prompt with a PLACEHOLDER language
+            # token — the real one overwrites it on device (prompt data)
+            prompt_ids = self.tokenizer.specials.sot_sequence(
+                language if deferred_lang is None else "en", task)
             sot_idx = 0
             # faster-whisper semantics: hotwords fill the <|startofprev|>
             # context when no initial_prompt is given; initial_prompt wins.
@@ -1069,9 +1091,13 @@ class AriesTranscriber:
                     no_speech_threshold, progress_callback,
                     best_of=best_of, rep_penalty=repetition_penalty,
                     patience=patience, ngram=ngram, journal=journal,
-                    skip_ids=skip, opts=opts,
+                    skip_ids=skip, opts=opts, deferred_lang=deferred_lang,
                 )
                 segments.sort(key=lambda s: (s["start"], s["end"]))
+            if deferred_lang is not None and "code" in deferred_lang:
+                language = deferred_lang["code"]
+                info["language"] = language
+                info["language_probability"] = deferred_lang["prob"]
             if chunking_mode == "fixed":
                 from whisper_aries_tpu.utils.segments import (
                     merge_overlapping_segments,
@@ -1140,6 +1166,7 @@ class AriesTranscriber:
         progress_callback=None, best_of: int = 5, rep_penalty: float = 1.0,
         patience: float = 1.0, ngram: int = 0, journal=None,
         skip_ids: Optional[set] = None, opts: Optional[_CallOpts] = None,
+        deferred_lang: Optional[Dict[str, Any]] = None,
     ) -> List[Dict[str, Any]]:
         from whisper_aries_tpu.utils.perf import PerformanceMonitor
 
@@ -1247,6 +1274,22 @@ class AriesTranscriber:
             xa = self._encode_batch(mel)
             win_langs = None
             row_lang = None
+            if deferred_lang is not None:
+                # per-FILE deferred detection (faster-whisper: detect on
+                # the first window): the (1,) id computes once on device
+                # from the FIRST batch's xa; later dispatches broadcast
+                # the same device value — a queue data dependency, no
+                # host sync anywhere
+                if "_ids" not in deferred_lang:
+                    sp = self.tokenizer.specials
+                    probs1 = G.detect_language_batched(
+                        self.params, xa[:1], self.dims, sp.sot,
+                        deferred_lang["lang0"], sp.num_languages)
+                    deferred_lang["_ids"] = (
+                        deferred_lang["lang0"]
+                        + jnp.argmax(probs1, -1).astype(jnp.int32))
+                    deferred_lang["_prob"] = jnp.max(probs1, -1)
+                row_lang = jnp.broadcast_to(deferred_lang["_ids"], (nB,))
             if opts is not None and opts.multilingual:
                 # faster-whisper `multilingual`: every window decodes with
                 # its own detected language token — one batched single-step
@@ -1344,6 +1387,16 @@ class AriesTranscriber:
                 lang_ids = out.pop("row_lang")
                 prompt[:, sot_idx + 1] = lang_ids
                 win_langs = [LANGUAGES[int(t) - lang0] for t in lang_ids]
+            elif deferred_lang is not None and "row_lang" in out:
+                # deferred per-file detection: same id for every row; the
+                # fallback ladder re-prompts from the updated host rows
+                lang_ids = out.pop("row_lang")
+                prompt[:, sot_idx + 1] = lang_ids
+                if "code" not in deferred_lang:
+                    deferred_lang["code"] = LANGUAGES[
+                        int(lang_ids[0]) - deferred_lang["lang0"]]
+                    deferred_lang["prob"] = float(
+                        np.asarray(deferred_lang["_prob"])[0])
             t_batch = head["t0"]
             # parse every window first, collecting the quality-gate
             # failures, then run the temperature ladder for ALL of them in
