@@ -1005,7 +1005,9 @@ class AriesTranscriber:
                 can_defer = (lang_tokens
                              and not condition_on_previous_text
                              and not prefix
-                             and not (opts.multilingual))
+                             and not (opts.multilingual)
+                             and os.environ.get("ARIES_DEFER_LANG",
+                                                "1") != "0")
                 if can_defer:
                     deferred_lang = {"lang0": min(lang_tokens.values())}
                 else:
