@@ -866,6 +866,47 @@ def test_beam_mega_kernel_sharded_parity(tiny_pair, self_kv_int8):
 
 
 @pytest.mark.slow
+def test_beam_sharded_optional_operands_parity(tiny_pair):
+    """beam_search_decode_sharded with the OPTIONAL array operands
+    (repetition_penalty scalar, prompt_start for left-padded prompts)
+    must match the single-device call — covers the dynamic in_specs
+    assembly for replicated extras."""
+    from whisper_aries_tpu.parallel.mesh import make_mesh, replicate_params
+
+    _, dims, params, mel = tiny_pair
+    mel8 = np.tile(np.asarray(mel), (4, 1, 1))
+    xa = W.encode(params, jnp.asarray(mel8), dims)
+    ids = _tiny_ids(dims)
+    common = dict(beam_size=3, sample_len=5, with_timestamps=False,
+                  length_penalty=0.0, suppress_blank=False,
+                  beam_reorder="xla", beam_tail="xla")
+    prompt = jnp.asarray(np.tile([[-1, -1, 5, 3]], (8, 1)), jnp.int32)
+    rep = jnp.float32(1.3)
+    ps = jnp.int32(2)
+    base = G.beam_search_decode(
+        params, xa, prompt, dims, ids,
+        jnp.zeros((dims.n_vocab,), jnp.float32), jnp.int32(3),
+        repetition_penalty=rep, prompt_start=ps, **common,
+    )
+    mesh = make_mesh(8)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharded = G.beam_search_decode_sharded(
+        mesh, replicate_params(params, mesh),
+        jax.device_put(xa, NamedSharding(mesh, P("data", None, None))),
+        jax.device_put(prompt, NamedSharding(mesh, P("data", None))),
+        dims, ids,
+        jnp.zeros((dims.n_vocab,), jnp.float32), jnp.int32(3),
+        repetition_penalty=rep, prompt_start=ps, **common,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(base["tokens"]), np.asarray(sharded["tokens"]))
+    np.testing.assert_allclose(
+        np.asarray(base["sum_logprob"]),
+        np.asarray(sharded["sum_logprob"]), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
 def test_beam_tail_kernel_end_to_end_parity(tiny_pair):
     """beam_tail="kernel" (fused filters+log_softmax+top-k tail,
     interpret mode off-TPU) must reproduce the XLA tail through full
