@@ -31,6 +31,8 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def log(m):
     print(m, file=sys.stderr, flush=True)
@@ -86,8 +88,11 @@ def main() -> int:
     toks0 = jnp.concatenate(
         [prompt, jnp.zeros((B, Lmax - P), jnp.int32)], axis=1)
 
+    # params/wpack/cross are ARGUMENTS, never jit closure constants
+    # (closure capture bakes 3 GB into the lowering -> 10-25 min compiles,
+    # CLAUDE.md trap; caught by the captured-constants warning first try)
     @jax.jit
-    def spec_chain(cache, tokens):
+    def spec_chain(params, wpack, cross_g, cache, tokens):
         """`steps` fixed-shape S-token verify steps, advancing pos by the
         SYNTHETIC acceptance; returns the final pos'd state."""
         def body(carry, _):
@@ -107,7 +112,7 @@ def main() -> int:
         return tokens, probe
 
     @jax.jit
-    def base_chain(cache, tokens):
+    def base_chain(params, wpack, cross_g, cache, tokens):
         """`steps*ACC` 1-token grouped mega steps (same verified-token
         count as the speculative chain)."""
         from whisper_aries_tpu.models.whisper import decoder_step_fused
@@ -133,7 +138,7 @@ def main() -> int:
 
     def run(fn, cache, tokens):
         t0 = time.time()
-        out, probe = fn(cache, tokens)
+        out, probe = fn(params, wpack, cross_g, cache, tokens)
         np.asarray(probe)  # host fetch forces completion (axon no-block)
         return time.time() - t0
 
