@@ -26,7 +26,8 @@ ARIES_BENCH_MODE=engine (full AriesTranscriber.transcribe_file product path
 on a synthetic 36-minute WAV — includes VAD planning, host parse, outputs),
 ARIES_BENCH_KV=int8, ARIES_BENCH_COMPUTE=int8, ARIES_BENCH_SELFKV=bf16
 (opt out of the TPU-default int8 self-cache), ARIES_BEAM_TAIL=xla (opt out
-of the fused beam-tail kernel).
+of the fused beam-tail kernel), ARIES_GREEDY_MEGA=0 / ARIES_MEGA_GROUP=N
+(beam=1: opt out of / size the grouped-windows greedy megakernel).
 """
 
 from __future__ import annotations
