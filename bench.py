@@ -218,6 +218,8 @@ def main() -> int:
                 # match the engine's static-arg cache key so the companion
                 # engine metric reuses this compiled beam program
                 beam_reorder=os.environ.get("ARIES_BEAM_REORDER", "default"),
+                beam_group=int(
+                    os.environ.get("ARIES_BEAM_GROUP", "1") or 1),
             )
         else:
             import jax as _jax

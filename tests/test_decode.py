@@ -752,6 +752,44 @@ def test_greedy_mega_grouped_parity(tiny_pair, self_kv_int8):
 
 
 @pytest.mark.parametrize("self_kv_int8", [False, True])
+@pytest.mark.slow
+def test_beam_mega_grouped_parity(tiny_pair, self_kv_int8):
+    """GROUPED-BEAM megakernel (beam_group=2: two windows' beams share
+    one kernel window's rows, interpret mode off-TPU) must reproduce the
+    XLA beam decode with the same int8 weights token for token. Covers
+    the grouped prefill regroup, the slot-offset ancestry mapping, and
+    the rows_per_block block-diagonal cross mask."""
+    from whisper_aries_tpu.ops.quant import quantize_model_params
+
+    _, dims, params, mel = tiny_pair
+    qparams = quantize_model_params(params)
+    mel4 = np.tile(np.asarray(mel), (2, 1, 1))
+    xa = W.encode(params, jnp.asarray(mel4), dims)
+    ids = _tiny_ids(dims)
+    common = dict(beam_size=4, sample_len=6, with_timestamps=False,
+                  length_penalty=0.0, suppress_blank=False, kv_int8=True,
+                  self_kv_int8=self_kv_int8)
+    prompt = jnp.full((4, 1), 3, jnp.int32)
+    base = G.beam_search_decode(
+        qparams, xa, prompt, dims, ids,
+        jnp.zeros((dims.n_vocab,), jnp.float32), jnp.int32(0),
+        beam_reorder="xla", **common,
+    )
+    grouped = G.beam_search_decode(
+        qparams, xa, prompt, dims, ids,
+        jnp.zeros((dims.n_vocab,), jnp.float32), jnp.int32(0),
+        beam_reorder="mega", beam_group=2, **common,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(base["tokens"]), np.asarray(grouped["tokens"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(base["sum_logprob"]), np.asarray(grouped["sum_logprob"]),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+@pytest.mark.parametrize("self_kv_int8", [False, True])
 @pytest.mark.parametrize("S,Kg", [(3, 2), (4, 2), (2, 4)])
 @pytest.mark.slow
 def test_multi_token_verify_step_parity(tiny_pair, self_kv_int8, S, Kg):

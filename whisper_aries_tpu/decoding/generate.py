@@ -459,7 +459,8 @@ class BeamState(NamedTuple):
     static_argnames=("dims", "ids", "beam_size", "sample_len",
                      "with_timestamps", "length_penalty", "suppress_blank",
                      "kv_int8", "self_kv_int8", "patience",
-                     "no_repeat_ngram_size", "beam_reorder", "beam_tail"),
+                     "no_repeat_ngram_size", "beam_reorder", "beam_tail",
+                     "beam_group"),
 )
 def beam_search_decode(
     params: Dict[str, Any],
@@ -482,6 +483,7 @@ def beam_search_decode(
     prompt_start: Optional[jax.Array] = None,
     beam_reorder: Optional[str] = None,
     beam_tail: Optional[str] = None,
+    beam_group: Optional[int] = None,
 ) -> Dict[str, jax.Array]:
     """Batched beam search, beams flattened into the batch axis.
 
@@ -549,6 +551,25 @@ def beam_search_decode(
     L = P + sample_len
     V = ids.n_vocab
     C = max(1, int(round(K * patience)))
+    # GROUPED-BEAM megakernel (experimental, ARIES_BEAM_GROUP=2 opts in):
+    # Gw windows' beams pack into one kernel "window" (Gw*K rows) — the
+    # grouped-greedy trick applied to beam search, halving the
+    # per-(layer,window) iteration count. Beam machinery stays (B, K);
+    # only the kernel cache/cross layout and ancestry slots regroup.
+    bg = 1
+    if use_mega:
+        if beam_group is not None:
+            bg = int(beam_group)
+        else:
+            import os as _os_bg
+
+            try:
+                bg = int(_os_bg.environ.get("ARIES_BEAM_GROUP", "1") or 1)
+            except ValueError:
+                bg = 1
+        if bg < 1 or B % bg != 0:
+            bg = 1
+    GK = bg * K
 
     # Cross K/V stay at batch B and are SHARED by the K beams of each window
     # (decoder_step's grouped cross-attention) — replicating them per beam
@@ -588,8 +609,21 @@ def beam_search_decode(
         # logits would be a multi-GB transient at conditioned P=224
         last_logits = jnp.repeat(logits_p[:, -1], K, axis=0)
         if use_mega:
-            Mfull = ((L * K + 127) // 128) * 128 + 128
+            Mfull = ((L * GK + 127) // 128) * 128 + 128
             small = jnp.concatenate([cache["k"], cache["v"]], axis=2)
+            if bg > 1:
+                # regroup the per-window K-minor prefill (m = t*K + k)
+                # into the grouped GK-minor layout (m = t*GK + gw*K + k).
+                # The prefill cache minor is x128-padded — slice to the
+                # VALID P*K prefix first (pad slots are zeros and the
+                # ancestry masks keep them dead in the big buffer too).
+                Lx0, B0, H20, dh0, _ = small.shape
+                small = small[..., :P * K].reshape(
+                    Lx0, B0 // bg, bg, H20, dh0, P, K).transpose(
+                    0, 1, 3, 4, 5, 2, 6).reshape(
+                    Lx0, B0 // bg, H20, dh0, P * GK)
+                cross_mega = W.group_cross_mega(cross_mega, bg,
+                                                rows_per_block=K)
             if self_kv_int8:
                 # quantize the bf16 prefill KV into the kernel's int8
                 # cache + per-(slot, head) scale layout (the decode
@@ -876,10 +910,19 @@ def beam_search_decode(
             state.tokens, (0, 0, state.pos - 1), (B, K, 1)
         ).reshape(B * K, 1)
         if use_mega:
+            anc_k = state.anc
+            if bg > 1:
+                # beams of window gw live in kernel slots gw*K + [0, K):
+                # offset each window's ancestry values into its slot range
+                Ba, Ka, La = anc_k.shape
+                anc_k = (anc_k.reshape(Ba // bg, bg, Ka, La)
+                         + (jnp.arange(bg, dtype=jnp.int32) * K
+                            )[None, :, None, None]
+                         ).reshape(Ba // bg, GK, La)
             logits, cache = W.decoder_step_fused(
                 params, wpack, tok_in, state.pos - 1,
                 state.cache, cross_mega, dims,
-                beam_anc=state.anc, beam_k=K,
+                beam_anc=anc_k, beam_k=GK,
                 valid_start=prompt_start,
                 interpret=mega_interpret,
             )

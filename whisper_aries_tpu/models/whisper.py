@@ -776,18 +776,21 @@ def cross_views_from_packed(cross_mega: Dict[str, jax.Array], n_head: int,
     }
 
 
-def group_cross_mega(cross_mega: Dict[str, jax.Array], group: int
-                     ) -> Dict[str, jax.Array]:
-    """Regroup the packed int8 cross KV for the GROUPED-WINDOWS greedy
-    megakernel path: ``group`` consecutive windows pack into one kernel
-    "window", their Ta segments concatenated along the minor axis, with a
-    block-diagonal per-row cross mask so slot j attends only to window
-    j's segment.
+def group_cross_mega(cross_mega: Dict[str, jax.Array], group: int,
+                     rows_per_block: int = 1) -> Dict[str, jax.Array]:
+    """Regroup the packed int8 cross KV for the GROUPED-WINDOWS megakernel
+    paths: ``group`` consecutive windows pack into one kernel "window",
+    their Ta segments concatenated along the minor axis, with a
+    block-diagonal per-row cross mask so a kernel row attends only to its
+    own window's segment.
 
     (L, B, 2H, dh, TaP) -> (L, B/group, 2H, dh, group*TaP); cmask becomes
-    (8, group*TaP) with row j live exactly on [j*TaP, j*TaP + Ta_real)
-    (rows j >= group fully dead). One 2x-cache-stream transpose, ONCE per
-    batch (the decode loop streams the result ~sample_len times)."""
+    (rows, group*TaP) with row j live exactly on window (j //
+    rows_per_block)'s [block*TaP, block*TaP + Ta_real) span.
+    ``rows_per_block=1`` is the greedy grouping (row j = window j);
+    ``rows_per_block=K`` is the GROUPED-BEAM layout (rows gw*K..gw*K+K-1
+    = window gw's K beams). One 2x-cache-stream transpose, ONCE per batch
+    (the decode loop streams the result ~sample_len times)."""
     kv8, sc, cmask = cross_mega["kv8"], cross_mega["sc"], cross_mega["cmask"]
     L, B, H2, dh, TaP = kv8.shape
     G = B // group
@@ -799,15 +802,14 @@ def group_cross_mega(cross_mega: Dict[str, jax.Array], group: int
         0, 1, 3, 2, 4).reshape(L, G, HP2, group * TaP)
     neg = float(np.finfo(np.float32).min)
     # row j's live span: the non-NEG prefix of the original cmask row,
-    # shifted to block j. (The original rows are identical; row 0 carries
-    # the Ta_real pattern.)
+    # shifted to its window's block. (The original rows are identical;
+    # row 0 carries the Ta_real pattern.)
     base = cmask[0]                                         # (TaP,)
-    j = jnp.arange(8, dtype=jnp.int32)
-    blocks = jnp.broadcast_to(base[None, :], (8, TaP))
-    blocks = jnp.where((j < group)[:, None], blocks, neg)   # dead pad rows
-    cmaskg = jnp.full((8, group * TaP), neg, jnp.float32)
-    for jj in range(min(group, 8)):
-        cmaskg = cmaskg.at[jj, jj * TaP:(jj + 1) * TaP].set(blocks[jj])
+    n_rows = ((group * rows_per_block + 7) // 8) * 8
+    cmaskg = jnp.full((n_rows, group * TaP), neg, jnp.float32)
+    for jj in range(group * rows_per_block):
+        blk = jj // rows_per_block
+        cmaskg = cmaskg.at[jj, blk * TaP:(blk + 1) * TaP].set(base)
     return {"kv8": kv8g, "sc": scg, "cmask": cmaskg}
 
 

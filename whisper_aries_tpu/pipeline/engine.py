@@ -743,6 +743,10 @@ class AriesTranscriber:
                 # hitting the stale jit cache entry
                 beam_reorder=reorder,
                 beam_tail=_os.environ.get("ARIES_BEAM_TAIL", "default"),
+                # experimental grouped-beam megakernel (windows x beams
+                # share kernel rows); read at call time for live A/B
+                beam_group=int(
+                    _os.environ.get("ARIES_BEAM_GROUP", "1") or 1),
             )
             n_dev = int(np.prod(self.mesh.devices.shape))
             if n_dev > 1 and xa.shape[0] % n_dev == 0:
