@@ -272,9 +272,12 @@ def greedy_decode(
     use_mega = mega_group is not None and kv_int8 and B % mega_group == 0
     if use_mega:
         Kg = mega_group
-        cross_mega = W.precompute_cross_kv_int8_packed(params, xa, dims)
+        # grouped layout emitted IN-SCAN (no second whole-size cross
+        # buffer; see precompute_cross_kv_int8_packed group notes)
+        cross_mega = W.precompute_cross_kv_int8_packed(
+            params, xa, dims, group=Kg, rows_per_block=1)
         cross_kv = W.cross_views_from_packed(
-            cross_mega, dims.n_text_head, xa.shape[1])
+            cross_mega, dims.n_text_head, xa.shape[1], group=Kg)
     else:
         cross_kv = (W.precompute_cross_kv_int8(params, xa, dims) if kv_int8
                     else W.precompute_cross_kv(params, xa, dims))
@@ -297,7 +300,7 @@ def greedy_decode(
         cache = W.pack_greedy_prefill_cache(
             cache, Kg, max_len=L, int8=self_kv_int8,
             n_head=dims.n_text_head)
-        cross_grouped = W.group_cross_mega(cross_mega, Kg)
+        cross_grouped = cross_mega  # already grouped in-scan
         # identity ancestry: slot j of a group always holds window j's KV
         anc_id = jnp.broadcast_to(
             jnp.arange(Kg, dtype=jnp.int32)[None, :, None],
@@ -580,9 +583,13 @@ def beam_search_decode(
     # buffers live and OOM'd the batch-24 bench) and the prefill consumes
     # fused slice views of it.
     if use_mega:
-        cross_mega = W.precompute_cross_kv_int8_packed(params, xa, dims)
+        # grouped layouts are emitted IN-SCAN (group=bg): regrouping a
+        # finished pack held two whole-size cross buffers live (round-5
+        # grouped-beam A/B OOM'd batch 48 -> 24 exactly this way)
+        cross_mega = W.precompute_cross_kv_int8_packed(
+            params, xa, dims, group=bg, rows_per_block=K)
         cross_kv = W.cross_views_from_packed(
-            cross_mega, dims.n_text_head, xa.shape[1])
+            cross_mega, dims.n_text_head, xa.shape[1], group=bg)
     else:
         cross_kv = (W.precompute_cross_kv_int8(params, xa, dims) if kv_int8
                     else W.precompute_cross_kv(params, xa, dims))
@@ -622,8 +629,6 @@ def beam_search_decode(
                     Lx0, B0 // bg, bg, H20, dh0, P, K).transpose(
                     0, 1, 3, 4, 5, 2, 6).reshape(
                     Lx0, B0 // bg, H20, dh0, P * GK)
-                cross_mega = W.group_cross_mega(cross_mega, bg,
-                                                rows_per_block=K)
             if self_kv_int8:
                 # quantize the bf16 prefill KV into the kernel's int8
                 # cache + per-(slot, head) scale layout (the decode

@@ -711,7 +711,9 @@ def precompute_cross_kv_int8(params: Dict[str, Any], xa: jax.Array,
 
 
 def precompute_cross_kv_int8_packed(params: Dict[str, Any], xa: jax.Array,
-                                    dims: WhisperDims
+                                    dims: WhisperDims,
+                                    group: int = 1,
+                                    rows_per_block: int = 1
                                     ) -> Dict[str, jax.Array]:
     """int8 cross K/V emitted DIRECTLY in the megakernel's packed layout
     (pack_cross_mega's output contract) — kv8 (L, B, 2H, dh, TaP) int8,
@@ -722,7 +724,14 @@ def precompute_cross_kv_int8_packed(params: Dict[str, Any], xa: jax.Array,
     quad kept BOTH 3 GB cross buffers live at once, which was the HBM
     peak that pushed the batch-24 bench into the OOM ladder. The prefill
     still consumes quad-shaped arrays via ``cross_views_from_packed``
-    (pure slices that XLA fuses into the attention einsums)."""
+    (pure slices that XLA fuses into the attention einsums).
+
+    ``group > 1`` emits the GROUPED-WINDOWS layout IN-SCAN — (L, B/group,
+    2H, dh, group*TaP) with a block-diagonal cmask (rows_per_block rows
+    per window block, see group_cross_mega) — for the grouped greedy /
+    grouped-beam kernel paths. Regrouping a finished pack instead
+    (group_cross_mega) holds TWO whole-size cross buffers live and cost
+    batch 48 its HBM headroom (round-5 A/B: grouped-beam OOM'd to 24)."""
     from whisper_aries_tpu.ops.pallas_cross_attn import quantize_kv_per_position
 
     H = dims.n_text_head
@@ -731,6 +740,8 @@ def precompute_cross_kv_int8_packed(params: Dict[str, Any], xa: jax.Array,
     TaP = ((T + 127) // 128) * 128
     HP = ((H + 7) // 8) * 8
     rsq = 1.0 / np.sqrt(dh)
+    G = B // group
+    assert G * group == B, (B, group)
 
     def padt(x):
         return jnp.pad(x, ((0, 0),) * (x.ndim - 1) + ((0, TaP - T),))
@@ -748,26 +759,52 @@ def precompute_cross_kv_int8_packed(params: Dict[str, Any], xa: jax.Array,
                                  padt(jnp.swapaxes(v8, -1, -2))], axis=1)
         sc_l = jnp.concatenate([sc4((ks * rsq).astype(jnp.float32)),
                                 sc4(vs.astype(jnp.float32))], axis=1)
+        if group > 1:
+            # per-LAYER regroup: small transients, no second full buffer
+            kv8_l = kv8_l.reshape(G, group, 2 * H, dh, TaP).transpose(
+                0, 2, 3, 1, 4).reshape(G, 2 * H, dh, group * TaP)
+            sc_l = sc_l.reshape(G, group, 2 * HP, TaP).transpose(
+                0, 2, 1, 3).reshape(G, 2 * HP, group * TaP)
         return None, (kv8_l, sc_l)
 
     _, (KV8, SC) = jax.lax.scan(
         one, None, params["decoder"]["blocks"]["cross"]
     )
     neg = float(np.finfo(np.float32).min)
-    cmask = jnp.zeros((8, TaP), jnp.float32).at[:, T:].set(neg)
+    if group > 1:
+        base = jnp.zeros((TaP,), jnp.float32).at[T:].set(neg)
+        n_rows = ((group * rows_per_block + 7) // 8) * 8
+        cmask = jnp.full((n_rows, group * TaP), neg, jnp.float32)
+        for jj in range(group * rows_per_block):
+            blk = jj // rows_per_block
+            cmask = cmask.at[jj, blk * TaP:(blk + 1) * TaP].set(base)
+    else:
+        cmask = jnp.zeros((8, TaP), jnp.float32).at[:, T:].set(neg)
     return {"kv8": KV8, "sc": SC, "cmask": cmask}
 
 
 def cross_views_from_packed(cross_mega: Dict[str, jax.Array], n_head: int,
-                            Ta: int) -> Dict[str, jax.Array]:
+                            Ta: int, group: int = 1
+                            ) -> Dict[str, jax.Array]:
     """Quad-layout VIEWS of the packed cross tensors for the prefill's
     XLA attention ({"k8","ks","v8","vs"} contract of decoder_step).
     Pure slices — XLA fuses them into the einsums, so no copy of the
     3 GB buffers materialises; the TaP pad columns are sliced away
-    (their scale-0 entries would otherwise poison the softmax)."""
+    (their scale-0 entries would otherwise poison the softmax).
+    ``group``: un-group a grouped-layout pack back to per-window views
+    (lazy reshape/transpose; the prefill consumes per-layer slices, so
+    XLA materialises at most one layer's 100 MB at a time)."""
     kv8, sc = cross_mega["kv8"], cross_mega["sc"]
     H = n_head
     HP = sc.shape[2] // 2
+    if group > 1:
+        L, G, H2, dh, GTaP = kv8.shape
+        TaP = GTaP // group
+        kv8 = kv8.reshape(L, G, H2, dh, group, TaP).transpose(
+            0, 1, 4, 2, 3, 5).reshape(L, G * group, H2, dh, TaP)
+        HP2 = sc.shape[2]
+        sc = sc.reshape(L, G, HP2, group, TaP).transpose(
+            0, 1, 3, 2, 4).reshape(L, G * group, HP2, TaP)
     return {
         "k8": kv8[:, :, :H, :, :Ta],
         "v8": kv8[:, :, H:2 * H, :, :Ta],
