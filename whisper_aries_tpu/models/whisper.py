@@ -791,20 +791,32 @@ def cross_views_from_packed(cross_mega: Dict[str, jax.Array], n_head: int,
     Pure slices — XLA fuses them into the einsums, so no copy of the
     3 GB buffers materialises; the TaP pad columns are sliced away
     (their scale-0 entries would otherwise poison the softmax).
-    ``group``: un-group a grouped-layout pack back to per-window views
-    (lazy reshape/transpose; the prefill consumes per-layer slices, so
-    XLA materialises at most one layer's 100 MB at a time)."""
+    ``group``: un-group a grouped-layout pack back to per-window views.
+    These are emitted as a PER-LAYER list ({"_per_layer": [...]}) so the
+    prefill's unrolled layer loop consumes one lazy per-layer slice at a
+    time — a whole-tensor lazy transpose was materialised by XLA as a
+    second full-size (~3.2 GB) cross buffer and cost grouped-beam its
+    batch-48 headroom (round-5 A/B)."""
     kv8, sc = cross_mega["kv8"], cross_mega["sc"]
     H = n_head
     HP = sc.shape[2] // 2
     if group > 1:
         L, G, H2, dh, GTaP = kv8.shape
         TaP = GTaP // group
-        kv8 = kv8.reshape(L, G, H2, dh, group, TaP).transpose(
-            0, 1, 4, 2, 3, 5).reshape(L, G * group, H2, dh, TaP)
         HP2 = sc.shape[2]
-        sc = sc.reshape(L, G, HP2, group, TaP).transpose(
-            0, 1, 3, 2, 4).reshape(L, G * group, HP2, TaP)
+        layers = []
+        for l in range(L):
+            k_l = kv8[l].reshape(G, H2, dh, group, TaP).transpose(
+                0, 3, 1, 2, 4).reshape(G * group, H2, dh, TaP)
+            s_l = sc[l].reshape(G, HP2, group, TaP).transpose(
+                0, 2, 1, 3).reshape(G * group, HP2, TaP)
+            layers.append({
+                "k8": k_l[:, :H, :, :Ta],
+                "v8": k_l[:, H:2 * H, :, :Ta],
+                "ks": s_l[:, :H, :Ta][:, :, None, :],
+                "vs": s_l[:, HP:HP + H, :Ta][:, :, None, :],
+            })
+        return {"_per_layer": layers}
     return {
         "k8": kv8[:, :, :H, :, :Ta],
         "v8": kv8[:, :, H:2 * H, :, :Ta],
@@ -1126,7 +1138,11 @@ def decoder_step(
     rsq = 1.0 / np.sqrt(dh)
     for l in range(L):
         p = layer_slice(blocks, l)
-        kv_l = layer_slice(cross_kv, l)
+        # "_per_layer": pre-sliced lazy views (grouped mega layouts) —
+        # indexing the python list keeps each layer's un-group transform
+        # a local fusion instead of one whole-tensor materialisation
+        kv_l = (cross_kv["_per_layer"][l] if "_per_layer" in cross_kv
+                else layer_slice(cross_kv, l))
         h = layer_norm(p["ln1"], x)
         qp, kp, vp = _self_qkv(p["attn"], h)
         q = _split_heads(qp, n_head)                 # (B, H, S, dh)
