@@ -219,7 +219,7 @@ def main() -> int:
                 # engine metric reuses this compiled beam program
                 beam_reorder=os.environ.get("ARIES_BEAM_REORDER", "default"),
                 beam_group=int(
-                    os.environ.get("ARIES_BEAM_GROUP", "1") or 1),
+                    os.environ.get("ARIES_BEAM_GROUP", "2") or 1),
             )
         else:
             import jax as _jax

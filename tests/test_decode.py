@@ -697,7 +697,7 @@ def test_beam_mega_kernel_parity(tiny_pair, self_kv_int8):
     mega = G.beam_search_decode(
         qparams, xa, prompt, dims, ids,
         jnp.zeros((dims.n_vocab,), jnp.float32), jnp.int32(0),
-        beam_reorder="mega", **common,
+        beam_reorder="mega", beam_group=1, **common,
     )
     np.testing.assert_array_equal(
         np.asarray(base["tokens"]), np.asarray(mega["tokens"])

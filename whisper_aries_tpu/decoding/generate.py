@@ -554,11 +554,14 @@ def beam_search_decode(
     L = P + sample_len
     V = ids.n_vocab
     C = max(1, int(round(K * patience)))
-    # GROUPED-BEAM megakernel (experimental, ARIES_BEAM_GROUP=2 opts in):
+    # GROUPED-BEAM megakernel (TPU default, ARIES_BEAM_GROUP=1 opts out):
     # Gw windows' beams pack into one kernel "window" (Gw*K rows) — the
     # grouped-greedy trick applied to beam search, halving the
     # per-(layer,window) iteration count. Beam machinery stays (B, K);
     # only the kernel cache/cross layout and ancestry slots regroup.
+    # Measured (batch 48, beam 5): 415.4x vs 406.3x ungrouped; at equal
+    # batch 24: 399.9x vs 352x. Falls back to 1 when the batch does not
+    # divide (e.g. one window per device under shard_map).
     bg = 1
     if use_mega:
         if beam_group is not None:
@@ -567,9 +570,9 @@ def beam_search_decode(
             import os as _os_bg
 
             try:
-                bg = int(_os_bg.environ.get("ARIES_BEAM_GROUP", "1") or 1)
+                bg = int(_os_bg.environ.get("ARIES_BEAM_GROUP", "2") or 1)
             except ValueError:
-                bg = 1
+                bg = 2
         if bg < 1 or B % bg != 0:
             bg = 1
     GK = bg * K

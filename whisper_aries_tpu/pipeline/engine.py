@@ -746,7 +746,7 @@ class AriesTranscriber:
                 # experimental grouped-beam megakernel (windows x beams
                 # share kernel rows); read at call time for live A/B
                 beam_group=int(
-                    _os.environ.get("ARIES_BEAM_GROUP", "1") or 1),
+                    _os.environ.get("ARIES_BEAM_GROUP", "2") or 1),
             )
             n_dev = int(np.prod(self.mesh.devices.shape))
             if n_dev > 1 and xa.shape[0] % n_dev == 0:
