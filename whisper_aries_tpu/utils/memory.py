@@ -52,9 +52,13 @@ def is_oom_error(e: BaseException) -> bool:
     """
     name = type(e).__name__
     msg = str(e).lower()
-    if "resource_exhausted" in msg or "resource exhausted" in msg:
+    # all observed spellings: RESOURCE_EXHAUSTED, "Resource exhausted",
+    # and the axon backend's "TPU backend error (ResourceExhausted)"
+    # (no separator — missed by the first two patterns until round 5)
+    if ("resource_exhausted" in msg or "resource exhausted" in msg
+            or "resourceexhausted" in msg):
         return True
-    if name in ("XlaRuntimeError", "RuntimeError") and (
+    if name in ("XlaRuntimeError", "RuntimeError", "JaxRuntimeError") and (
         "memory" in msg or "hbm" in msg or "oom" in msg or "allocat" in msg
     ):
         return True
